@@ -1,0 +1,221 @@
+"""Windowed rollup — the ``t.rast.aggregate`` / ``r.series`` analog.
+
+The reference rolls a stack of timestamped maps into granularity windows
+(``temporal/t.rast.aggregate/t.rast.aggregate.py:150-185`` builds the
+windows, ``raster/r.series/main.c:501-620`` reduces each window's stack
+per cell).  Here the per-key series is a ``tokens: list<int32>`` column
+— token position = sample time — so ``window = pos // gran`` and, since
+a document's whole series lives in one row, the windowed reduction is
+**row-local**: a stateless zero-copy ``map_batches`` over Arrow batches
+with **no shuffle at all**.  This is the engine's fast path and the
+reason the tier build scales linearly: every block is independent.
+
+The general path (:mod:`grass_ray.stages.grouped`) covers inputs where a
+key's samples span rows (point streams, the events table) and needs the
+hash shuffle + salting that the reference never had to think about.
+
+Window semantics matched to the reference:
+
+* floor alignment of the first window (``adjust_datetime_to_granularity``
+  → integer positions degenerate to ``window = (pos + origin) // gran``,
+  SURVEY §2.12).
+* every reducer from §2.1 via :mod:`grass_ray.functions.reducers`,
+  multiple methods evaluated in one pass over the same exploded stack
+  (≙ multiple outputs per pass, ``r.series/main.c:584-603``).
+* ``-n`` propagate-nulls, ``range=lo,hi`` filter, weighted variants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from grass_ray.functions.reducers import (
+    INT_OUTPUT_METHODS,
+    reduce_segments,
+)
+
+DEFAULT_METHODS = ("count", "sum", "minimum", "maximum", "average")
+
+
+def _flat_tokens_f64(tokens: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<int32> column -> flat float64 values with NaN at nulls."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    flat = tokens.flatten()
+    return flat.cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def _window_layout(n_tok: np.ndarray, gran: int, origin: int):
+    """Per-row window segmentation for contiguous positions 0..n-1.
+
+    Returns (seg_row, seg_window, seg_lengths, nwin_per_row).  With
+    origin != 0 the first window of each row may be partial on the left
+    (floor alignment — SURVEY §2.12).
+    """
+    n_tok = n_tok.astype(np.int64)
+    first_w = origin // gran
+    last_w = (origin + np.maximum(n_tok, 1) - 1) // gran
+    nwin = np.where(n_tok > 0, last_w - first_w + 1, 0)
+    total = int(nwin.sum())
+    seg_row = np.repeat(np.arange(len(n_tok), dtype=np.int64), nwin)
+    wstarts = np.zeros(len(n_tok), dtype=np.int64)
+    np.cumsum(nwin[:-1], out=wstarts[1:])
+    win_local = np.arange(total, dtype=np.int64) - np.repeat(wstarts, nwin)
+    seg_window = first_w + win_local
+    # element range of window w within a row: positions
+    # [w*gran - origin, (w+1)*gran - origin) clipped to [0, n)
+    lo = np.maximum(seg_window * gran - origin, 0)
+    hi = np.minimum((seg_window + 1) * gran - origin, n_tok[seg_row])
+    seg_lengths = hi - lo
+    return seg_row, seg_window, seg_lengths, nwin
+
+
+def rollup_batch(
+    batch: pa.Table,
+    gran: int,
+    methods=DEFAULT_METHODS,
+    *,
+    origin: int = 0,
+    lo: float | None = None,
+    hi: float | None = None,
+    propagate_nulls: bool = False,
+    quantiles: dict | None = None,
+    nested: bool = False,
+    key_cols: tuple = ("source", "doc_id"),
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+) -> pa.Table:
+    """Roll one Arrow corpus batch into per-(key, window) points.
+
+    nested=False -> one output row per (key, window):
+        (key_cols..., window:int64, <method>:float64 ...)
+    nested=True  -> one output row per key with parallel list columns:
+        (key_cols..., gran:int64, windows:list<int64>, <method>:list<f64>)
+    The nested form keeps the tier cascade, gap-fill and codec row-local.
+    """
+    n_tok = batch.column(n_tok_col).to_numpy(zero_copy_only=False)
+    values = _flat_tokens_f64(batch.column(tokens_col))
+    seg_row, seg_window, seg_lengths, nwin = _window_layout(
+        n_tok, gran, origin
+    )
+    results = reduce_segments(
+        values,
+        seg_lengths,
+        methods,
+        lo=lo,
+        hi=hi,
+        propagate_nulls=propagate_nulls,
+        quantiles=quantiles,
+    )
+    out_names = list(results.keys())
+    if not nested:
+        cols: dict[str, pa.Array] = {}
+        for k in key_cols:
+            cols[k] = batch.column(k).take(pa.array(seg_row))
+        cols["window"] = pa.array(seg_window, type=pa.int64())
+        for name in out_names:
+            cols[name] = _result_array(name, results[name])
+        return pa.table(cols)
+    # nested: pack segments back into one row per input row
+    offsets = pa.array(
+        np.concatenate([[0], np.cumsum(nwin)]).astype(np.int32)
+    )
+    cols = {k: batch.column(k) for k in key_cols}
+    cols["gran"] = pa.array(
+        np.full(len(n_tok), gran, dtype=np.int64)
+    )
+    cols["windows"] = pa.ListArray.from_arrays(
+        offsets, pa.array(seg_window, type=pa.int64())
+    )
+    for name in out_names:
+        cols[name] = pa.ListArray.from_arrays(
+            offsets, _result_array(name, results[name])
+        )
+    return pa.table(cols)
+
+
+def _result_array(name: str, arr: np.ndarray) -> pa.Array:
+    """float64 results -> Arrow, NaN becoming real nulls; integer-typed
+    methods (count/diversity/*_raster — CELL outputs in the reference
+    method table, r.series/main.c:40-65) stay int64 where non-null."""
+    mask = np.isnan(arr)
+    if name in INT_OUTPUT_METHODS:
+        ints = np.where(mask, 0, arr).astype(np.int64)
+        return pa.array(ints, type=pa.int64(), mask=mask)
+    return pa.array(arr, type=pa.float64(), mask=mask)
+
+
+def rollup(
+    ds,
+    gran: int,
+    methods=DEFAULT_METHODS,
+    *,
+    nested: bool = False,
+    batch_size: int | None = 512,
+    **kw,
+):
+    """Dataset-level rollup: corpus -> per-(source, doc_id, window) points.
+
+    Pure streaming ``map_batches`` (no shuffle): windows never span rows,
+    so each block reduces independently — the Ray Data analog of one
+    ``r.series`` process per granule window
+    (``aggregation.py:269-389``) without the process queue.
+    """
+    return ds.map_batches(
+        lambda b: rollup_batch(b, gran, methods, nested=nested, **kw),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def series_collapse(
+    ds,
+    methods=DEFAULT_METHODS,
+    *,
+    batch_size: int | None = 512,
+    **kw,
+):
+    """Whole-series collapse — the ``t.rast.series`` analog
+    (``temporal/t.rast.series/t.rast.series.py:90-214``): one window per
+    key covering the entire series (gran = +inf ⇒ window 0)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        gran = int(max(1, n_tok.max() if len(n_tok) else 1))
+        t = rollup_batch(batch, gran, methods, **kw)
+        return t.drop_columns(["window"])
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=batch_size)
+
+
+def explode_tokens(
+    ds,
+    *,
+    batch_size: int | None = 512,
+    key_cols: tuple = ("source", "doc_id"),
+):
+    """corpus -> flat (key..., pos:int64, token:float64-nullable) points.
+
+    The generic entry into the grouped/shuffle path and the shape the
+    DuckDB oracle uses (UNNEST).  Zero-copy on the token values.
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        tokens = batch.column("tokens")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n_tok.sum())
+        row_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        starts = np.zeros(len(n_tok), dtype=np.int64)
+        np.cumsum(n_tok[:-1], out=starts[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, n_tok)
+        cols = {
+            k: batch.column(k).take(pa.array(row_of)) for k in key_cols
+        }
+        cols["pos"] = pa.array(pos)
+        cols["token"] = tokens.flatten()
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=batch_size)
