@@ -1,0 +1,258 @@
+"""Gorilla-style XOR float compression + delta-of-delta window encoding.
+
+The engine analog of the reference's raster row compression
+(``lib/gis/compress.h:4-12`` — RLE/ZLIB/LZ4/BZIP2/ZSTD per row): rolled
+up (window, value) streams are bit-packed per key before hitting the
+tier Parquet, per the north rule ("Gorilla XOR + delta-of-delta
+compression of rolled-up points").
+
+Format notes (self-describing for our decoder; lossless for arbitrary
+float64 bit patterns including the canonical NaN used as NULL):
+
+* **values** (XOR scheme, Facebook Gorilla §4.1.2 control bits without
+  the previous-block-reuse path so the encoder stays fully vectorized):
+  first value = 64 raw bits; then per value
+  ``0``                        if XOR with predecessor is 0,
+  ``1 | lz:5 | (sig-1):6 | sig bits``  otherwise (lz capped at 31).
+* **windows** (delta-of-delta, Gorilla §4.1.1 buckets): first window =
+  64 raw bits, first delta = 64 raw bits, then per dod
+  ``0`` (dod=0), ``10|7b`` (−63..64), ``110|9b`` (−255..256),
+  ``1110|12b`` (−2047..2048), ``1111|64b``.
+
+Encoding is one vectorized NumPy pass (the variable-length bitstream is
+assembled with a repeat/arange scatter and ``np.packbits``); decoding is
+a tight sequential parse over the unpacked bit array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "encode_floats",
+    "decode_floats",
+    "encode_windows",
+    "decode_windows",
+]
+
+
+def _assemble_bits(lengths: np.ndarray, payloads: np.ndarray) -> bytes:
+    """Concatenate variable-length big-endian bit fields -> packed bytes.
+
+    lengths: uint8 bit lengths (1..64); payloads: uint64 values held in
+    the low `length` bits.
+    """
+    lengths = lengths.astype(np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return b""
+    src = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    k = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    shift = lengths[src] - 1 - k
+    bits = ((payloads[src] >> shift.astype(np.uint64)) & np.uint64(1)).astype(
+        np.uint8
+    )
+    return np.packbits(bits).tobytes()
+
+
+def encode_floats(values: np.ndarray) -> bytes:
+    """float64[n] (NaN = NULL) -> Gorilla-XOR packed bytes (with n header)."""
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    n = len(values)
+    head = np.uint32(n).tobytes()
+    if n == 0:
+        return head
+    u = values.view(np.uint64)
+    xor = np.empty(n, dtype=np.uint64)
+    xor[0] = u[0]
+    xor[1:] = u[1:] ^ u[:-1]
+    zero = np.zeros(n, dtype=bool)
+    zero[1:] = xor[1:] == 0
+    # leading zeros of xor (64 for xor==0, irrelevant there)
+    nz = ~zero
+    lz = np.zeros(n, dtype=np.uint64)
+    tz = np.zeros(n, dtype=np.uint64)
+    sig = np.ones(n, dtype=np.uint64)
+    if nz.any():
+        x = xor[nz]
+
+        def _bitlen(a):
+            bl = np.zeros(len(a), dtype=np.int64)
+            tmp = a.copy()
+            for s in (32, 16, 8, 4, 2, 1):
+                big = tmp >= (np.uint64(1) << np.uint64(s))
+                bl[big] += s
+                tmp[big] >>= np.uint64(s)
+            return bl + 1  # position of highest set bit, 1..64
+
+        bitlen = _bitlen(x)
+        lz_nz = np.minimum(64 - bitlen, 31)  # 5-bit field caps at 31
+        # trailing zeros: bit_length of the lowest set bit, minus 1
+        low = x & (np.uint64(0) - x)
+        tz_nz = _bitlen(low) - 1
+        sig_nz = 64 - lz_nz - tz_nz  # meaningful bits, >= 1
+        lz[nz] = lz_nz.astype(np.uint64)
+        tz[nz] = tz_nz.astype(np.uint64)
+        sig[nz] = sig_nz.astype(np.uint64)
+    # per-value fields in stream order: first value raw 64 bits; then for
+    # each value [ctrl:1] and, when ctrl=1, [lz:5|sig-1:6] + [sig bits]
+    ctrl_len = np.ones(n, dtype=np.int64)
+    ctrl_val = nz.astype(np.uint64)
+    hdr_len = np.where(nz, 11, 0)
+    hdr_val = np.where(nz, (lz << np.uint64(6)) | (sig - np.uint64(1)), 0)
+    pay_len = np.where(nz, sig.astype(np.int64), 0)
+    mask_sig = np.where(
+        sig >= 64, np.uint64(0xFFFFFFFFFFFFFFFF), (np.uint64(1) << sig) - np.uint64(1)
+    )
+    pay_val = np.where(nz, (xor >> tz) & mask_sig, 0)
+    all_len = np.empty(1 + 3 * (n - 1), dtype=np.int64)
+    all_val = np.empty(1 + 3 * (n - 1), dtype=np.uint64)
+    all_len[0] = 64
+    all_val[0] = u[0]
+    if n > 1:
+        all_len[1::3] = ctrl_len[1:]
+        all_val[1::3] = ctrl_val[1:]
+        all_len[2::3] = hdr_len[1:]
+        all_val[2::3] = hdr_val[1:]
+        all_len[3::3] = pay_len[1:]
+        all_val[3::3] = pay_val[1:]
+    keep = all_len > 0
+    return head + _assemble_bits(all_len[keep], all_val[keep])
+
+
+def decode_floats(data: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_floats` — bit-exact round trip."""
+    n = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    bits = np.unpackbits(np.frombuffer(data[4:], dtype=np.uint8)).astype(np.uint64)
+
+    def read(pos, ln):
+        v = 0
+        for b in bits[pos : pos + ln]:
+            v = (v << 1) | int(b)
+        return v, pos + ln
+
+    pos = 0
+    prev, pos = read(pos, 64)
+    out[0] = prev
+    for i in range(1, n):
+        ctrl = int(bits[pos]); pos += 1
+        if ctrl == 0:
+            out[i] = prev
+            continue
+        hdr, pos = read(pos, 11)
+        lz = hdr >> 6
+        sig = (hdr & 0x3F) + 1
+        tz = 64 - lz - sig
+        payload, pos = read(pos, sig)
+        prev = prev ^ (payload << tz)  # plain python ints: 64-bit safe
+        out[i] = prev
+    return out.view(np.float64)
+
+
+_DOD_BUCKETS = (
+    (64, 2, 0b10, 7),       # |dod| small: -63..64 stored in 7 bits
+    (256, 3, 0b110, 9),
+    (2048, 4, 0b1110, 12),
+)
+
+
+def encode_windows(windows: np.ndarray) -> bytes:
+    """int64[n] ascending window ids -> delta-of-delta packed bytes."""
+    w = np.ascontiguousarray(windows, dtype=np.int64)
+    n = len(w)
+    head = np.uint32(n).tobytes()
+    if n == 0:
+        return head
+    fields_len = [64]
+    fields_val = [np.uint64(w[0]) & np.uint64(0xFFFFFFFFFFFFFFFF)]
+    if n >= 2:
+        d = np.diff(w)
+        fields_len.append(64)
+        fields_val.append(np.uint64(d[0] % (1 << 64)))
+        dod = np.diff(d)
+        m = len(dod)
+        ctrl_len = np.empty(m, dtype=np.int64)
+        ctrl_val = np.empty(m, dtype=np.uint64)
+        pay_len = np.zeros(m, dtype=np.int64)
+        pay_val = np.zeros(m, dtype=np.uint64)
+        done = dod == 0
+        ctrl_len[done] = 1
+        ctrl_val[done] = 0
+        rem = ~done
+        for hi, cl, cv, pl in _DOD_BUCKETS:
+            sel = rem & (dod >= -(hi - 1)) & (dod <= hi)
+            ctrl_len[sel] = cl
+            ctrl_val[sel] = cv
+            pay_len[sel] = pl
+            pay_val[sel] = (dod[sel] + (hi - 1)).astype(np.uint64)
+            rem &= ~sel
+        ctrl_len[rem] = 4
+        ctrl_val[rem] = 0b1111
+        pay_len[rem] = 64
+        pay_val[rem] = dod[rem].astype(np.uint64)
+        all_len = np.empty(2 * m, dtype=np.int64)
+        all_val = np.empty(2 * m, dtype=np.uint64)
+        all_len[0::2] = ctrl_len
+        all_val[0::2] = ctrl_val
+        all_len[1::2] = pay_len
+        all_val[1::2] = pay_val
+        keep = all_len > 0
+        fl = np.concatenate([np.array(fields_len), all_len[keep]])
+        fv = np.concatenate(
+            [np.array(fields_val, dtype=np.uint64), all_val[keep]]
+        )
+        return head + _assemble_bits(fl, fv)
+    return head + _assemble_bits(
+        np.array(fields_len), np.array(fields_val, dtype=np.uint64)
+    )
+
+
+def decode_windows(data: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_windows`."""
+    n = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    bits = np.unpackbits(np.frombuffer(data[4:], dtype=np.uint8))
+
+    def read(pos, ln):
+        v = 0
+        for b in bits[pos : pos + ln]:
+            v = (v << 1) | int(b)
+        return v, pos + ln
+
+    pos = 0
+    v0, pos = read(pos, 64)
+    out[0] = np.uint64(v0).astype(np.int64)
+    if n == 1:
+        return out
+    dv, pos = read(pos, 64)
+    d = int(np.uint64(dv).astype(np.int64))
+    out[1] = out[0] + d
+    for i in range(2, n):
+        if bits[pos] == 0:
+            pos += 1
+        else:
+            if bits[pos + 1] == 0:
+                pos += 2
+                p, pos = read(pos, 7)
+                d += p - 63
+            elif bits[pos + 2] == 0:
+                pos += 3
+                p, pos = read(pos, 9)
+                d += p - 255
+            elif bits[pos + 3] == 0:
+                pos += 4
+                p, pos = read(pos, 12)
+                d += p - 2047
+            else:
+                pos += 4
+                p, pos = read(pos, 64)
+                d += int(np.uint64(p).astype(np.int64))
+        out[i] = out[i - 1] + d
+    return out

@@ -1,0 +1,282 @@
+"""The flagship pipeline: resumable cascading retention-tier build.
+
+``t.rast.aggregate`` chained across granularities with registration into
+a catalog (SURVEY §3.1), Ray-Data-first:
+
+    corpus parquet
+      → map_batches(assign partition = hash(doc_id) % P)   [narrow]
+      → filter out committed partitions                    [narrow, resume]
+      → rollup(gran=60, nested)                            [narrow, row-local]
+      → + row stats → EncodeTier actor pool → write staging parquet
+          partitioned by part                              [sink]
+      → atomic per-partition commit + manifest rows        [driver]
+      → tier 1h = cascade(decode(tier 1m), 60) → encode → write
+      → tier 1d = cascade(tier 1h, 24) → ...
+
+No stage shuffles: partitioning rides on (source, doc_id)-hash which the
+whole cascade preserves (SURVEY §4 "Shuffle" row).  Every tier is
+resumable per partition: a re-run skips partitions whose manifest row is
+committed (the catalog-as-checkpoint behavior of the reference,
+``aggregation.py:146-160``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from grass_ray.stages.cascade import cascade
+from grass_ray.stages.codec_stage import DecodeTier, EncodeTier
+from grass_ray.stages.rollup import rollup
+from grass_ray.state.manifest import TierStore
+
+ENGINE_VERSION = "0.1"
+TIER_METHODS = ("count", "sum", "minimum", "maximum", "average")
+
+
+def _hash_partition(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
+    """Deterministic, process-stable partition id per doc_id (crc32)."""
+    ids = doc_ids.to_pylist()
+    return np.array(
+        [zlib.crc32(s.encode()) % num_partitions for s in ids], dtype=np.int32
+    )
+
+
+def assign_partition(ds, num_partitions: int, key_col: str = "doc_id"):
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        part = _hash_partition(col, num_partitions)
+        return batch.append_column("part", pa.array(part))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def filter_partitions(ds, skip: set[int]):
+    """Drop rows whose partition is already committed (resume path)."""
+    if not skip:
+        return ds
+    skip_arr = np.array(sorted(skip), dtype=np.int64)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        part = (
+            pc.cast(batch.column("part"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = ~np.isin(part, skip_arr)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _keep_partitions(ds, keep: set[int]):
+    """Keep only rows whose partition is in `keep`."""
+    keep_arr = np.array(sorted(keep), dtype=np.int64)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        part = (
+            pc.cast(batch.column("part"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return batch.filter(pa.array(np.isin(part, keep_arr)))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def with_row_stats(ds):
+    """Append scalar wstart/wend/vmin/vmax per nested row so partition
+    stats come from Parquet footer statistics, not a data scan."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        stale = [c for c in ("wstart", "wend", "vmin", "vmax") if c in batch.column_names]
+        if stale:
+            batch = batch.drop_columns(stale)
+        windows = batch.column("windows")
+        if isinstance(windows, pa.ChunkedArray):
+            windows = windows.combine_chunks()
+        lens = np.asarray(
+            windows.value_lengths().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        w = windows.flatten().to_numpy(zero_copy_only=False)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        ends = np.cumsum(lens) - 1
+        has = lens > 0
+        wstart = np.where(has, w[np.where(has, starts, 0)], 0)
+        wend = np.where(has, w[np.where(has, ends, 0)], -1)
+
+        def minmax(colname, fn, fill):
+            col = batch.column(colname)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            v = col.flatten().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            v = np.where(np.isnan(v), fill, v)
+            out = np.full(len(lens), np.nan)
+            if has.any() and len(v):
+                # reduceat over only non-empty rows' starts: empty rows
+                # contribute zero elements so consecutive non-empty starts
+                # delimit exactly one row's range
+                out[has] = fn.reduceat(v, starts[has])
+            out[out == fill] = np.nan
+            return out
+
+        vmin = minmax("minimum", np.minimum, np.inf)
+        vmax = minmax("maximum", np.maximum, -np.inf)
+        t = batch.append_column("wstart", pa.array(wstart, type=pa.int64()))
+        t = t.append_column("wend", pa.array(wend, type=pa.int64()))
+        t = t.append_column(
+            "vmin", pa.array(vmin, type=pa.float64(), mask=np.isnan(vmin))
+        )
+        t = t.append_column(
+            "vmax", pa.array(vmax, type=pa.float64(), mask=np.isnan(vmax))
+        )
+        return t
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _write_and_commit(
+    nested_ds,
+    store: TierStore,
+    tier: str,
+    *,
+    agg_type: str,
+    lineage: dict,
+    encode: bool = True,
+    value_cols=TIER_METHODS,
+    skip_partitions: set[int] | None = None,
+):
+    """Encode (optional) + stage-write + atomically commit partitions."""
+    skip = skip_partitions or set()
+    ds = with_row_stats(nested_ds)
+    if encode:
+        ds = ds.map_batches(
+            EncodeTier,
+            fn_constructor_kwargs={"value_cols": value_cols},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    staging = store.staging_dir(tier)
+    ds.write_parquet(staging, partition_cols=["part"])
+    committed = []
+    if os.path.isdir(staging):
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("part="):
+                continue
+            p = int(d.split("=", 1)[1])
+            if p in skip:
+                continue
+            staged = os.path.join(staging, d)
+            stats = store.partition_stats_from_files(staged)
+            store.commit_partition(
+                tier,
+                p,
+                staged,
+                agg_type=agg_type,
+                lineage=json.dumps(
+                    {**lineage, "engine_version": ENGINE_VERSION, "partition": p}
+                ),
+                stats=stats,
+            )
+            committed.append(p)
+        store.clean_staging(tier)
+    return committed
+
+
+def build_tiers(
+    corpus_ds,
+    out_root: str,
+    *,
+    tier_specs=(("1m", 60), ("1h", 60), ("1d", 24)),
+    methods=TIER_METHODS,
+    num_partitions: int = 32,
+    encode: bool = True,
+    resume: bool = True,
+    lineage_inputs: str = "corpus",
+):
+    """Build the full retention cascade; returns {tier: committed parts}.
+
+    tier_specs: first entry aggregates raw positions with its granularity;
+    each later entry is a cascade *factor* over the previous tier.
+    """
+    store = TierStore(out_root)
+    results: dict[str, list[int]] = {}
+
+    first_name, first_gran = tier_specs[0]
+    done = store.committed_partitions(first_name) if resume else set()
+    ds = assign_partition(corpus_ds, num_partitions)
+    ds = filter_partitions(ds, done)
+    nested = rollup(ds, first_gran, methods, nested=True, key_cols=("source", "doc_id", "part"))
+    results[first_name] = _write_and_commit(
+        nested,
+        store,
+        first_name,
+        agg_type=",".join(methods),
+        lineage={"inputs": lineage_inputs, "gran": first_gran},
+        encode=encode,
+        value_cols=methods,
+        skip_partitions=done,
+    )
+
+    prev_name = first_name
+    for name, factor in tier_specs[1:]:
+        done = store.committed_partitions(name) if resume else set()
+        prev = read_tier(
+            store, prev_name, encoded=encode, value_cols=methods, decode=encode
+        )
+        prev = filter_partitions(prev, done)
+        coarser = cascade(prev, factor)
+        results[name] = _write_and_commit(
+            coarser,
+            store,
+            name,
+            agg_type=",".join(methods),
+            lineage={"inputs": prev_name, "factor": factor},
+            encode=encode,
+            value_cols=methods,
+            skip_partitions=done,
+        )
+        prev_name = name
+    return results
+
+
+def read_tier(
+    store: TierStore,
+    tier: str,
+    *,
+    encoded: bool = True,
+    decode: bool = True,
+    value_cols=TIER_METHODS,
+    columns=None,
+):
+    """Read a committed tier as a Dataset (optionally decoding the codec).
+
+    Reads the whole tier directory (hive partitioning restores the
+    ``part`` column; ``.staging-*`` dirs are hidden from discovery) and
+    keeps only partitions with a committed manifest row, so orphan
+    directories from a crash mid-commit are ignored.
+    """
+    import ray.data
+
+    committed = store.committed_partitions(tier)
+    ds = ray.data.read_parquet(store.tier_dir(tier), columns=columns)
+    ds = _keep_partitions(ds, committed)
+    if encoded and decode:
+        ds = ds.map_batches(
+            DecodeTier,
+            fn_constructor_kwargs={"value_cols": value_cols},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    return ds

@@ -1,0 +1,243 @@
+"""Per-tier Parquet manifest — the engine's temporal-database catalog.
+
+Replaces the reference's SQLite/PostgreSQL temporal catalog
+(``python/grass/temporal/core.py:643``; STDS tables
+``lib/temporal/SQL/stds_tables_template.sql``) with a tiny file-based
+manifest per tier: one row per committed partition carrying lineage,
+row/point counts, window extent and value min/max (the analog of
+``strds_metadata``'s ``number_of_maps`` / ``min_min``…``max_max``,
+updated by ``update_from_registered_maps``,
+``abstract_space_time_dataset.py:2797+``).
+
+Resumability contract (north rule): a partition is visible iff its data
+directory was atomically renamed into place AND its manifest row file
+exists; re-runs skip committed partitions, so a killed run resumes with
+no double-counting.  Commit order: data rename first, then manifest row
+(write-tmp → rename) — a crash between the two re-processes that
+partition idempotently (the rename replaces the same directory).
+
+Layout::
+
+    root/
+      <tier>/part=<p>/*.parquet          # committed data
+      <tier>/.staging-<runid>/...        # in-flight (discarded on resume)
+      _manifest/<tier>/part=<p>.parquet  # one-row manifest per partition
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("tier", pa.string()),
+        ("partition", pa.int32()),
+        ("window_start", pa.int64()),
+        ("window_end", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("n_points", pa.int64()),
+        ("agg_type", pa.string()),
+        ("vmin", pa.float64()),
+        ("vmax", pa.float64()),
+        ("lineage", pa.string()),
+        ("done", pa.bool_()),
+    ]
+)
+
+
+class TierStore:
+    """Catalog + atomic-commit layer for tier outputs under one root."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- paths -----------------------------------------------------
+    def tier_dir(self, tier: str) -> str:
+        return os.path.join(self.root, tier)
+
+    def partition_dir(self, tier: str, p: int) -> str:
+        return os.path.join(self.tier_dir(tier), f"part={p}")
+
+    def _manifest_dir(self, tier: str) -> str:
+        return os.path.join(self.root, "_manifest", tier)
+
+    def _manifest_row_path(self, tier: str, p: int) -> str:
+        return os.path.join(self._manifest_dir(tier), f"part={p}.parquet")
+
+    def staging_dir(self, tier: str, run_id: str | None = None) -> str:
+        run_id = run_id or uuid.uuid4().hex[:8]
+        return os.path.join(self.tier_dir(tier), f".staging-{run_id}")
+
+    # ---- catalog ops (t.create / t.info / t.remove / t.rename ...) --
+    def tiers(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if d != "_manifest" and os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def committed_partitions(self, tier: str) -> set[int]:
+        d = self._manifest_dir(tier)
+        if not os.path.isdir(d):
+            return set()
+        out = set()
+        for f in os.listdir(d):
+            if f.startswith("part=") and f.endswith(".parquet"):
+                out.add(int(f[len("part=") : -len(".parquet")]))
+        return out
+
+    def manifest(self, tier: str) -> pa.Table:
+        """All committed manifest rows for a tier (empty table if none)."""
+        d = self._manifest_dir(tier)
+        parts = sorted(self.committed_partitions(tier))
+        if not parts:
+            return MANIFEST_SCHEMA.empty_table()
+        return pa.concat_tables(
+            [pq.read_table(self._manifest_row_path(tier, p)) for p in parts]
+        )
+
+    def info(self, tier: str) -> dict:
+        """`t.info`-style rollup of the tier manifest."""
+        m = self.manifest(tier)
+        if m.num_rows == 0:
+            return {"tier": tier, "partitions": 0, "n_rows": 0, "n_points": 0}
+        import pyarrow.compute as pc
+
+        return {
+            "tier": tier,
+            "partitions": m.num_rows,
+            "n_rows": int(pc.sum(m.column("n_rows")).as_py() or 0),
+            "n_points": int(pc.sum(m.column("n_points")).as_py() or 0),
+            "window_start": pc.min(m.column("window_start")).as_py(),
+            "window_end": pc.max(m.column("window_end")).as_py(),
+            "vmin": pc.min(m.column("vmin")).as_py(),
+            "vmax": pc.max(m.column("vmax")).as_py(),
+            "agg_type": m.column("agg_type")[0].as_py(),
+        }
+
+    def remove_tier(self, tier: str):
+        shutil.rmtree(self.tier_dir(tier), ignore_errors=True)
+        shutil.rmtree(self._manifest_dir(tier), ignore_errors=True)
+
+    def rename_tier(self, old: str, new: str):
+        if os.path.isdir(self.tier_dir(old)):
+            os.rename(self.tier_dir(old), self.tier_dir(new))
+        if os.path.isdir(self._manifest_dir(old)):
+            os.makedirs(os.path.dirname(self._manifest_dir(new)), exist_ok=True)
+            os.rename(self._manifest_dir(old), self._manifest_dir(new))
+
+    # ---- atomic partition commit ------------------------------------
+    def commit_partition(
+        self,
+        tier: str,
+        p: int,
+        staged_dir: str,
+        *,
+        agg_type: str,
+        lineage: dict | str,
+        stats: dict | None = None,
+    ):
+        """Atomically publish one staged partition + its manifest row."""
+        final = self.partition_dir(tier, p)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staged_dir, final)
+        stats = dict(stats or {})
+        stats.setdefault("n_rows", _count_rows(final))
+        row = pa.table(
+            {
+                "tier": [tier],
+                "partition": [p],
+                "window_start": [stats.get("window_start")],
+                "window_end": [stats.get("window_end")],
+                "n_rows": [stats.get("n_rows", 0)],
+                "n_points": [stats.get("n_points", 0)],
+                "agg_type": [agg_type],
+                "vmin": [stats.get("vmin")],
+                "vmax": [stats.get("vmax")],
+                "lineage": [
+                    lineage if isinstance(lineage, str) else json.dumps(lineage)
+                ],
+                "done": [True],
+            },
+            schema=MANIFEST_SCHEMA,
+        )
+        mdir = self._manifest_dir(tier)
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(row, tmp)
+        os.rename(tmp, self._manifest_row_path(tier, p))
+
+    def partition_stats_from_files(self, staged_dir: str) -> dict:
+        """Partition stats from Parquet footer statistics — no data scan.
+
+        Reads row counts plus min/max of the scalar stat columns
+        (wstart/wend/vmin/vmax) that the tier writer appends per row.
+        """
+        stats: dict = {"n_rows": 0, "n_points": 0}
+        agg = {
+            "wstart": ("window_start", min),
+            "wend": ("window_end", max),
+            "vmin": ("vmin", min),
+            "vmax": ("vmax", max),
+        }
+        for f in _parquet_files(staged_dir):
+            md = pq.read_metadata(f)
+            stats["n_rows"] += md.num_rows
+            schema_names = md.schema.to_arrow_schema().names
+            col_idx = {n: i for i, n in enumerate(schema_names)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for src, (dst, fn) in agg.items():
+                    if src in col_idx:
+                        st = g.column(col_idx[src]).statistics
+                        if st is not None and st.has_min_max:
+                            lo = st.min if fn is min else st.max
+                            cur = stats.get(dst)
+                            stats[dst] = lo if cur is None else fn(cur, lo)
+        # n_points needs a (cheap, single-column) scan
+        try:
+            import pyarrow.dataset as pads
+
+            dsn = pads.dataset(staged_dir)
+            if "n_points" in dsn.schema.names:
+                import pyarrow.compute as pc
+
+                stats["n_points"] = int(
+                    pc.sum(dsn.to_table(columns=["n_points"])["n_points"]).as_py()
+                    or 0
+                )
+        except Exception:
+            pass
+        return stats
+
+    def clean_staging(self, tier: str):
+        td = self.tier_dir(tier)
+        if not os.path.isdir(td):
+            return
+        for d in os.listdir(td):
+            if d.startswith(".staging-"):
+                shutil.rmtree(os.path.join(td, d), ignore_errors=True)
+
+
+def _parquet_files(d: str) -> list[str]:
+    out = []
+    for root, _, files in os.walk(d):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    return sorted(out)
+
+
+def _count_rows(d: str) -> int:
+    return sum(pq.read_metadata(f).num_rows for f in _parquet_files(d))

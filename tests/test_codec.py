@@ -1,0 +1,87 @@
+"""F6 — Gorilla / delta-of-delta codec bit-exact round trips."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from grass_ray.functions.codec import (
+    decode_floats,
+    decode_windows,
+    encode_floats,
+    encode_windows,
+)
+
+
+def roundtrip_f(vals):
+    arr = np.asarray(vals, dtype=np.float64)
+    out = decode_floats(encode_floats(arr))
+    assert len(out) == len(arr)
+    # bit-exact comparison (NaN patterns included)
+    assert np.array_equal(out.view(np.uint64), arr.view(np.uint64))
+    return out
+
+
+def roundtrip_w(vals):
+    arr = np.asarray(vals, dtype=np.int64)
+    out = decode_windows(encode_windows(arr))
+    assert np.array_equal(out, arr)
+    return out
+
+
+def test_floats_edge_cases():
+    roundtrip_f([])
+    roundtrip_f([0.0])
+    roundtrip_f([1.5, 1.5, 1.5, 1.5])  # constant run: XOR=0 path
+    roundtrip_f([1.0, -1.0, 2.0, -2.0])  # sign flips
+    roundtrip_f([np.nan, 1.0, np.nan, np.nan, 2.0])  # NULL markers
+    roundtrip_f([np.inf, -np.inf, 0.0, -0.0])
+    roundtrip_f([3.1415926535, 3.1415926536, 3.14159])  # tiny xors
+
+
+def test_floats_random():
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 7, 100, 5000):
+        vals = rng.normal(size=n) * 10.0 ** rng.integers(-5, 6, size=n)
+        vals[rng.random(n) < 0.1] = np.nan
+        roundtrip_f(vals)
+    # integer-valued doubles (our token sums) compress well & round-trip
+    vals = rng.integers(0, 32003, size=2000).astype(np.float64)
+    enc = encode_floats(vals)
+    assert len(enc) < 8 * len(vals)  # actually compresses
+    roundtrip_f(vals)
+
+
+def test_windows_edge_cases():
+    roundtrip_w([])
+    roundtrip_w([5])
+    roundtrip_w([0, 1])
+    roundtrip_w([0, 1, 2, 3, 4, 5])  # dod=0 path
+    roundtrip_w([0, 10, 11, 12, 40, 41, 100])  # irregular gaps
+    roundtrip_w([-5, -3, 0, 1000000, 1000001])  # negative + large jump
+    roundtrip_w([7, 7, 7])  # repeated (delta 0)
+
+
+def test_windows_random():
+    rng = np.random.default_rng(1)
+    for n in (1, 2, 50, 3000):
+        deltas = rng.integers(1, 10000, size=n)
+        w = np.cumsum(deltas) - 50
+        roundtrip_w(w)
+    # regular windows compress to ~1 bit/value after the first two
+    w = np.arange(10000, dtype=np.int64)
+    enc = encode_windows(w)
+    assert len(enc) < 4 + 16 + 2 + len(w) // 8 + 16
+
+
+def test_compression_ratio_regular_series():
+    # a typical rolled-up tier stream: dense windows, smooth values
+    w = np.arange(1440, dtype=np.int64)
+    v = np.linspace(0, 100, 1440)
+    ew, ev = encode_windows(w), encode_floats(v)
+    raw = 1440 * 16
+    assert len(ew) + len(ev) < raw * 0.9
+    assert np.array_equal(decode_windows(ew), w)
+    assert np.array_equal(
+        decode_floats(ev).view(np.uint64), v.view(np.uint64)
+    )

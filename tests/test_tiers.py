@@ -1,0 +1,124 @@
+"""Flagship tier pipeline: build → read-back → cascade invariant → resume."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from grass_ray.sources.corpus import synth_corpus_table
+from grass_ray.stages.codec_stage import DecodeTier, EncodeTier
+from grass_ray.stages.rollup import rollup_batch
+from grass_ray.pipelines.tiers import build_tiers, read_tier
+from grass_ray.state.manifest import TierStore
+
+METHODS = ("count", "sum", "minimum", "maximum", "average")
+
+
+def test_codec_stage_roundtrip():
+    t = synth_corpus_table(25, seed=21)
+    nested = rollup_batch(t, 60, METHODS, nested=True)
+    enc = EncodeTier(METHODS)(nested)
+    assert "windows_enc" in enc.column_names
+    dec = DecodeTier(METHODS)(enc)
+    nd, dd = nested.to_pydict(), dec.to_pydict()
+    assert dd["windows"] == nd["windows"]
+    for m in METHODS:
+        assert dd[m] == nd[m], m
+
+
+@pytest.fixture()
+def tier_root(tmp_path):
+    root = str(tmp_path / "tiers")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_build_tiers_end_to_end(ray_session, tier_root):
+    import ray.data
+
+    t = synth_corpus_table(60, seed=33, n_tok=2880)  # 2 "days" of minutes
+    ds = ray.data.from_arrow(t)
+    res = build_tiers(ds, tier_root, num_partitions=4)
+    assert sorted(res) == ["1d", "1h", "1m"]
+    store = TierStore(tier_root)
+    assert store.tiers() == ["1d", "1h", "1m"]
+    info = store.info("1m")
+    assert info["n_rows"] == 60
+    assert info["n_points"] == 60 * 48  # 2880/60 windows per doc
+
+    # read back the 1d tier (decoded) and compare against direct rollup
+    day = (
+        read_tier(store, "1d", value_cols=METHODS)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    direct = (
+        rollup_batch(t, 60 * 60 * 24, METHODS, nested=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(day["doc_id"]) == list(direct["doc_id"])
+    for m in ("sum", "count", "minimum", "maximum", "average"):
+        for a, b in zip(day[m], direct[m]):
+            assert list(a) == list(b), m
+
+
+def test_resume_skips_committed(ray_session, tier_root):
+    import ray.data
+
+    t = synth_corpus_table(40, seed=7, n_tok=100)
+    ds = ray.data.from_arrow(t)
+    res1 = build_tiers(
+        ds, tier_root, tier_specs=(("1m", 60),), num_partitions=8
+    )
+    store = TierStore(tier_root)
+    committed = store.committed_partitions("1m")
+    assert committed == set(res1["1m"])
+    info1 = store.info("1m")
+
+    # simulate a partially-failed earlier run: drop 3 partitions' commits
+    dropped = sorted(committed)[:3]
+    import os
+
+    for p in dropped:
+        shutil.rmtree(store.partition_dir("1m", p))
+        os.remove(store._manifest_row_path("1m", p))
+
+    res2 = build_tiers(
+        ds, tier_root, tier_specs=(("1m", 60),), num_partitions=8
+    )
+    # only the dropped partitions were rebuilt
+    assert sorted(res2["1m"]) == dropped
+    info2 = store.info("1m")
+    assert info2["n_rows"] == info1["n_rows"]  # no double-counting
+    assert info2["n_points"] == info1["n_points"]
+
+    # a third run is a no-op
+    res3 = build_tiers(
+        ds, tier_root, tier_specs=(("1m", 60),), num_partitions=8
+    )
+    assert res3["1m"] == []
+
+
+def test_manifest_catalog_ops(ray_session, tier_root):
+    import ray.data
+
+    t = synth_corpus_table(10, seed=9, n_tok=100)
+    build_tiers(
+        ray.data.from_arrow(t), tier_root, tier_specs=(("1m", 60),), num_partitions=2
+    )
+    store = TierStore(tier_root)
+    m = store.manifest("1m")
+    assert m.num_rows == len(store.committed_partitions("1m"))
+    assert all(m.column("done").to_pylist())
+    lineage = m.column("lineage")[0].as_py()
+    assert "engine_version" in lineage
+    store.rename_tier("1m", "minute")
+    assert store.tiers() == ["minute"]
+    store.remove_tier("minute")
+    assert store.tiers() == []
