@@ -1,0 +1,230 @@
+"""Shuffle-based windowed rollup over point streams (the general path).
+
+The row-local path (:mod:`grass_ray.stages.rollup`) assumes a key's whole
+series lives in one row.  When samples arrive as individual points —
+the ``events`` table, re-registered late data, or any exploded stream —
+the engine needs the classic distributed plan the reference never had
+(its "shuffle" was the filesystem, SURVEY §4):
+
+* **decomposable methods** (count/sum/min/max/average): two-stage
+  aggregation — vectorized *partial* aggregates per Arrow batch
+  (``pyarrow.Table.group_by``), then one small
+  ``groupby(keys).aggregate(...)`` shuffle over the partials, then a
+  finalize ``map_batches``.  The shuffle moves one row per
+  (key, window) per batch, not one per point.
+* **holistic methods** (median/quantile/mode/...):
+  ``groupby(keys).map_groups`` with a position sort inside the group,
+  feeding the same segmented reducer kernels.
+* **skew**: optional salting — hot keys fan out to ``salt`` sub-shards
+  in stage 1 and re-merge in stage 2 (north rule requires explicit
+  salting; FIXTURES F5 asserts salted == unsalted == row-local).
+
+NULL semantics match §2.1: count never NULL (0 allowed), sum of an
+all-NULL window is NULL (not 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from grass_ray.functions.reducers import reduce_segments
+
+DECOMPOSABLE = ("count", "sum", "minimum", "maximum", "average")
+
+
+def _partial_kernel(keys, window_expr, val_col, salt):
+    def kernel(batch: pa.Table) -> pa.Table:
+        batch = window_expr(batch)
+        gcols = list(keys) + ["window"]
+        if salt and salt > 1:
+            # deterministic sub-shard so stage-1 groups of a hot key split
+            if "pos" in batch.column_names:
+                h = (
+                    batch.column("pos")
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
+            else:
+                h = np.arange(batch.num_rows, dtype=np.int64)
+            batch = batch.append_column("_salt", pa.array(h % salt))
+            gcols.append("_salt")
+        v = batch.column(val_col)
+        t = batch.select([c for c in gcols if c in batch.column_names])
+        t = t.append_column("_v", v)
+        agg = t.group_by(gcols).aggregate(
+            [("_v", "count"), ("_v", "sum"), ("_v", "min"), ("_v", "max")]
+        )
+        return agg.rename_columns(
+            gcols + ["p_count", "p_sum", "p_min", "p_max"]
+        )
+
+    return kernel
+
+
+def _window_col(pos_col: str, gran: int, origin: int = 0):
+    def add(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pos = pc.cast(batch.column(pos_col), pa.int64())
+        w = pc.floor(
+            pc.divide(pc.cast(pc.add(pos, origin), pa.float64()), gran)
+        )
+        return batch.append_column("window", pc.cast(w, pa.int64()))
+
+    return add
+
+
+def rollup_points(
+    ds,
+    *,
+    key_cols,
+    pos_col: str,
+    val_col: str,
+    gran: int,
+    methods=DECOMPOSABLE,
+    salt: int = 0,
+    origin: int = 0,
+):
+    """Windowed rollup over a point stream; returns per-(key, window) rows.
+
+    Decomposable methods only (for holistic use :func:`rollup_points_holistic`).
+    """
+    bad = [m for m in methods if m not in DECOMPOSABLE]
+    if bad:
+        raise ValueError(
+            f"{bad} are holistic — use rollup_points_holistic (they shuffle "
+            "raw points, not partials)"
+        )
+    keys = list(key_cols)
+    partials = ds.map_batches(
+        _partial_kernel(keys, _window_col(pos_col, gran, origin), val_col, salt),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Max, Min, Sum
+
+    gcols = keys + ["window"]
+    if salt and salt > 1:
+        # stage 1: merge within (key, window, salt); stage 2 below re-merges.
+        stage1 = partials.groupby(gcols + ["_salt"]).aggregate(
+            Sum("p_count", alias_name="p_count"),
+            Sum("p_sum", alias_name="p_sum"),
+            Min("p_min", alias_name="p_min"),
+            Max("p_max", alias_name="p_max"),
+        )
+        partials = stage1
+    merged = partials.groupby(gcols).aggregate(
+        Sum("p_count", alias_name="n"),
+        Sum("p_sum", alias_name="s"),
+        Min("p_min", alias_name="mn"),
+        Max("p_max", alias_name="mx"),
+    )
+
+    want = list(methods)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = np.nan_to_num(n, nan=0.0)
+        s = batch.column("s").cast(pa.float64()).to_numpy(zero_copy_only=False)
+        mn = batch.column("mn").cast(pa.float64()).to_numpy(zero_copy_only=False)
+        mx = batch.column("mx").cast(pa.float64()).to_numpy(zero_copy_only=False)
+        empty = n == 0
+        s = np.where(empty, np.nan, s)
+        cols = {k: batch.column(k) for k in gcols if k != "_salt"}
+        out = {
+            "count": pa.array(n.astype(np.int64)),
+            "sum": pa.array(s, type=pa.float64(), mask=np.isnan(s)),
+            "minimum": pa.array(mn, type=pa.float64(), mask=np.isnan(mn)),
+            "maximum": pa.array(mx, type=pa.float64(), mask=np.isnan(mx)),
+        }
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = s / n
+        out["average"] = pa.array(avg, type=pa.float64(), mask=np.isnan(avg))
+        for m in want:
+            cols[m] = out[m]
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def rollup_points_holistic(
+    ds,
+    *,
+    key_cols,
+    pos_col: str,
+    val_col: str,
+    gran: int,
+    methods,
+    origin: int = 0,
+    quantiles: dict | None = None,
+):
+    """Holistic windowed rollup: raw points shuffle to their (key, window)
+    group; positions sort inside the group (ordering contract for
+    min_raster/slope etc., SURVEY §4 "Ordering assumptions")."""
+    keys = list(key_cols)
+    with_w = ds.map_batches(
+        _window_col(pos_col, gran, origin), batch_format="pyarrow"
+    )
+
+    def per_group(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            batch, sort_keys=[(pos_col, "ascending")]
+        )
+        vals = (
+            batch.column(val_col)
+            .take(order)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        res = reduce_segments(
+            vals,
+            np.array([len(vals)], dtype=np.int64),
+            methods,
+            quantiles=quantiles,
+        )
+        cols = {k: batch.column(k).slice(0, 1) for k in keys + ["window"]}
+        for m, arr in res.items():
+            mask = np.isnan(arr)
+            cols[m] = pa.array(arr, type=pa.float64(), mask=mask)
+        return pa.table(cols)
+
+    return with_w.groupby(keys + ["window"]).map_groups(
+        per_group, batch_format="pyarrow"
+    )
+
+
+def rollup_events(
+    ds,
+    *,
+    gran_seconds: int,
+    methods=DECOMPOSABLE,
+    key_cols=("event_type",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    salt: int = 0,
+):
+    """``t.rast.aggregate.ds``-style rollup of the events stream: windows
+    come from wall-clock time (epoch seconds // gran), keys from the
+    event type — the true-shuffle demo over the driver's events table."""
+
+    def add_pos(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        secs = pc.cast(
+            pc.divide(pc.cast(batch.column(ts_col), pa.int64()), 1_000_000),
+            pa.int64(),
+        )
+        return batch.append_column("pos", secs)
+
+    pts = ds.map_batches(add_pos, batch_format="pyarrow")
+    return rollup_points(
+        pts,
+        key_cols=key_cols,
+        pos_col="pos",
+        val_col=val_col,
+        gran=gran_seconds,
+        methods=methods,
+        salt=salt,
+    )

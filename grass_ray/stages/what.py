@@ -1,0 +1,70 @@
+"""Point sampling across the series — the ``t.rast.what`` analog.
+
+``temporal/t.rast.what/t.rast.what.py`` samples raster values at point
+coordinates across every registered map (parallel ``r.what``).  Here a
+"coordinate" is a token position: given query positions, return each
+key's token value at those positions.  The query set is small and
+broadcast once (``ray.put``), read inside the stage — no shuffle
+(SURVEY §2.7 row `t.rast.what`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def what(ds, positions, *, doc_ids=None, key_cols=("source", "doc_id"), tokens_col="tokens"):
+    """Sample token values at `positions` for every (or selected) doc.
+
+    Output: one row per (key, position): (key..., pos, token) —
+    the "row" layout of t.rast.what.
+    """
+    import ray
+
+    pos_arr = np.asarray(sorted(positions), dtype=np.int64)
+    ref = ray.put(
+        {
+            "positions": pos_arr,
+            "doc_ids": set(doc_ids) if doc_ids is not None else None,
+        }
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        pos = q["positions"]
+        want = q["doc_ids"]
+        col = batch.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if want is not None:
+            keep = pa.array(
+                [d in want for d in batch.column("doc_id").to_pylist()]
+            )
+            batch = batch.filter(keep)
+            col = batch.column(tokens_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            empty = {k: pa.array([], type=batch.schema.field(k).type) for k in key_cols}
+            empty["pos"] = pa.array([], type=pa.int64())
+            empty["token"] = pa.array([], type=pa.float64())
+            return pa.table(empty)
+        lens = np.asarray(col.value_lengths().to_numpy(zero_copy_only=False)).astype(np.int64)
+        flat = col.flatten().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # cross product rows x positions, masked to in-range
+        row_rep = np.repeat(np.arange(n, dtype=np.int64), len(pos))
+        pos_rep = np.tile(pos, n)
+        in_range = pos_rep < lens[row_rep]
+        row_rep, pos_rep = row_rep[in_range], pos_rep[in_range]
+        vals = flat[starts[row_rep] + pos_rep]
+        take = pa.array(row_rep)
+        cols = {k: batch.column(k).take(take) for k in key_cols}
+        cols["pos"] = pa.array(pos_rep)
+        cols["token"] = pa.array(vals, type=pa.float64(), mask=np.isnan(vals))
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=512)

@@ -1,0 +1,141 @@
+"""Grouped (shuffle) rollup path: equivalence with row-local + salting (F5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from grass_ray.sources.corpus import synth_corpus_table
+from grass_ray.stages.grouped import (
+    rollup_events,
+    rollup_points,
+    rollup_points_holistic,
+)
+from grass_ray.stages.rollup import explode_tokens, rollup_batch
+
+METHODS = ("count", "sum", "minimum", "maximum", "average")
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data
+
+    t = synth_corpus_table(40, seed=55, skew=0.3)
+    return t, ray.data.from_arrow(t)
+
+
+def test_grouped_equals_rowlocal(corpus):
+    t, ds = corpus
+    pts = explode_tokens(ds)
+    grouped = rollup_points(
+        pts,
+        key_cols=("source", "doc_id"),
+        pos_col="pos",
+        val_col="token",
+        gran=60,
+        methods=METHODS,
+    ).to_pandas()
+    local = rollup_batch(t, 60, METHODS).to_pandas()
+    g = _sorted(grouped, ["doc_id", "window"])[["doc_id", "window", *METHODS]]
+    l = _sorted(local, ["doc_id", "window"])[["doc_id", "window", *METHODS]]
+    pd.testing.assert_frame_equal(g, l, check_dtype=False)
+
+
+def test_salted_equals_unsalted(corpus):
+    t, ds = corpus
+    pts = explode_tokens(ds)
+    salted = rollup_points(
+        pts,
+        key_cols=("source", "doc_id"),
+        pos_col="pos",
+        val_col="token",
+        gran=60,
+        methods=METHODS,
+        salt=8,
+    ).to_pandas()
+    local = rollup_batch(t, 60, METHODS).to_pandas()
+    g = _sorted(salted, ["doc_id", "window"])[["doc_id", "window", *METHODS]]
+    l = _sorted(local, ["doc_id", "window"])[["doc_id", "window", *METHODS]]
+    pd.testing.assert_frame_equal(g, l, check_dtype=False)
+
+
+def test_holistic_grouped(corpus):
+    t, ds = corpus
+    pts = explode_tokens(ds)
+    hol = rollup_points_holistic(
+        pts,
+        key_cols=("source", "doc_id"),
+        pos_col="pos",
+        val_col="token",
+        gran=60,
+        methods=("median", "quart3", "mode", "diversity"),
+    ).to_pandas()
+    local = rollup_batch(
+        t, 60, ("median", "quart3", "mode", "diversity")
+    ).to_pandas()
+    cols = ["doc_id", "window", "median", "quart3", "mode", "diversity"]
+    pd.testing.assert_frame_equal(
+        _sorted(hol, ["doc_id", "window"])[cols],
+        _sorted(local, ["doc_id", "window"])[cols],
+        check_dtype=False,
+    )
+
+
+def test_rollup_events_vs_duckdb(ray_session):
+    import duckdb
+
+    import ray.data
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ds = ray.data.read_parquet(path)
+    out = rollup_events(
+        ds, gran_seconds=3600, methods=("count", "sum", "average")
+    ).to_pandas()
+    want = (
+        duckdb.connect()
+        .execute(
+            f"""
+        SELECT event_type, epoch_us(ts) // 3600000000 AS "window",
+               CAST(count(value) AS BIGINT) AS count,
+               CAST(sum(value) AS DOUBLE) AS sum,
+               avg(value) AS average
+        FROM read_parquet('{path}') GROUP BY 1, 2
+        """
+        )
+        .df()
+    )
+    g = _sorted(out, ["event_type", "window"]).reset_index(drop=True)
+    w = _sorted(want, ["event_type", "window"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["count"] == w["count"]).all()
+    assert np.allclose(g["sum"], w["sum"])
+    assert np.allclose(g["average"], w["average"])
+
+
+def test_all_null_window_grouped(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a"],
+            "pos": [0, 1, 5],
+            "v": pa.array([None, None, 2.0], type=pa.float64()),
+        }
+    )
+    out = rollup_points(
+        ray.data.from_arrow(t),
+        key_cols=("k",),
+        pos_col="pos",
+        val_col="v",
+        gran=4,
+        methods=METHODS,
+    ).to_pandas()
+    out = _sorted(out, ["window"])
+    assert list(out["count"]) == [0, 1]
+    assert pd.isna(out["sum"][0]) and out["sum"][1] == 2.0

@@ -1,0 +1,165 @@
+"""univar / extract+mapcalc / what / accumulate / tier_arith operators."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from grass_ray.sources.corpus import synth_corpus_table
+from grass_ray.stages.accumulate import accdetect_batch, accumulate_batch
+from grass_ray.stages.extract import apply_mapcalc, extract, mapcalc_expr, tier_arith
+from grass_ray.stages.rollup import rollup, rollup_batch
+from grass_ray.stages.univar import univar_batch
+from grass_ray.stages.what import what
+
+
+def corpus_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[2] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[2]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+
+
+def test_univar_columns_and_values():
+    t = corpus_table([("d1", "s", [1, 2, 3, 4]), ("d2", "s", [None, 5])])
+    out = univar_batch(t, extended=True).to_pandas().set_index("doc_id")
+    r = out.loc["d1"]
+    assert r["n"] == 4 and r["null_cells"] == 0
+    assert r["min"] == 1 and r["max"] == 4 and r["range"] == 3
+    assert r["mean"] == 2.5 and r["sum"] == 10
+    assert r["variance"] == pytest.approx(1.25)
+    assert r["stddev"] == pytest.approx(math.sqrt(1.25))
+    assert r["coeff_var"] == pytest.approx(100 * math.sqrt(1.25) / 2.5)
+    assert r["median"] == 2.5 and r["quart1"] == 1.75
+    r2 = out.loc["d2"]
+    assert r2["n"] == 1 and r2["null_cells"] == 1 and r2["sum"] == 5
+
+
+def test_univar_negative_abs():
+    # mean_of_abs / sum_abs use |v| (r.univar's mean_of_abs)
+    t = pa.table(
+        {
+            "doc_id": ["d"],
+            "tokens": pa.array([[-2, 2, -4]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3], type=pa.int32()),
+            "source": ["s"],
+        }
+    )
+    out = univar_batch(t).to_pandas().iloc[0]
+    assert out["mean"] == pytest.approx(-4 / 3)
+    assert out["mean_of_abs"] == pytest.approx(8 / 3)
+    assert out["sum_abs"] == 8.0
+
+
+def test_mapcalc_exprs():
+    fn = mapcalc_expr("x * 2 + 1")
+    assert list(fn(np.array([1.0, 2.0]))) == [3.0, 5.0]
+    fn = mapcalc_expr("sqrt(abs(x))")
+    assert list(fn(np.array([-4.0]))) == [2.0]
+    with pytest.raises(ValueError):
+        mapcalc_expr("__import__('os')")
+    with pytest.raises(ValueError):
+        mapcalc_expr("y + 1")
+
+
+def test_extract_where_and_expr(ray_session):
+    import ray.data
+
+    t = synth_corpus_table(20, seed=3)
+    ds = ray.data.from_arrow(t)
+    out = extract(
+        ds,
+        where=lambda b: pc.greater(b.column("n_tok"), 100),
+        expr="x * 2",
+    )
+    df = out.to_pandas()
+    assert (df["n_tok"] > 100).all()
+    # doubled tokens, nulls preserved
+    orig = t.to_pydict()
+    want = {
+        d: [None if v is None else 2.0 * v for v in toks]
+        for d, toks, n in zip(orig["doc_id"], orig["tokens"], orig["n_tok"])
+        if n > 100
+    }
+    for _, row in df.iterrows():
+        assert list(row["tokens"]) == pytest.approx(want[row["doc_id"]]) or [
+            (a is None and b is None) or a == b
+            for a, b in zip(list(row["tokens"]), want[row["doc_id"]])
+        ]
+
+
+def test_mapcalc_if(ray_session):
+    import ray.data
+
+    t = corpus_table([("d1", "s", [1, 5, None, 9])])
+    out = apply_mapcalc(
+        ray.data.from_arrow(t), "if(x > 4, x, 0)"
+    ).to_pandas()
+    vals = list(out["tokens"][0])
+    assert vals[0] == 0.0 and vals[1] == 5.0 and vals[3] == 9.0
+    assert vals[2] is None or (isinstance(vals[2], float) and math.isnan(vals[2]))
+
+
+def test_what_lookup(ray_session):
+    import ray.data
+
+    t = corpus_table(
+        [("d1", "s", [10, 11, 12]), ("d2", "s", [20, None])]
+    )
+    out = (
+        what(ray.data.from_arrow(t), positions=[0, 1, 5], doc_ids=["d1", "d2"])
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    # pos 5 out of range for both docs -> dropped
+    assert list(out["doc_id"]) == ["d1", "d1", "d2", "d2"]
+    assert list(out["pos"]) == [0, 1, 0, 1]
+    assert out["token"][0] == 10.0 and out["token"][2] == 20.0
+    assert pd.isna(out["token"][3])
+
+
+def test_accumulate_gdd():
+    t = corpus_table([("d1", "s", [10, 20, 5, None, 15])])
+    nested = rollup_batch(t, 1, ("average", "maximum"), nested=True)
+    out = accumulate_batch(nested, method="gdd", lower=8.0).to_pydict()
+    # contributions: 2, 12, 0, NULL(0), 7 -> running 2, 14, 14, NULL, 21
+    assert out["accum"] == [[2.0, 14.0, 14.0, None, 21.0]]
+    out2 = accumulate_batch(nested, method="mean", lower=0.0).to_pydict()
+    assert out2["accum"] == [[10.0, 30.0, 35.0, None, 50.0]]
+    out3 = accumulate_batch(
+        nested, method="bedd", lower=8.0, upper=18.0
+    ).to_pydict()
+    # clamped avg: 10,18,5,NULL,15 -> contrib 2,10,0,0,7 -> 2,12,12,NULL,19
+    assert out3["accum"] == [[2.0, 12.0, 12.0, None, 19.0]]
+
+
+def test_accdetect():
+    t = corpus_table([("d1", "s", [10, 20, 5, 15]), ("d2", "s", [1, 1])])
+    nested = rollup_batch(t, 1, ("average", "maximum"), nested=True)
+    acc = accumulate_batch(nested, method="mean")
+    out = accdetect_batch(acc, range_lo=25.0, range_hi=40.0).to_pydict()
+    # d1 accum: 10,30,35,50 -> start at window 1 (30), end at window 3 (50)
+    assert out["occurrence_start"] == [1, -1]
+    assert out["occurrence_end"] == [3, -1]
+
+
+def test_tier_arith(ray_session):
+    import ray.data
+
+    t = synth_corpus_table(10, seed=4)
+    a = rollup(ray.data.from_arrow(t), 60, ("count", "sum", "minimum", "maximum", "average"), nested=True)
+    b = rollup(ray.data.from_arrow(t), 60, ("count", "sum", "minimum", "maximum", "average"), nested=True)
+    diff = tier_arith(a, b, "-").to_pandas()
+    assert len(diff) == 10
+    for vals in diff["average"]:
+        assert all(v == 0.0 or v is None or (isinstance(v, float) and math.isnan(v)) for v in vals)
