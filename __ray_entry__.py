@@ -1,16 +1,20 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the grass_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship resumable tier-cascade pipeline on
+sf0.001.  ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query, derived from the
+same deterministic corpus derivation (`grass_ray.sources.corpus`).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float-compare contract: any column whose value depends on float
+summation order is rounded on BOTH sides with the identical formula
+``floor(x*1e6 + 0.5)/1e6`` so the driver's value hash matches.
+Integer-derived aggregates (counts, integer-token sums, means, HF-7
+quantiles over ints, linear interpolation at exact halves) match
+bit-for-bit without rounding.
 """
 
 from __future__ import annotations
@@ -18,27 +22,609 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+TIER_METHODS = ("count", "sum", "minimum", "maximum", "average")
+_RENAME = {
+    "count": "cnt",
+    "sum": "sum_tok",
+    "minimum": "min_tok",
+    "maximum": "max_tok",
+    "average": "avg_tok",
+}
+
+
+def _corpus(sf_dir: str):
+    from grass_ray.sources.corpus import corpus_from_documents
+
+    return corpus_from_documents(sf_dir)
+
+
+def _round6_np(x: np.ndarray) -> np.ndarray:
+    with np.errstate(invalid="ignore"):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _round6_col(t: pa.Table, col: str) -> pa.Table:
+    x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    r = _round6_np(x)
+    return t.set_column(
+        t.column_names.index(col),
+        col,
+        pa.array(r, type=pa.float64(), mask=np.isnan(r)),
+    )
+
+
+_ROUND6_SQL = "floor(({}) * 1e6 + 0.5) / 1e6"
+
+
+def _tok_cte() -> str:
+    from grass_ray.sources.corpus import corpus_sql
+
+    return corpus_sql()
+
+
+def _rename(t: pa.Table, mapping: dict) -> pa.Table:
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def _q_rollup(sf_dir: str, gran: int) -> pa.Table:
+    from grass_ray.stages.rollup import rollup
+
+    out = rollup(_corpus(sf_dir), gran, TIER_METHODS)
+    return _rename(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), _RENAME)
+
+
+def _q_cascade_1h(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.cascade import cascade, explode_nested
+    from grass_ray.stages.rollup import rollup
+
+    fine = rollup(_corpus(sf_dir), 60, TIER_METHODS, nested=True)
+    coarse = cascade(fine, 60)
+    pts = explode_nested(coarse)
+    t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    t = t.drop_columns([c for c in ("gran", "range") if c in t.column_names])
+    return _rename(t, _RENAME)
+
+
+def _q_series(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.rollup import series_collapse
+
+    out = series_collapse(_corpus(sf_dir), TIER_METHODS)
+    return _rename(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), _RENAME)
+
+
+def _q_series_holistic(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.rollup import series_collapse
+
+    out = series_collapse(
+        _corpus(sf_dir), ("median", "quart1", "perc90", "diversity", "stddev")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _rename(
+        t,
+        {
+            "median": "med_tok",
+            "quart1": "q1_tok",
+            "perc90": "p90_tok",
+            "diversity": "n_distinct",
+            "stddev": "sd_tok",
+        },
+    )
+    for c in ("q1_tok", "p90_tok", "sd_tok"):
+        t = _round6_col(t, c)
+    return t
+
+
+def _q_univar(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.univar import univar
+
+    out = univar(_corpus(sf_dir))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _rename(
+        t,
+        {
+            "n": "n",
+            "null_cells": "nulls",
+            "min": "vmin",
+            "max": "vmax",
+            "range": "vrange",
+            "mean": "mean_tok",
+            "mean_of_abs": "mean_abs",
+            "stddev": "sd_tok",
+            "variance": "var_tok",
+            "coeff_var": "cv_tok",
+            "sum": "sum_tok",
+            "sum_abs": "sum_abs",
+        },
+    )
+    for c in ("sd_tok", "var_tok", "cv_tok"):
+        t = _round6_col(t, c)
+    return t
+
+
+def _q_events_1h(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.grouped import rollup_events
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = rollup_events(
+        ds, gran_seconds=3600, methods=("count", "sum", "minimum", "maximum", "average")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _rename(
+        t,
+        {"count": "cnt", "sum": "sum_v", "minimum": "min_v", "maximum": "max_v", "average": "avg_v"},
+    )
+    for c in ("sum_v", "avg_v"):
+        t = _round6_col(t, c)
+    return t
+
+
+def _q_events_salted(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.grouped import rollup_events
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = rollup_events(
+        ds, gran_seconds=3600, methods=("count", "sum"), salt=8
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _rename(t, {"count": "cnt", "sum": "sum_v"})
+    return _round6_col(t, "sum_v")
+
+
+_WHAT_POSITIONS = (0, 17, 63)
+
+
+def _q_what(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.what import what
+
+    out = what(_corpus(sf_dir), positions=list(_WHAT_POSITIONS))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_extract_mapcalc(sf_dir: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.extract import extract
+    from grass_ray.stages.rollup import rollup
+
+    sel = extract(
+        _corpus(sf_dir),
+        where=lambda b: pc.greater(b.column("n_tok"), 200),
+        expr="x * 2 + 1",
+    )
+    out = rollup(sel, 60, ("count", "sum"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _rename(t, {"count": "cnt", "sum": "sum_tok"})
+
+
+def _drop_mod3(nested: pa.Table | Any):
+    """Deterministically drop windows with w % 3 == 1 from a nested tier
+    (creates reproducible gaps for the gap-fill oracle)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        d = batch.to_pydict()
+        windows = []
+        avgs = []
+        for ws, avs in zip(d["windows"], d["average"]):
+            keep = [(w, a) for w, a in zip(ws, avs) if w % 3 != 1]
+            windows.append([w for w, _ in keep])
+            avgs.append([a for _, a in keep])
+        cols = dict(zip(batch.column_names, batch.columns))
+        cols["windows"] = pa.array(windows, type=pa.list_(pa.int64()))
+        cols["average"] = pa.array(avgs, type=pa.list_(pa.float64()))
+        return pa.table(cols)
+
+    return nested.map_batches(kernel, batch_format="pyarrow")
+
+
+def _q_gapfill(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.stages.gapfill import gapfill
+    from grass_ray.stages.rollup import rollup
+
+    nested = rollup(_corpus(sf_dir), 60, TIER_METHODS, nested=True)
+    sparse = _drop_mod3(nested)
+    filled = gapfill(sparse, value_cols=("average",))
+    pts = explode_nested(filled, value_cols=("average", "is_filled"))
+    t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    t = t.drop_columns([c for c in ("gran",) if c in t.column_names])
+    return _rename(t, {"average": "avg_fill"})
+
+
+def _q_gaps(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.gapfill import find_gaps
+    from grass_ray.stages.rollup import rollup
+
+    nested = rollup(_corpus(sf_dir), 60, TIER_METHODS, nested=True)
+    sparse = _drop_mod3(nested)
+    out = find_gaps(sparse)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    keep = ["source", "doc_id", "gap_start", "gap_end", "n_missing"]
+    return t.select([c for c in keep if c in t.column_names])
+
+
+def _q_accum(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.accumulate import accumulate
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.stages.rollup import rollup
+
+    nested = rollup(_corpus(sf_dir), 60, ("average", "maximum"), nested=True)
+    acc = accumulate(nested, method="mean")
+    pts = explode_nested(acc, value_cols=("accum",))
+    t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    t = t.select(["source", "doc_id", "window", "accum"])
+    return _round6_col(t, "accum")
+
+
+def _q_dedup_exact(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(ds)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "source", "n_chars"])
+
+
+def _q_token_counts(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.text_stage import analyze_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = analyze_text(ds, features=("tokens",))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "n_tok_ws"])
+
+
+# ---- rows-only (non-SQL-expressible) --------------------------------------
+
+
+def _q_codec_roundtrip(sf_dir: str) -> pa.Table:
+    """Build tier 1m with Gorilla encode, read back decoded, return points
+    — the driver's row/schema check covers the lossless contract."""
+    import tempfile
+
+    from grass_ray.pipelines.tiers import build_tiers, read_tier
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.state.manifest import TierStore
+
+    with tempfile.TemporaryDirectory(prefix="grassray_q_") as root:
+        build_tiers(
+            _corpus(sf_dir), root, tier_specs=(("1m", 60),), num_partitions=8
+        )
+        store = TierStore(root)
+        pts = explode_nested(
+            read_tier(store, "1m"), value_cols=("sum", "count")
+        )
+        t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    keep = ["source", "doc_id", "window", "count", "sum"]
+    return _rename(
+        t.select([c for c in keep if c in t.column_names]),
+        {"count": "cnt", "sum": "sum_tok"},
+    )
+
+
+def _q_minhash(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    kept, _pairs = minhash_dedup(ds, threshold=0.8)
+    t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "source"])
+
+
+def _q_simhash(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.dedup import simhash_candidates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return pa.Table.from_pandas(
+        simhash_candidates(ds, max_hamming=3).to_pandas(), preserve_index=False
+    )
+
+
+def _q_ann(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from grass_ray.stages.similarity import ann_topk
+
+    path = f"{sf_dir}/embeddings.parquet"
+    head = pq.read_table(path).slice(0, 3)
+    q = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()]
+    )
+    ds = ray.data.read_parquet(path)
+    return ann_topk(ds, q, k=10)
+
+
+def _q_ivf(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from grass_ray.stages.similarity import ivf_topk
+
+    path = f"{sf_dir}/embeddings.parquet"
+    head = pq.read_table(path).slice(0, 3)
+    q = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()]
+    )
+    ds = ray.data.read_parquet(path)
+    return ivf_topk(ds, q, k=10, n_clusters=16, nprobe=6)
+
+
+def _q_langid_quality(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.text_stage import analyze_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = analyze_text(ds)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(
+        ["doc_id", "lang_pred", "quality_score", "fingerprint", "n_tok_bpe"]
+    )
+
+
+def _q_multimodal(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.multimodal import decode_pipeline, synth_media
+
+    t = synth_media(64, payload_bytes=4096)
+    out = decode_pipeline(ray.data.from_arrow(t), fake=True, feature_dim=32)
+    df = out.to_pandas()
+    return pa.table(
+        {
+            "media_id": pa.array(df["media_id"]),
+            "n_pixels": pa.array([len(p) for p in df["pixels"]], type=pa.int64()),
+            "feat_dim": pa.array([len(f) for f in df["features"]], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver API
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: resumable 1m→1h→1d tier cascade with Gorilla codec on
+    sf0.001; returns the decoded 1d tier as points."""
+    import tempfile
+
+    from grass_ray.pipelines.tiers import build_tiers, read_tier
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.state.manifest import TierStore
+
+    root = tempfile.mkdtemp(prefix="grassray_entry_")
+    build_tiers(_corpus("/root/testdata/sf0.001"), root, num_partitions=8)
+    store = TierStore(root)
+    pts = explode_nested(read_tier(store, "1d"))
+    return pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": lambda sf: _q_rollup(sf, 60),
+        "rollup_1h": lambda sf: _q_rollup(sf, 3600),
+        "cascade_1h": _q_cascade_1h,
+        "series_stats": _q_series,
+        "series_holistic": _q_series_holistic,
+        "univar": _q_univar,
+        "events_1h": _q_events_1h,
+        "events_salted": _q_events_salted,
+        "what_lookup": _q_what,
+        "extract_mapcalc": _q_extract_mapcalc,
+        "gapfill_linear": _q_gapfill,
+        "gap_list": _q_gaps,
+        "accumulate_running": _q_accum,
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        # rows-only checks (non-SQL-expressible)
+        "codec_roundtrip": _q_codec_roundtrip,
+        "minhash_dedup": _q_minhash,
+        "simhash_candidates": _q_simhash,
+        "ann_topk": _q_ann,
+        "ivf_topk": _q_ivf,
+        "langid_quality": _q_langid_quality,
+        "multimodal_features": _q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tok = _tok_cte()
+    r6 = _ROUND6_SQL
+
+    def rollup_sql(gran: int) -> str:
+        return f"""
+        WITH tok AS ({tok})
+        SELECT source, doc_id, pos // {gran} AS "window",
+               CAST(count(token) AS BIGINT) AS cnt,
+               CAST(sum(token) AS DOUBLE) AS sum_tok,
+               CAST(min(token) AS DOUBLE) AS min_tok,
+               CAST(max(token) AS DOUBLE) AS max_tok,
+               avg(token) AS avg_tok
+        FROM tok GROUP BY 1, 2, 3
+        """
+
+    gap_base = f"""
+        WITH tok AS ({tok}),
+        r AS (
+            SELECT source, doc_id, pos // 60 AS w, avg(token) AS a
+            FROM tok GROUP BY 1, 2, 3
+        ),
+        kept AS (SELECT * FROM r WHERE w % 3 <> 1)
     """
-    return {}
+
+    return {
+        "rollup_1m": rollup_sql(60),
+        "rollup_1h": rollup_sql(3600),
+        "cascade_1h": rollup_sql(3600),
+        "series_stats": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id,
+                   CAST(count(token) AS BIGINT) AS cnt,
+                   CAST(sum(token) AS DOUBLE) AS sum_tok,
+                   CAST(min(token) AS DOUBLE) AS min_tok,
+                   CAST(max(token) AS DOUBLE) AS max_tok,
+                   avg(token) AS avg_tok
+            FROM tok GROUP BY 1, 2
+        """,
+        "series_holistic": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id,
+                   median(token) AS med_tok,
+                   {r6.format("quantile_cont(token, 0.25)")} AS q1_tok,
+                   {r6.format("quantile_cont(token, 0.90)")} AS p90_tok,
+                   CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+                   {r6.format("stddev_pop(token)")} AS sd_tok
+            FROM tok GROUP BY 1, 2
+        """,
+        "univar": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id,
+                   CAST(count(token) AS BIGINT) AS n,
+                   CAST(count(*) - count(token) AS BIGINT) AS nulls,
+                   CAST(min(token) AS DOUBLE) AS vmin,
+                   CAST(max(token) AS DOUBLE) AS vmax,
+                   CAST(max(token) - min(token) AS DOUBLE) AS vrange,
+                   avg(token) AS mean_tok,
+                   avg(abs(token)) AS mean_abs,
+                   {r6.format("stddev_pop(token)")} AS sd_tok,
+                   {r6.format("var_pop(token)")} AS var_tok,
+                   {r6.format("100 * stddev_pop(token) / avg(token)")} AS cv_tok,
+                   CAST(sum(token) AS DOUBLE) AS sum_tok,
+                   CAST(sum(abs(token)) AS DOUBLE) AS sum_abs
+            FROM tok GROUP BY 1, 2
+        """,
+        "events_1h": f"""
+            SELECT event_type, epoch_us(ts) // 3600000000 AS "window",
+                   CAST(count(value) AS BIGINT) AS cnt,
+                   {r6.format("sum(value)")} AS sum_v,
+                   CAST(min(value) AS DOUBLE) AS min_v,
+                   CAST(max(value) AS DOUBLE) AS max_v,
+                   {r6.format("avg(value)")} AS avg_v
+            FROM events GROUP BY 1, 2
+        """,
+        "events_salted": f"""
+            SELECT event_type, epoch_us(ts) // 3600000000 AS "window",
+                   CAST(count(value) AS BIGINT) AS cnt,
+                   {r6.format("sum(value)")} AS sum_v
+            FROM events GROUP BY 1, 2
+        """,
+        "what_lookup": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos, CAST(token AS DOUBLE) AS token
+            FROM tok WHERE pos IN {_WHAT_POSITIONS}
+        """,
+        "extract_mapcalc": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos // 60 AS "window",
+                   CAST(count(token) AS BIGINT) AS cnt,
+                   CAST(sum(token * 2 + 1) AS DOUBLE) AS sum_tok
+            FROM tok
+            WHERE doc_id IN (
+                SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                FROM documents WHERE n_chars > 200
+            )
+            GROUP BY 1, 2, 3
+        """,
+        "gapfill_linear": gap_base
+        + """
+        , bounds AS (
+            SELECT source, doc_id, min(w) AS wmin, max(w) AS wmax
+            FROM kept GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT b.source, b.doc_id, u.w
+            FROM bounds b CROSS JOIN UNNEST(range(b.wmin, b.wmax + 1)) AS u(w)
+        ),
+        joined AS (
+            SELECT d.source, d.doc_id, d.w, k.a,
+                   k.a IS NULL AS missing
+            FROM dense d LEFT JOIN kept k
+              ON d.source = k.source AND d.doc_id = k.doc_id AND d.w = k.w
+        ),
+        ctx AS (
+            SELECT *,
+                last_value(a IGNORE NULLS) OVER
+                    (PARTITION BY source, doc_id ORDER BY w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pa,
+                last_value(CASE WHEN a IS NOT NULL THEN w END IGNORE NULLS) OVER
+                    (PARTITION BY source, doc_id ORDER BY w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pw,
+                first_value(a IGNORE NULLS) OVER
+                    (PARTITION BY source, doc_id ORDER BY w
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS na,
+                first_value(CASE WHEN a IS NOT NULL THEN w END IGNORE NULLS) OVER
+                    (PARTITION BY source, doc_id ORDER BY w
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nw
+            FROM joined
+        )
+        SELECT source, doc_id, w AS "window",
+               CASE WHEN missing
+                    THEN pa + (na - pa) * (w - pw) / (nw - pw)
+                    ELSE a END AS avg_fill,
+               missing AS is_filled
+        FROM ctx
+        """,
+        "gap_list": gap_base
+        + """
+        , nxt AS (
+            SELECT source, doc_id, w,
+                   lead(w) OVER (PARTITION BY source, doc_id ORDER BY w) AS w2
+            FROM kept
+        )
+        SELECT source, doc_id,
+               w + 1 AS gap_start, w2 - 1 AS gap_end,
+               w2 - w - 1 AS n_missing
+        FROM nxt WHERE w2 - w > 1
+        """,
+        "accumulate_running": f"""
+            WITH tok AS ({tok}),
+            r AS (
+                SELECT source, doc_id, pos // 60 AS w, avg(token) AS a
+                FROM tok GROUP BY 1, 2, 3
+            ),
+            c AS (
+                SELECT source, doc_id, w AS "window",
+                       sum(COALESCE(a, 0)) OVER
+                           (PARTITION BY source, doc_id ORDER BY w) AS acc,
+                       a IS NULL AS was_null
+                FROM r
+            )
+            SELECT source, doc_id, "window",
+                   CASE WHEN was_null THEN NULL
+                        ELSE {r6.format("acc")} END AS accum
+            FROM c
+        """,
+        "dedup_exact": """
+            SELECT doc_id, source, n_chars FROM documents d
+            WHERE doc_id = (
+                SELECT min(doc_id) FROM documents d2 WHERE d2.text = d.text
+            )
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tok_ws
+            FROM documents
+        """,
+    }

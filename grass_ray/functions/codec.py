@@ -36,6 +36,10 @@ __all__ = [
 ]
 
 
+#: big-endian bit-position shifts for fast field reads in the decoders
+_SHIFTS = np.arange(63, -1, -1, dtype=np.uint64)
+
+
 def _assemble_bits(lengths: np.ndarray, payloads: np.ndarray) -> bytes:
     """Concatenate variable-length big-endian bit fields -> packed bytes.
 
@@ -129,11 +133,11 @@ def decode_floats(data: bytes) -> np.ndarray:
     if n == 0:
         return out.view(np.float64)
     bits = np.unpackbits(np.frombuffer(data[4:], dtype=np.uint8)).astype(np.uint64)
+    _SH = _SHIFTS
 
     def read(pos, ln):
-        v = 0
-        for b in bits[pos : pos + ln]:
-            v = (v << 1) | int(b)
+        seg = bits[pos : pos + ln]
+        v = int((seg << _SH[64 - ln :]).sum())
         return v, pos + ln
 
     pos = 0
@@ -218,12 +222,12 @@ def decode_windows(data: bytes) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
-    bits = np.unpackbits(np.frombuffer(data[4:], dtype=np.uint8))
+    bits = np.unpackbits(np.frombuffer(data[4:], dtype=np.uint8)).astype(np.uint64)
+    _SH = _SHIFTS
 
     def read(pos, ln):
-        v = 0
-        for b in bits[pos : pos + ln]:
-            v = (v << 1) | int(b)
+        seg = bits[pos : pos + ln]
+        v = int((seg << _SH[64 - ln :]).sum())
         return v, pos + ln
 
     pos = 0
@@ -256,3 +260,170 @@ def decode_windows(data: bytes) -> np.ndarray:
                 d += int(np.uint64(p).astype(np.int64))
         out[i] = out[i - 1] + d
     return out
+
+
+# ---------------------------------------------------------------------------
+# batched (multi-row) encode — one vectorized pass over a whole column
+# ---------------------------------------------------------------------------
+
+
+def _split_rows(buf: bytes, lengths: np.ndarray, row_bits: np.ndarray) -> list[bytes]:
+    """Cut the shared padded bitstream into per-row blobs with n headers."""
+    byte_off = np.concatenate([[0], np.cumsum(row_bits // 8)])
+    out = []
+    for i, n in enumerate(lengths):
+        head = np.uint32(n).tobytes()
+        out.append(head + buf[int(byte_off[i]) : int(byte_off[i + 1])])
+    return out
+
+
+def encode_floats_batched(flat: np.ndarray, lengths: np.ndarray) -> list[bytes]:
+    """Encode many rows at once: same per-row format as
+    :func:`encode_floats` (each row's stream padded to a byte boundary),
+    but every numpy pass runs over the whole flat column — per-row
+    Python overhead is one byte-slice, nothing else."""
+    flat = np.ascontiguousarray(flat, dtype=np.float64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(flat)
+    nrows = len(lengths)
+    if n == 0:
+        return [encode_floats(flat[0:0]) for _ in range(nrows)]
+    starts = np.zeros(nrows, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    is_first = np.zeros(n, dtype=bool)
+    is_first[starts[lengths > 0]] = True
+    u = flat.view(np.uint64)
+    xor = np.empty(n, dtype=np.uint64)
+    xor[0] = 0
+    xor[1:] = u[1:] ^ u[:-1]
+    xor[is_first] = 0  # row-first values are stored raw
+    zero = (xor == 0) & ~is_first
+    nz = ~zero & ~is_first
+
+    lz = np.zeros(n, dtype=np.uint64)
+    tz = np.zeros(n, dtype=np.uint64)
+    sig = np.ones(n, dtype=np.uint64)
+    if nz.any():
+        x = xor[nz]
+
+        def _bitlen(a):
+            bl = np.zeros(len(a), dtype=np.int64)
+            tmp = a.copy()
+            for s in (32, 16, 8, 4, 2, 1):
+                big = tmp >= (np.uint64(1) << np.uint64(s))
+                bl[big] += s
+                tmp[big] >>= np.uint64(s)
+            return bl + 1
+
+        bitlen = _bitlen(x)
+        lz_nz = np.minimum(64 - bitlen, 31)
+        low = x & (np.uint64(0) - x)
+        tz_nz = _bitlen(low) - 1
+        sig_nz = 64 - lz_nz - tz_nz
+        lz[nz] = lz_nz.astype(np.uint64)
+        tz[nz] = tz_nz.astype(np.uint64)
+        sig[nz] = sig_nz.astype(np.uint64)
+
+    mask_sig = np.where(
+        sig >= 64, np.uint64(0xFFFFFFFFFFFFFFFF), (np.uint64(1) << sig) - np.uint64(1)
+    )
+    # 3 field slots per element + 1 pad slot per row, in stream order
+    slot_of = 3 * np.arange(n, dtype=np.int64) + np.repeat(
+        np.arange(nrows, dtype=np.int64), lengths
+    )
+    total_slots = 3 * n + nrows
+    all_len = np.zeros(total_slots, dtype=np.int64)
+    all_val = np.zeros(total_slots, dtype=np.uint64)
+    # slot 0: ctrl (1 bit) or raw-64 for row firsts
+    all_len[slot_of] = np.where(is_first, 64, 1)
+    all_val[slot_of] = np.where(is_first, u, nz.astype(np.uint64))
+    # slot 1: header (11 bits when nz)
+    all_len[slot_of + 1] = np.where(nz, 11, 0)
+    all_val[slot_of + 1] = np.where(
+        nz, (lz << np.uint64(6)) | (sig - np.uint64(1)), 0
+    )
+    # slot 2: payload (sig bits when nz)
+    all_len[slot_of + 2] = np.where(nz, sig.astype(np.int64), 0)
+    all_val[slot_of + 2] = np.where(nz, (xor >> tz) & mask_sig, 0)
+    # pad slots sit after each row's last element's fields
+    pad_slot = 3 * (starts + lengths) + np.arange(nrows, dtype=np.int64)
+    # bits per row before padding: reduceat over element bit totals
+    elem_bits = (
+        all_len[slot_of] + all_len[slot_of + 1] + all_len[slot_of + 2]
+    )
+    row_bits = np.zeros(nrows, dtype=np.int64)
+    has = lengths > 0
+    if has.any():
+        row_bits[has] = np.add.reduceat(elem_bits, starts[has])
+    pad = (-row_bits) % 8
+    all_len[pad_slot] = pad
+    row_bits_padded = row_bits + pad
+    keep = all_len > 0
+    buf = _assemble_bits(all_len[keep], all_val[keep])
+    return _split_rows(buf, lengths, row_bits_padded)
+
+
+def encode_windows_batched(flat: np.ndarray, lengths: np.ndarray) -> list[bytes]:
+    """Batched delta-of-delta encode (per-row format of
+    :func:`encode_windows`, byte-aligned per row)."""
+    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(flat)
+    nrows = len(lengths)
+    if n == 0:
+        return [encode_windows(flat[0:0]) for _ in range(nrows)]
+    starts = np.zeros(nrows, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    pos_in_row = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
+    d = np.zeros(n, dtype=np.int64)
+    d[1:] = flat[1:] - flat[:-1]
+    dod = np.zeros(n, dtype=np.int64)
+    dod[1:] = d[1:] - d[:-1]
+    ctrl_len = np.zeros(n, dtype=np.int64)
+    ctrl_val = np.zeros(n, dtype=np.uint64)
+    pay_len = np.zeros(n, dtype=np.int64)
+    pay_val = np.zeros(n, dtype=np.uint64)
+    first = pos_in_row == 0
+    second = pos_in_row == 1
+    rest = ~first & ~second
+    # first: raw 64-bit window; second: raw 64-bit delta
+    ctrl_len[first] = 64
+    ctrl_val[first] = flat[first].astype(np.uint64)
+    ctrl_len[second] = 64
+    ctrl_val[second] = d[second].astype(np.uint64)
+    done = rest & (dod == 0)
+    ctrl_len[done] = 1
+    ctrl_val[done] = 0
+    rem = rest & ~done
+    for hi, cl, cv, pl in _DOD_BUCKETS:
+        sel = rem & (dod >= -(hi - 1)) & (dod <= hi)
+        ctrl_len[sel] = cl
+        ctrl_val[sel] = cv
+        pay_len[sel] = pl
+        pay_val[sel] = (dod[sel] + (hi - 1)).astype(np.uint64)
+        rem &= ~sel
+    ctrl_len[rem] = 4
+    ctrl_val[rem] = 0b1111
+    pay_len[rem] = 64
+    pay_val[rem] = dod[rem].astype(np.uint64)
+    slot_of = 2 * np.arange(n, dtype=np.int64) + np.repeat(
+        np.arange(nrows, dtype=np.int64), lengths
+    )
+    total_slots = 2 * n + nrows
+    all_len = np.zeros(total_slots, dtype=np.int64)
+    all_val = np.zeros(total_slots, dtype=np.uint64)
+    all_len[slot_of] = ctrl_len
+    all_val[slot_of] = ctrl_val
+    all_len[slot_of + 1] = pay_len
+    all_val[slot_of + 1] = pay_val
+    pad_slot = 2 * (starts + lengths) + np.arange(nrows, dtype=np.int64)
+    elem_bits = ctrl_len + pay_len
+    row_bits = np.zeros(nrows, dtype=np.int64)
+    has = lengths > 0
+    if has.any():
+        row_bits[has] = np.add.reduceat(elem_bits, starts[has])
+    pad = (-row_bits) % 8
+    all_len[pad_slot] = pad
+    keep = all_len > 0
+    buf = _assemble_bits(all_len[keep], all_val[keep])
+    return _split_rows(buf, lengths, row_bits + pad)

@@ -29,7 +29,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from grass_ray.stages.cascade import cascade
+from grass_ray.stages.cascade import cascade, cascade_batch
 from grass_ray.stages.codec_stage import DecodeTier, EncodeTier
 from grass_ray.stages.rollup import rollup
 from grass_ray.state.manifest import TierStore
@@ -193,6 +193,119 @@ def _write_and_commit(
     return committed
 
 
+def _row_stats_kernel():
+    """Extract with_row_stats' batch kernel for inline (non-Dataset) use."""
+    holder = {}
+
+    class _Fake:
+        def map_batches(self, fn, **kw):
+            holder["fn"] = fn
+            return self
+
+    with_row_stats(_Fake())
+    return holder["fn"]
+
+
+def build_tiers_onepass(
+    corpus_ds,
+    out_root: str,
+    *,
+    tier_specs=(("1m", 60), ("1h", 60), ("1d", 24)),
+    methods=TIER_METHODS,
+    num_partitions: int = 32,
+    resume: bool = True,
+    lineage_inputs: str = "corpus",
+):
+    """Single-pass cascade: every corpus batch emits ALL tiers' encoded
+    rows (rollup → cascade → cascade, all row-local) tagged with a
+    ``tier`` column; one partitioned write, per-(tier, partition)
+    manifest commits.  The raw data is read exactly once and no tier is
+    ever re-read during the build — the narrowest possible plan for the
+    full rebuild case (the chained :func:`build_tiers` path remains for
+    incremental re-cascades of an existing tier).
+    """
+    from grass_ray.stages.rollup import rollup_batch
+
+    store = TierStore(out_root)
+    tier_names = [name for name, _ in tier_specs]
+    done_by_tier = {
+        name: (store.committed_partitions(name) if resume else set())
+        for name in tier_names
+    }
+    # a partition is done iff committed in every tier
+    done = set.intersection(*done_by_tier.values()) if done_by_tier else set()
+    ds = assign_partition(corpus_ds, num_partitions)
+    ds = filter_partitions(ds, done)
+    stats_kernel = _row_stats_kernel()
+    from grass_ray.stages.codec_stage import EncodeTier
+
+    first_gran = tier_specs[0][1]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        enc = EncodeTier(methods)
+        nested = rollup_batch(
+            batch,
+            first_gran,
+            methods,
+            nested=True,
+            key_cols=("source", "doc_id", "part"),
+        )
+        outs = []
+        current = nested
+        for i, (name, factor) in enumerate(tier_specs):
+            if i > 0:
+                current = cascade_batch(current, factor)
+            t = enc(stats_kernel(current))
+            outs.append(t.append_column("tier", pa.array([name] * t.num_rows)))
+        return pa.concat_tables(outs, promote_options="default")
+
+    out = ds.map_batches(kernel, batch_format="pyarrow", batch_size=512)
+    staging = os.path.join(out_root, f".staging-onepass-{__import__('uuid').uuid4().hex[:8]}")
+    out.write_parquet(staging, partition_cols=["tier", "part"])
+    results: dict[str, list[int]] = {name: [] for name in tier_names}
+    if os.path.isdir(staging):
+        for tdir in sorted(os.listdir(staging)):
+            if not tdir.startswith("tier="):
+                continue
+            tier = tdir.split("=", 1)[1]
+            for pdir in sorted(os.listdir(os.path.join(staging, tdir))):
+                if not pdir.startswith("part="):
+                    continue
+                p = int(pdir.split("=", 1)[1])
+                if p in done_by_tier.get(tier, set()):
+                    continue
+                staged = os.path.join(staging, tdir, pdir)
+                stats = store.partition_stats_from_files(staged)
+                store.commit_partition(
+                    tier,
+                    p,
+                    staged,
+                    agg_type=",".join(methods),
+                    lineage=json.dumps(
+                        {
+                            "inputs": lineage_inputs,
+                            "engine_version": ENGINE_VERSION,
+                            "partition": p,
+                            "strategy": "onepass",
+                        }
+                    ),
+                    stats=stats,
+                )
+                results[tier].append(p)
+        shutil_rmtree(staging)
+    # sweep any stale one-pass staging dirs from killed runs
+    for d in os.listdir(out_root):
+        if d.startswith(".staging-onepass-"):
+            shutil_rmtree(os.path.join(out_root, d))
+    return results
+
+
+def shutil_rmtree(path):
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def build_tiers(
     corpus_ds,
     out_root: str,
@@ -203,12 +316,28 @@ def build_tiers(
     encode: bool = True,
     resume: bool = True,
     lineage_inputs: str = "corpus",
+    strategy: str = "onepass",
 ):
     """Build the full retention cascade; returns {tier: committed parts}.
 
     tier_specs: first entry aggregates raw positions with its granularity;
     each later entry is a cascade *factor* over the previous tier.
+
+    strategy="onepass" (default, encode only): one streaming pass emits
+    every tier.  strategy="chained": tier k is read back (decoded) from
+    tier k-1's committed output — the incremental path when a fine tier
+    already exists.
     """
+    if strategy == "onepass" and encode:
+        return build_tiers_onepass(
+            corpus_ds,
+            out_root,
+            tier_specs=tier_specs,
+            methods=methods,
+            num_partitions=num_partitions,
+            resume=resume,
+            lineage_inputs=lineage_inputs,
+        )
     store = TierStore(out_root)
     results: dict[str, list[int]] = {}
 

@@ -47,16 +47,18 @@ class EncodeTier:
                 zero_copy_only=False
             )
         n = batch.num_rows
-        w_enc = []
-        v_enc = {vc: [] for vc in self.value_cols}
-        npoints = np.empty(n, dtype=np.int64)
-        base = offs[0]
-        for i in range(n):
-            s, e = offs[i] - base, offs[i + 1] - base
-            npoints[i] = e - s
-            w_enc.append(encode_windows(w_flat[s:e]))
-            for vc in self.value_cols:
-                v_enc[vc].append(encode_floats(flats[vc][s:e]))
+        lens = np.diff(offs)
+        npoints = lens.astype(np.int64)
+        from grass_ray.functions.codec import (
+            encode_floats_batched,
+            encode_windows_batched,
+        )
+
+        w_enc = encode_windows_batched(w_flat, lens)
+        v_enc = {
+            vc: encode_floats_batched(flats[vc], lens)
+            for vc in self.value_cols
+        }
         self.rows_encoded += n
         cols = {}
         for k in batch.column_names:

@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads ride as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages.  The actual media libraries are NOT in this
+container, so the decode kernels are STUBBED — either a clearly-marked
+``NotImplementedError`` (``fake=False``) or a deterministic fake decode
+(``fake=True``) that produces stable pseudo-pixels from the payload
+bytes.  Everything Ray-side — schema, batch sizing for large payloads,
+actor signature, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),  # image | audio | video
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+
+def synth_media(n: int, media_type: str = "image", payload_bytes: int = 4096, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.bytes(payload_bytes) for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array([f"m{i:06d}" for i in range(n)]),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array([media_type] * n),
+            "width": pa.array([64] * n, type=pa.int32()),
+            "height": pa.array([64] * n, type=pa.int32()),
+            "sample_rate": pa.array([16000] * n, type=pa.int32()),
+            "n_frames": pa.array([max(1, payload_bytes // 1024)] * n, type=pa.int32()),
+        }
+    )
+
+
+class DecodeMedia:
+    """payload -> decoded array (STUB).
+
+    fake=True: deterministic pseudo-decode (bytes -> uint8 array of the
+    declared shape, repeated/truncated) so downstream stages are
+    testable.  fake=False: raises NotImplementedError — wire a real
+    decoder (PIL / libsndfile / pyav) here when the libs exist.
+    """
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "media decode requires PIL/soundfile/pyav — not available "
+                "in this container; run with fake=True for the plumbing"
+            )
+        payloads = batch.column("payload").to_pylist()
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        out = []
+        for p, wi, hi in zip(payloads, w, h):
+            need = int(wi) * int(hi)
+            buf = np.frombuffer(p, dtype=np.uint8)
+            reps = int(np.ceil(need / max(1, len(buf))))
+            out.append(np.tile(buf, reps)[:need])
+        flat = np.concatenate(out) if out else np.empty(0, dtype=np.uint8)
+        lens = np.array([len(o) for o in out], dtype=np.int64)
+        offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+        pixels = pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.uint8()))
+        return batch.append_column("pixels", pixels)
+
+
+class ExtractFeatures:
+    """decoded pixels -> fixed-dim feature vector (hash-projection stub:
+    a deterministic random projection of the byte histogram — real
+    model inference drops in here with the same actor signature)."""
+
+    def __init__(self, dim: int = 64, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.proj = rng.normal(size=(256, dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("pixels")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = col.value_lengths().to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        feats = []
+        start = 0
+        for ln in lens:
+            seg = flat[start : start + ln]
+            start += ln
+            hist = np.bincount(seg, minlength=256).astype(np.float32)
+            hist /= max(1.0, hist.sum())
+            feats.append(hist @ self.proj)
+        m = np.stack(feats) if feats else np.empty((0, self.proj.shape[1]), dtype=np.float32)
+        offsets = pa.array(
+            (np.arange(len(feats) + 1) * self.proj.shape[1]).astype(np.int32)
+        )
+        arr = pa.ListArray.from_arrays(
+            offsets, pa.array(m.ravel(), type=pa.float32())
+        )
+        return batch.append_column("features", arr)
+
+
+def frame_sample(ds, every_n: int = 2):
+    """video payload -> subset of frame payloads (deterministic slice of
+    1 KiB pseudo-frames; real demuxing drops in with the same layout)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        nf = batch.column("n_frames").to_numpy(zero_copy_only=False)
+        out_frames = []
+        for p, n in zip(payloads, nf):
+            frames = [p[i * 1024 : (i + 1) * 1024] for i in range(int(n))]
+            out_frames.append(frames[::every_n])
+        return batch.append_column(
+            "frames", pa.array(out_frames, type=pa.list_(pa.binary()))
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=64)
+
+
+def decode_pipeline(ds, *, fake: bool = True, feature_dim: int = 64):
+    """media table -> + pixels + features (small batches: payloads are
+    fat — batch_size × payload must fit the worker heap)."""
+    ds = ds.map_batches(
+        DecodeMedia,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+    )
+    return ds.map_batches(
+        ExtractFeatures,
+        fn_constructor_kwargs={"dim": feature_dim},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+    )

@@ -85,3 +85,41 @@ def test_compression_ratio_regular_series():
     assert np.array_equal(
         decode_floats(ev).view(np.uint64), v.view(np.uint64)
     )
+
+
+def test_batched_encoders_match_single():
+    from grass_ray.functions.codec import (
+        encode_floats_batched,
+        encode_windows_batched,
+    )
+
+    rng = np.random.default_rng(5)
+    rows_f = [
+        rng.integers(0, 1000, size=n).astype(np.float64)
+        for n in (1, 3, 24, 100, 2, 7)
+    ]
+    rows_f[2][5] = np.nan
+    flat = np.concatenate(rows_f)
+    lens = np.array([len(r) for r in rows_f])
+    blobs = encode_floats_batched(flat, lens)
+    assert len(blobs) == len(rows_f)
+    for blob, row in zip(blobs, rows_f):
+        out = decode_floats(blob)
+        assert np.array_equal(out.view(np.uint64), row.view(np.uint64))
+
+    rows_w = [np.sort(rng.choice(5000, size=n, replace=False)).astype(np.int64) for n in (1, 2, 24, 77)]
+    flatw = np.concatenate(rows_w)
+    lensw = np.array([len(r) for r in rows_w])
+    for blob, row in zip(encode_windows_batched(flatw, lensw), rows_w):
+        assert np.array_equal(decode_windows(blob), row)
+
+
+def test_batched_empty_rows():
+    from grass_ray.functions.codec import encode_floats_batched
+
+    blobs = encode_floats_batched(
+        np.array([1.0, 2.0]), np.array([0, 2, 0])
+    )
+    assert np.array_equal(decode_floats(blobs[0]), np.empty(0))
+    assert np.array_equal(decode_floats(blobs[1]), np.array([1.0, 2.0]))
+    assert np.array_equal(decode_floats(blobs[2]), np.empty(0))

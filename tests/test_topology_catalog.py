@@ -1,0 +1,144 @@
+"""Allen relations, interval sampling, shift/snap, catalog list/merge/export."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from grass_ray.functions.topology import (
+    infer_granularity,
+    relation,
+    select_by_relations,
+    shift_windows,
+    snap_intervals,
+)
+from grass_ray.pipelines.catalog import (
+    export_tier,
+    import_tier,
+    list_tier,
+    merge_tiers,
+)
+from grass_ray.pipelines.tiers import build_tiers
+from grass_ray.sources.corpus import synth_corpus_table
+from grass_ray.stages.sample import (
+    aggregate_by_intervals,
+    sample_intervals,
+    topology_report,
+)
+from grass_ray.stages.rollup import rollup
+from grass_ray.state.manifest import TierStore
+
+
+def test_allen_relations():
+    assert relation(0, 10, 0, 10) == "equal"
+    assert relation(2, 8, 0, 10) == "during"
+    assert relation(0, 10, 2, 8) == "contains"
+    assert relation(0, 5, 3, 10) == "overlaps"
+    assert relation(3, 10, 0, 5) == "overlapped"
+    assert relation(0, 5, 0, 10) == "starts"
+    assert relation(0, 10, 0, 5) == "started"
+    assert relation(5, 10, 0, 10) == "finishes"
+    assert relation(0, 10, 5, 10) == "finished"
+    assert relation(0, 5, 5, 10) == "precedes"
+    assert relation(5, 10, 0, 5) == "follows"
+    assert relation(0, 2, 5, 10) == "before"
+    assert relation(5, 10, 0, 2) == "after"
+    # instances (end=None) are zero-length
+    assert relation(3, None, 0, 10) == "during"
+
+
+def test_select_by_relations():
+    starts = np.array([0, 5, 10, 15])
+    ends = np.array([5, 10, 15, 20])
+    # window [5, 15): which intervals does it contain?
+    idx = select_by_relations(5, 15, starts, ends, ("contains",))
+    assert list(idx) == [1, 2]
+    idx = select_by_relations(7, 8, starts, ends, ("during",))
+    assert list(idx) == [1]
+
+
+def test_granularity_shift_snap():
+    assert infer_granularity(np.array([0, 14, 28, 42])) == 14
+    assert infer_granularity(np.array([0, 4, 10])) == 2
+    assert list(shift_windows(np.array([1, 2]), 5)) == [6, 7]
+    s = np.array([0, 10, 25])
+    e = np.array([5, 12, 30])
+    snapped = snap_intervals(s, e)
+    assert list(snapped) == [10, 25, 30]
+    # last interval degenerate -> extended by inferred granularity
+    s2 = np.array([0, 10])
+    e2 = np.array([5, 10])
+    assert list(snap_intervals(s2, e2)) == [10, 10 + infer_granularity(s2)]
+
+
+def test_aggregate_by_intervals(ray_session):
+    import ray.data
+
+    t = synth_corpus_table(8, seed=13, n_tok=100)
+    ds = ray.data.from_arrow(t)
+    out = aggregate_by_intervals(
+        ds, [(0, 0, 50), (1, 50, 100), (2, 90, 200)], methods=("count", "sum")
+    ).to_pandas()
+    bywin = out.groupby("window")["count"].first()
+    assert bywin[0] > 0 and bywin[1] > 0
+    # window 2 clipped to [90, 100) -> max 10 positions per doc
+    assert (out[out["window"] == 2]["count"] <= 10).all()
+    # equals fixed-gran rollup when intervals tile the range
+    from grass_ray.stages.rollup import rollup_batch
+
+    direct = rollup_batch(t, 50, ("count", "sum")).to_pandas()
+    a = out[out["window"] < 2].sort_values(["doc_id", "window"]).reset_index(drop=True)
+    b = direct.sort_values(["doc_id", "window"]).reset_index(drop=True)
+    assert list(a["sum"]) == list(b["sum"])
+
+
+def test_sample_intervals():
+    a = [("a1", 0, 5), ("a2", 5, 10), ("a3", 20, 25)]
+    b = [("b1", 0, 10), ("b2", 10, 20), ("b3", 20, 30)]
+    out = sample_intervals(a, b, relations=("during", "equal", "contains", "starts", "finishes")).to_pylist()
+    b1 = [r for r in out if r["b_id"] == "b1"]
+    assert {r["a_id"] for r in b1} == {"a1", "a2"}
+    b2 = [r for r in out if r["b_id"] == "b2"]
+    assert b2[0]["relation"] == "gap"
+
+
+def test_topology_report(ray_session):
+    import ray.data
+
+    t = synth_corpus_table(10, seed=5, n_tok=100)
+    nested = rollup(ray.data.from_arrow(t), 10, ("count", "sum", "minimum", "maximum", "average"), nested=True)
+    rep = topology_report(nested)
+    assert rep["keys"] == 10
+    assert rep["windows"] == 100
+    assert rep["gaps"] == 0
+    assert rep["granularity"] == 1
+
+
+def test_catalog_list_merge_export(ray_session, tmp_path):
+    import ray.data
+
+    root = str(tmp_path / "store")
+    t = synth_corpus_table(20, seed=8, n_tok=100)
+    build_tiers(
+        ray.data.from_arrow(t), root, tier_specs=(("1m", 60),), num_partitions=4
+    )
+    store = TierStore(root)
+    # list with filter + order + formats
+    lst = list_tier(store, "1m", where=lambda b: pc.greater(b.column("n_points"), 0))
+    assert lst.num_rows == 20
+    csv = list_tier(store, "1m", fmt="csv", limit=3)
+    assert csv.startswith('"source"') or csv.startswith("source")
+    js = list_tier(store, "1m", fmt="json", limit=2)
+    assert js.startswith("[")
+    # export -> wipe -> import round trip
+    exp = export_tier(store, "1m", str(tmp_path / "exported"))
+    info_before = store.info("1m")
+    store.remove_tier("1m")
+    assert store.tiers() == []
+    parts = import_tier(store, exp, "1m")
+    assert len(parts) > 0
+    assert store.info("1m")["n_rows"] == info_before["n_rows"]
+    # merge into a new tier: identical source -> same key count (dedup)
+    merge_tiers(store, ["1m", "1m"], "merged")
+    assert store.info("merged")["n_rows"] == info_before["n_rows"]

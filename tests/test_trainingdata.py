@@ -1,0 +1,259 @@
+"""Training-data ops: text analysis, dedup family, ANN, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from grass_ray.functions.textstats import (
+    count_tokens_bpe,
+    count_tokens_ws,
+    detect_language,
+    fingerprint,
+    jaccard,
+    quality_features,
+    shingles,
+)
+from grass_ray.stages.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_signature,
+    _perm_params,
+    simhash64,
+    simhash_candidates,
+)
+from grass_ray.stages.multimodal import decode_pipeline, frame_sample, synth_media
+from grass_ray.stages.similarity import ann_topk, embedding_dedup, ivf_topk
+from grass_ray.stages.text_stage import analyze_text
+
+
+def docs_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s"] * len(texts)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+
+def test_language_detection():
+    assert detect_language("the cat sat on the mat and it was warm")[0] == "en"
+    assert detect_language("der Hund ist nicht in dem Haus und die Katze")[0] == "de"
+    assert detect_language("")[0] == "und"
+
+
+def test_token_counts_and_quality():
+    t = "Hello world, this is a test."
+    assert count_tokens_ws(t) == 6
+    assert count_tokens_bpe(t) >= 6
+    q = quality_features(t)
+    assert 0 <= q["quality_score"] <= 1
+    assert q["n_words"] == 6
+    assert quality_features("")["quality_score"] == 0.0
+
+
+def test_fingerprint_stable_and_distinct():
+    a = fingerprint("hello world")
+    assert a == fingerprint("hello world")
+    assert a != fingerprint("hello world!")
+    assert fingerprint("") == 0
+
+
+def test_shingles_jaccard():
+    a = shingles("one two three four five six seven", k=3)
+    b = shingles("one two three four five six eight", k=3)
+    j = jaccard(a, b)
+    assert 0 < j < 1
+    assert jaccard(a, a) == 1.0
+
+
+def test_analyze_text_stage(ray_session):
+    import ray.data
+
+    t = docs_table(["the quick brown fox jumps over the lazy dog"] * 3)
+    out = analyze_text(ray.data.from_arrow(t)).to_pandas()
+    assert {"lang_pred", "n_tok_ws", "quality_score", "fingerprint"} <= set(
+        out.columns
+    )
+    assert (out["lang_pred"] == "en").all()
+    assert out["fingerprint"].nunique() == 1
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    t = docs_table(["aaa", "bbb", "aaa", "ccc", "bbb"], ids=[5, 2, 1, 9, 4])
+    out = exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 9]  # min id per content
+
+
+def test_minhash_signature_similarity():
+    a, b = _perm_params(128)
+    s1 = shingles("the quick brown fox jumps over the lazy dog every day", 3)
+    s2 = shingles("the quick brown fox jumps over the lazy cat every day", 3)
+    s3 = shingles("completely different words nothing shared here at all", 3)
+    sig1 = minhash_signature(s1, a, b)
+    sig2 = minhash_signature(s2, a, b)
+    sig3 = minhash_signature(s3, a, b)
+    sim12 = (sig1 == sig2).mean()
+    sim13 = (sig1 == sig3).mean()
+    assert sim12 > 0.3 > sim13
+
+
+def test_minhash_dedup(ray_session):
+    import ray.data
+
+    base = (
+        "data processing engines stream batches of rows through operators "
+        "that filter map join and aggregate them into results for users"
+    )
+    near = base.replace("users", "analysts")
+    other = (
+        "completely unrelated text about gardens flowers bees and honey "
+        "production in the warm summer months of the southern valleys"
+    )
+    t = docs_table([base, near, other], ids=[1, 2, 3])
+    kept, pairs = minhash_dedup(
+        ray.data.from_arrow(t), threshold=0.5, num_perm=64, bands=16, k_shingle=3
+    )
+    kdf = kept.to_pandas()
+    assert sorted(kdf["doc_id"]) == [1, 3]
+    p = pairs.to_pydict()
+    assert (1, 2) in list(zip(p["id_a"], p["id_b"]))
+
+
+def test_simhash(ray_session):
+    import ray.data
+
+    base = "data processing engines stream batches of rows through operators"
+    t = docs_table([base, base + " quickly", "bees honey gardens flowers"], ids=[1, 2, 3])
+    assert simhash64(base) == simhash64(base)
+    cand = simhash_candidates(
+        ray.data.from_arrow(t), max_hamming=16
+    ).to_pandas()
+    pairs = set(zip(cand["id_a"], cand["id_b"]))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_ann_topk_exact(ray_session):
+    import ray.data
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(path)
+    df = pd.read_parquet(path)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    q = X[:2]
+    out = ann_topk(ds, q, k=5).to_pandas()
+    assert len(out) == 10
+    # self must be rank 1 with score ~1
+    for qi in (0, 1):
+        top = out[(out["query_id"] == qi) & (out["rank"] == 1)].iloc[0]
+        assert top["vec_id"] == df["vec_id"][qi]
+        assert top["score"] == pytest.approx(1.0, abs=1e-5)
+    # brute-force numpy oracle agreement
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    want0 = set(
+        df["vec_id"].to_numpy()[np.argsort(-(qn[0] @ Xn.T))[:5]].tolist()
+    )
+    got0 = set(out[out["query_id"] == 0]["vec_id"].tolist())
+    assert got0 == want0
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(path)
+    df = pd.read_parquet(path)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    q = X[:3]
+    exact = ann_topk(ds, q, k=5).to_pandas()
+    approx = ivf_topk(ds, q, k=5, n_clusters=8, nprobe=4).to_pandas()
+    # recall@5 of IVF vs exact should be decent with nprobe=half
+    recall = 0.0
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recall += len(e & a) / 5
+    assert recall / 3 >= 0.6
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[:5] * 1.001])  # 5 near-dups
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    kept, pairs = embedding_dedup(
+        ray.data.from_arrow(t), threshold=0.999, n_clusters=4
+    )
+    kdf = kept.to_pandas()
+    assert len(kdf) == 20
+    assert set(pairs["id_b"]) == {20, 21, 22, 23, 24}
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_decode_features(ray_session):
+    import ray.data
+
+    t = synth_media(8, payload_bytes=2048)
+    out = decode_pipeline(ray.data.from_arrow(t), fake=True, feature_dim=32).to_pandas()
+    assert len(out) == 8
+    assert all(len(p) == 64 * 64 for p in out["pixels"])
+    assert all(len(f) == 32 for f in out["features"])
+    # deterministic: same payload -> same features
+    t2 = synth_media(8, payload_bytes=2048)
+    out2 = decode_pipeline(ray.data.from_arrow(t2), fake=True, feature_dim=32).to_pandas()
+    a = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    assert np.allclose(a, b)
+
+
+def test_multimodal_real_decode_raises(ray_session):
+    import ray.data
+    from grass_ray.stages.multimodal import DecodeMedia
+
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(fake=False)(synth_media(1))
+
+
+def test_frame_sample(ray_session):
+    import ray.data
+
+    t = synth_media(4, media_type="video", payload_bytes=8192)
+    out = frame_sample(ray.data.from_arrow(t), every_n=2).to_pandas()
+    assert all(len(f) == 4 for f in out["frames"])  # 8 frames -> every 2nd
+    assert all(len(f[0]) == 1024 for f in out["frames"])
