@@ -81,6 +81,37 @@ def _q_rollup(sf_dir: str, gran: int) -> pa.Table:
     return _rename(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), _RENAME)
 
 
+def _q_rollup_propagate(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.rollup import rollup
+
+    out = rollup(
+        _corpus(sf_dir), 60, ("count", "sum"), propagate_nulls=True
+    )
+    return _rename(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), _RENAME
+    )
+
+
+def _q_rollup_range(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.rollup import rollup
+
+    out = rollup(_corpus(sf_dir), 60, ("count", "sum"), lo=1000.0, hi=30000.0)
+    return _rename(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), _RENAME
+    )
+
+
+def _q_rollup_weighted(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.rollup import rollup
+
+    w = np.arange(1, 61, dtype=np.float64)  # weight = window-local pos + 1
+    out = rollup(_corpus(sf_dir), 60, ("count", "sum", "average"), weights=w)
+    return _rename(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+        {"count": "cnt_w", "sum": "sum_w", "average": "avg_w"},
+    )
+
+
 def _q_cascade_1h(sf_dir: str) -> pa.Table:
     from grass_ray.stages.cascade import cascade, explode_nested
     from grass_ray.stages.rollup import rollup
@@ -424,6 +455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m": lambda sf: _q_rollup(sf, 60),
         "rollup_1h": lambda sf: _q_rollup(sf, 3600),
+        "rollup_propagate_nulls": _q_rollup_propagate,
+        "rollup_range_filter": _q_rollup_range,
+        "rollup_weighted": _q_rollup_weighted,
         "cascade_1h": _q_cascade_1h,
         "series_stats": _q_series,
         "series_holistic": _q_series_holistic,
@@ -476,6 +510,36 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1m": rollup_sql(60),
         "rollup_1h": rollup_sql(3600),
+        "rollup_propagate_nulls": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos // 60 AS "window",
+                   CASE WHEN bool_or(token IS NULL) THEN NULL
+                        ELSE CAST(count(token) AS BIGINT) END AS cnt,
+                   CASE WHEN bool_or(token IS NULL) THEN NULL
+                        ELSE CAST(sum(token) AS DOUBLE) END AS sum_tok
+            FROM tok GROUP BY 1, 2, 3
+        """,
+        "rollup_range_filter": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos // 60 AS "window",
+                   CAST(count(CASE WHEN token BETWEEN 1000 AND 30000
+                                   THEN token END) AS BIGINT) AS cnt,
+                   CAST(sum(CASE WHEN token BETWEEN 1000 AND 30000
+                                 THEN token END) AS DOUBLE) AS sum_tok
+            FROM tok GROUP BY 1, 2, 3
+        """,
+        "rollup_weighted": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos // 60 AS "window",
+                   CAST(COALESCE(sum(CASE WHEN token IS NOT NULL
+                                 THEN (pos % 60) + 1 END), 0) AS BIGINT) AS cnt_w,
+                   CAST(sum(token * ((pos % 60) + 1)) AS DOUBLE) AS sum_w,
+                   CAST(sum(token * ((pos % 60) + 1)) AS DOUBLE)
+                       / CAST(sum(CASE WHEN token IS NOT NULL
+                                       THEN (pos % 60) + 1 END) AS DOUBLE)
+                       AS avg_w
+            FROM tok GROUP BY 1, 2, 3
+        """,
         "cascade_1h": rollup_sql(3600),
         "series_stats": f"""
             WITH tok AS ({tok})

@@ -283,3 +283,53 @@ def tier_arith(ds_a, ds_b, op: str = "+", value_col: str = "average", key_cols=(
         )
 
     return ds_a.map_batches(kernel, batch_format="pyarrow", batch_size=256)
+
+
+def tier_select(ds_a, ds_b, *, invert: bool = False, key_cols=("source", "doc_id")):
+    """Temporal selection — `A : B` / `A !: B` of t.rast.algebra
+    (``python/grass/temporal/temporal_algebra.py`` selection operators):
+    keep A's windows where B has (or, inverted, lacks) the same window
+    for the same key.  B's (key -> window set) is broadcast (small side).
+    """
+    import ray
+
+    b_rows: dict = {}
+    for batch in ds_b.iter_batches(batch_format="pyarrow"):
+        d = batch.to_pydict()
+        for i in range(len(d[key_cols[0]])):
+            key = tuple(d[k][i] for k in key_cols)
+            b_rows.setdefault(key, set()).update(d["windows"][i])
+    ref = ray.put(b_rows)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        side = ray.get(ref)
+        d = batch.to_pydict()
+        list_cols = [
+            k
+            for k in batch.column_names
+            if isinstance(batch.column(k).type, pa.ListType)
+        ]
+        out = {k: [] for k in batch.column_names}
+        for i in range(batch.num_rows):
+            key = tuple(d[k][i] for k in key_cols)
+            bw = side.get(key, set())
+            ws = d["windows"][i]
+            keep = [
+                j
+                for j, w in enumerate(ws)
+                if (w in bw) != invert
+            ]
+            for k in batch.column_names:
+                if k in list_cols:
+                    out[k].append([d[k][i][j] for j in keep])
+                else:
+                    out[k].append(d[k][i])
+        arrays = {}
+        for k in batch.column_names:
+            if k in list_cols:
+                arrays[k] = pa.array(out[k], type=batch.column(k).type)
+            else:
+                arrays[k] = pa.array(out[k], type=batch.schema.field(k).type)
+        return pa.table(arrays)
+
+    return ds_a.map_batches(kernel, batch_format="pyarrow", batch_size=256)

@@ -81,6 +81,7 @@ def rollup_batch(
     hi: float | None = None,
     propagate_nulls: bool = False,
     quantiles: dict | None = None,
+    weights=None,
     nested: bool = False,
     key_cols: tuple = ("source", "doc_id"),
     tokens_col: str = "tokens",
@@ -99,10 +100,28 @@ def rollup_batch(
     seg_row, seg_window, seg_lengths, nwin = _window_layout(
         n_tok, gran, origin
     )
+    elem_weights = None
+    if weights is not None:
+        # one weight per window-local position (the r.series per-input
+        # weight, main.c:442-460): broadcast the length-`gran` vector to
+        # every element by its position within the window
+        wvec = np.asarray(weights, dtype=np.float64)
+        if len(wvec) != gran:
+            raise ValueError("weights must have length == gran")
+        total = int(n_tok.astype(np.int64).sum())
+        starts = np.zeros(len(n_tok), dtype=np.int64)
+        np.cumsum(n_tok[:-1].astype(np.int64), out=starts[1:])
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts, n_tok.astype(np.int64))
+            + origin
+        )
+        elem_weights = wvec[pos % gran]
     results = reduce_segments(
         values,
         seg_lengths,
         methods,
+        weights=elem_weights,
         lo=lo,
         hi=hi,
         propagate_nulls=propagate_nulls,

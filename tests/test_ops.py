@@ -163,3 +163,27 @@ def test_tier_arith(ray_session):
     assert len(diff) == 10
     for vals in diff["average"]:
         assert all(v == 0.0 or v is None or (isinstance(v, float) and math.isnan(v)) for v in vals)
+
+
+def test_tier_select(ray_session):
+    import ray.data
+    from grass_ray.stages.extract import tier_select
+
+    def nested(rows):
+        return pa.table(
+            {
+                "source": pa.array([r[0] for r in rows]),
+                "doc_id": pa.array([r[1] for r in rows]),
+                "gran": pa.array([1] * len(rows), type=pa.int64()),
+                "windows": pa.array([r[2] for r in rows], type=pa.list_(pa.int64())),
+                "average": pa.array([r[3] for r in rows], type=pa.list_(pa.float64())),
+            }
+        )
+
+    a = ray.data.from_arrow(nested([("s", "d1", [0, 1, 2, 3], [10.0, 11.0, 12.0, 13.0])]))
+    b = ray.data.from_arrow(nested([("s", "d1", [1, 3, 9], [0.0, 0.0, 0.0])]))
+    sel = tier_select(a, b).to_pandas()
+    assert list(sel["windows"][0]) == [1, 3]
+    assert list(sel["average"][0]) == [11.0, 13.0]
+    inv = tier_select(a, b, invert=True).to_pandas()
+    assert list(inv["windows"][0]) == [0, 2]

@@ -152,3 +152,16 @@ def test_series_collapse(ray_session):
     assert out.loc["d1", "average"] == 200.0
     assert out.loc["d1", "count"] == 3
     assert math.isnan(out.loc["d2", "sum"])
+
+
+def test_rollup_weights_per_position():
+    # weight = window-local position + 1 (r.series per-input weights)
+    t = corpus_table([("d1", "s", [10, 20, 30, 40])])
+    out = rollup_batch(
+        t, 2, ("count", "sum", "average"), weights=np.array([1.0, 3.0])
+    ).to_pydict()
+    # window 0: w=[1,3] v=[10,20] -> count 4, sum 70, avg 17.5
+    # window 1: v=[30,40] -> count 4, sum 150, avg 37.5
+    assert out["count"] == [4, 4]
+    assert out["sum"] == [70.0, 150.0]
+    assert out["average"] == [17.5, 37.5]

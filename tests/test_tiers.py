@@ -122,3 +122,27 @@ def test_manifest_catalog_ops(ray_session, tier_root):
     assert store.tiers() == ["minute"]
     store.remove_tier("minute")
     assert store.tiers() == []
+
+
+def test_onepass_partial_tier_resume(ray_session, tier_root):
+    """Crash between tier commits: 1m committed, 1h missing for one
+    partition -> re-run recomputes that partition, never double-counts."""
+    import os
+
+    import ray.data
+
+    t = synth_corpus_table(40, seed=17, n_tok=2880)
+    ds = ray.data.from_arrow(t)
+    build_tiers(ds, tier_root, docs_per_partition=10)
+    store = TierStore(tier_root)
+    info_before = {t_: store.info(t_) for t_ in store.tiers()}
+    # simulate the crash: remove one partition's 1h+1d commits (1m stays)
+    victim = sorted(store.committed_partitions("1h"))[0]
+    for tier in ("1h", "1d"):
+        shutil.rmtree(store.partition_dir(tier, victim))
+        os.remove(store._manifest_row_path(tier, victim))
+    res = build_tiers(ray.data.from_arrow(t), tier_root, docs_per_partition=10)
+    assert res["1h"] == [victim] and res["1d"] == [victim]
+    assert res["1m"] == []  # already committed -> skipped
+    for tier in ("1m", "1h", "1d"):
+        assert store.info(tier) == info_before[tier], tier
