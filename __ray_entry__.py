@@ -213,6 +213,66 @@ def _q_events_salted(sf_dir: str) -> pa.Table:
     return _round6_col(t, "sum_v")
 
 
+def _q_events_monthly(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.grouped import rollup_events
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = rollup_events(
+        ds, calendar_unit="months", methods=("count", "sum", "average")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _rename(t, {"count": "cnt", "sum": "sum_v", "average": "avg_v"})
+    for c in ("sum_v", "avg_v"):
+        t = _round6_col(t, c)
+    return t
+
+
+def _q_neighbors(sf_dir: str) -> pa.Table:
+    import numpy as _np
+
+    from grass_ray.stages.neighbors import neighbors
+
+    out = neighbors(_corpus(sf_dir), size=3, method="average")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("average_3")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = _np.asarray(
+            col.value_lengths().to_numpy(zero_copy_only=False)
+        ).astype(_np.int64)
+        row_of = _np.repeat(_np.arange(batch.num_rows, dtype=_np.int64), lens)
+        starts = _np.zeros(batch.num_rows, dtype=_np.int64)
+        _np.cumsum(lens[:-1], out=starts[1:])
+        pos = _np.arange(int(lens.sum()), dtype=_np.int64) - _np.repeat(starts, lens)
+        take = pa.array(row_of)
+        return pa.table(
+            {
+                "source": batch.column("source").take(take),
+                "doc_id": batch.column("doc_id").take(take),
+                "pos": pa.array(pos),
+                "avg3": col.flatten(),
+            }
+        )
+
+    t = pa.Table.from_pandas(
+        out.map_batches(explode, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    return t
+
+
+def _q_interp(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.interp import interp_positions
+    from grass_ray.stages.rollup import rollup
+
+    nested = rollup(_corpus(sf_dir), 60, TIER_METHODS, nested=True)
+    out = interp_positions(nested, [0.5, 1.5, 2.5], value_col="average")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 _WHAT_POSITIONS = (0, 17, 63)
 
 
@@ -464,6 +524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "univar": _q_univar,
         "events_1h": _q_events_1h,
         "events_salted": _q_events_salted,
+        "events_monthly": _q_events_monthly,
+        "neighbors_avg3": _q_neighbors,
+        "interp_positions": _q_interp,
         "what_lookup": _q_what,
         "extract_mapcalc": _q_extract_mapcalc,
         "gapfill_linear": _q_gapfill,
@@ -592,6 +655,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(value) AS BIGINT) AS cnt,
                    {r6.format("sum(value)")} AS sum_v
             FROM events GROUP BY 1, 2
+        """,
+        "events_monthly": f"""
+            SELECT event_type,
+                   (year(ts) - 1970) * 12 + month(ts) - 1 AS "window",
+                   CAST(count(value) AS BIGINT) AS cnt,
+                   {r6.format("sum(value)")} AS sum_v,
+                   {r6.format("avg(value)")} AS avg_v
+            FROM events GROUP BY 1, 2
+        """,
+        "neighbors_avg3": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos,
+                   avg(token) OVER (
+                       PARTITION BY source, doc_id ORDER BY pos
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   ) AS avg3
+            FROM tok
         """,
         "what_lookup": f"""
             WITH tok AS ({tok})

@@ -98,6 +98,8 @@ METHODS = (
     "kurtosis",
     "first",
     "last",
+    "intr",
+    "thresh",
 )
 
 _QUANTILE_SHORTCUTS = {"quart1": 0.25, "quart3": 0.75, "perc90": 0.90}
@@ -559,6 +561,41 @@ def _m_tvalue(s):
     return _regression(s)[3].copy()
 
 
+def _m_intr(s: SegmentedData):
+    """Interspersion percentage (``lib/stats/c_intr.c``): NULL center
+    (element n/2, raw index) -> NULL; else
+    ``(diff*100 + count//2)/count + 1`` where count = non-null-1 and
+    diff = non-null values != center; count <= 0 -> 0."""
+    center_idx = s.starts + s.lengths // 2
+    center = s.values[center_idx]
+    center_null = ~s.valid[center_idx]
+    diff = _reduceat(
+        np.add,
+        np.where(s.valid & (s.values != s.rep(center)), 1.0, 0.0),
+        s.starts,
+    )
+    count = s.counts - 1
+    out = np.zeros(s.nseg)
+    pos_ok = count > 0
+    out[pos_ok] = (
+        diff[pos_ok] * 100.0 + np.floor(count[pos_ok] / 2)
+    ) / count[pos_ok] + 1
+    out[center_null] = np.nan
+    return out
+
+
+def _m_thresh(s: SegmentedData, tval: float):
+    """1-based index of the first value within epsilon=10 of the
+    threshold (``lib/stats/c_thresh.c``, GDD use); none -> NULL."""
+    idx = s.local_idx
+    hit = s.valid & (np.abs(tval - s.values) < 10.0)
+    cand = np.where(hit, idx, _BIG)
+    first = _reduceat(np.minimum, cand, s.starts)
+    out = (first + 1).astype(np.float64)
+    out[first == _BIG] = np.nan
+    return out
+
+
 def _edge(s: SegmentedData, last: bool):
     """First/last valid value per segment (engine extension, not in
     r.series; used by gap-fill endpoints and `t.rast.what`-style lookups)."""
@@ -600,6 +637,7 @@ _KERNELS = {
     "kurtosis": _m_kurtosis,
     "first": lambda s: _edge(s, last=False),
     "last": lambda s: _edge(s, last=True),
+    "intr": _m_intr,
 }
 
 
@@ -613,6 +651,7 @@ def reduce_segments(
     hi=None,
     propagate_nulls=False,
     quantiles=None,
+    thresh=None,
 ):
     """Reduce every segment with every requested method in one pass.
 
@@ -627,6 +666,8 @@ def reduce_segments(
     propagate_nulls : the ``-n`` flag — any NULL/out-of-range element in a
         segment nulls every output for that segment.
     quantiles : optional dict like ``{"perc50": 0.5}`` of extra quantiles.
+    thresh : optional threshold value -> a ``thresh`` output column
+        (1-based first index within epsilon of the value, c_thresh.c).
 
     Returns dict of method name -> float64[nseg] (NaN = NULL).
     """
@@ -637,8 +678,8 @@ def reduce_segments(
     for m in methods:
         if m in _QUANTILE_SHORTCUTS:
             out[m] = _quantile(s, _QUANTILE_SHORTCUTS[m])
-        elif m == "quantile":
-            continue  # handled via `quantiles` dict below
+        elif m in ("quantile", "thresh"):
+            continue  # handled via the `quantiles` / `thresh` params below
         elif m in _KERNELS:
             out[m] = _KERNELS[m](s)
         else:
@@ -646,6 +687,8 @@ def reduce_segments(
     if quantiles:
         for name, q in quantiles.items():
             out[name] = _quantile(s, float(q))
+    if thresh is not None or "thresh" in methods:
+        out["thresh"] = _m_thresh(s, float(thresh if thresh is not None else 0.0))
     if propagate_nulls:
         poison = s.had_invalid
         for arr in out.values():

@@ -198,7 +198,9 @@ def rollup_points_holistic(
 def rollup_events(
     ds,
     *,
-    gran_seconds: int,
+    gran_seconds: int | None = None,
+    calendar_unit: str | None = None,
+    calendar_mult: int = 1,
     methods=DECOMPOSABLE,
     key_cols=("event_type",),
     ts_col: str = "ts",
@@ -206,12 +208,26 @@ def rollup_events(
     salt: int = 0,
 ):
     """``t.rast.aggregate.ds``-style rollup of the events stream: windows
-    come from wall-clock time (epoch seconds // gran), keys from the
-    event type — the true-shuffle demo over the driver's events table."""
+    from wall-clock time — either fixed-size (epoch seconds // gran) or
+    calendar granules (``calendar_unit`` ∈ months/weeks/years/..., the
+    ``adjust_datetime_to_granularity`` semantics) — keys from the event
+    type; the true-shuffle demo over the driver's events table."""
+    if (gran_seconds is None) == (calendar_unit is None):
+        raise ValueError("exactly one of gran_seconds / calendar_unit")
 
     def add_pos(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if calendar_unit is not None:
+            from grass_ray.functions.calendar import window_id
+
+            ts = batch.column(ts_col)
+            if isinstance(ts, pa.ChunkedArray):
+                ts = ts.combine_chunks()
+            wid = window_id(
+                ts.to_numpy(zero_copy_only=False), calendar_unit, calendar_mult
+            )
+            return batch.append_column("pos", pa.array(wid))
         secs = pc.cast(
             pc.divide(pc.cast(batch.column(ts_col), pa.int64()), 1_000_000),
             pa.int64(),
@@ -224,7 +240,7 @@ def rollup_events(
         key_cols=key_cols,
         pos_col="pos",
         val_col=val_col,
-        gran=gran_seconds,
+        gran=1 if calendar_unit is not None else gran_seconds,
         methods=methods,
         salt=salt,
     )

@@ -315,6 +315,36 @@ def o_tvalue(values, weights=None):
     return _o_regression(values, "tvalue", weights)
 
 
+def o_intr(values):
+    # lib/stats/c_intr.c: NULL center (raw index n/2) -> NULL
+    n = len(values)
+    if n == 0 or _is_null(values[n // 2]):
+        return NULL
+    center = values[n // 2]
+    count = 0
+    diff = 0
+    for v in values:
+        if _is_null(v):
+            continue
+        count += 1
+        if v != center:
+            diff += 1
+    count -= 1
+    if count <= 0:
+        return 0.0
+    return (diff * 100.0 + count // 2) / count + 1
+
+
+def o_thresh(values, tval=0.0):
+    # lib/stats/c_thresh.c: 1-based first index within epsilon=10
+    for i, v in enumerate(values):
+        if _is_null(v):
+            continue
+        if abs(tval - v) < 10.0:
+            return float(i + 1)
+    return NULL
+
+
 def o_first(values):
     for v in values:
         if not _is_null(v):
@@ -357,6 +387,8 @@ ORACLE = {
     "kurtosis": o_kurtosis,
     "first": lambda v, weights=None: o_first(v),
     "last": lambda v, weights=None: o_last(v),
+    "intr": lambda v, weights=None: o_intr(v),
+    "thresh": lambda v, weights=None: o_thresh(v),
 }
 
 

@@ -1,0 +1,154 @@
+"""r.series.interp positions, t.rast.neighbors sliding window, calendar."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from grass_ray.functions.calendar import increment, truncate, window_id, window_start
+from grass_ray.stages.interp import interp_positions_batch
+from grass_ray.stages.neighbors import neighbors_batch
+
+
+def nested(rows):
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows]),
+            "doc_id": pa.array([r[1] for r in rows]),
+            "windows": pa.array([r[2] for r in rows], type=pa.list_(pa.int64())),
+            "average": pa.array([r[3] for r in rows], type=pa.list_(pa.float64())),
+        }
+    )
+
+
+def corpus(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+            "source": pa.array(["s"] * len(rows)),
+        }
+    )
+
+
+# ---- r.series.interp ------------------------------------------------------
+
+
+def test_interp_positions_linear():
+    t = nested([("s", "d1", [0, 10], [100.0, 200.0])])
+    out = interp_positions_batch(t, [0.0, 2.5, 5.0, 10.0, 15.0]).to_pydict()
+    # 15.0 outside -> skipped (r.series.interp main.c:330-335)
+    assert out["pos"] == [0.0, 2.5, 5.0, 10.0]
+    assert out["value"] == [100.0, 125.0, 150.0, 200.0]
+
+
+def test_interp_null_endpoint():
+    t = nested([("s", "d1", [0, 10, 20], [100.0, None, 300.0])])
+    out = interp_positions_batch(t, [5.0, 15.0]).to_pydict()
+    assert out["value"] == [None, None]  # either side NULL -> NULL
+
+
+def test_interp_multi_key():
+    t = nested(
+        [("s", "d1", [0, 4], [0.0, 4.0]), ("s", "d2", [10, 20], [10.0, 0.0])]
+    )
+    out = interp_positions_batch(t, [2.0, 15.0]).to_pydict()
+    assert out["doc_id"] == ["d1", "d2"]
+    assert out["value"] == [2.0, 5.0]
+
+
+# ---- t.rast.neighbors -----------------------------------------------------
+
+
+def test_neighbors_mean():
+    t = corpus([("d1", [1, 2, 3, 4, 5])])
+    out = neighbors_batch(t, size=3, method="average").to_pydict()
+    # edges: window truncated (outside values ignored)
+    assert out["average_3"] == [[1.5, 2.0, 3.0, 4.0, 4.5]]
+
+
+def test_neighbors_nulls_and_median():
+    t = corpus([("d1", [1, None, 3, 100, 5])])
+    out = neighbors_batch(t, size=3, method="median").to_pydict()
+    med = out["median_3"][0]
+    assert med[0] == 1.0  # window [1, NULL] -> median of {1}
+    assert med[1] == 2.0  # [1, NULL, 3] -> (1+3)/2
+    assert med[2] == pytest.approx(51.5)  # [NULL,3,100] -> (3+100)/2
+    out2 = neighbors_batch(t, size=3, method="count").to_pydict()
+    assert out2["count_3"][0] == [1, 2, 2, 3, 2]
+
+
+def test_neighbors_multirow_no_bleed():
+    t = corpus([("d1", [0, 0]), ("d2", [100, 100])])
+    out = neighbors_batch(t, size=3, method="maximum").to_pydict()
+    assert out["maximum_3"][0] == [0.0, 0.0]  # d2's values never leak in
+    assert out["maximum_3"][1] == [100.0, 100.0]
+
+
+# ---- calendar -------------------------------------------------------------
+
+
+def test_truncate_units():
+    ts = np.array(["2001-01-15T12:05:45.123456"], dtype="datetime64[us]")
+    assert truncate(ts, "minutes")[0] == np.datetime64("2001-01-15T12:05:00", "us")
+    assert truncate(ts, "hours")[0] == np.datetime64("2001-01-15T12:00:00", "us")
+    assert truncate(ts, "days")[0] == np.datetime64("2001-01-15T00:00:00", "us")
+    assert truncate(ts, "months")[0] == np.datetime64("2001-01-01T00:00:00", "us")
+    assert truncate(ts, "years")[0] == np.datetime64("2001-01-01T00:00:00", "us")
+    # 2001-01-15 was a Monday; week truncation keeps it
+    assert truncate(ts, "weeks")[0] == np.datetime64("2001-01-15T00:00:00", "us")
+    ts2 = np.array(["2001-01-14T10:00:00"], dtype="datetime64[us]")  # Sunday
+    assert truncate(ts2, "weeks")[0] == np.datetime64("2001-01-08T00:00:00", "us")
+
+
+def test_increment_calendar_roll():
+    # datetime_math.py doc example: 2001-11-01 + 13 months = 2002-12-01
+    ts = np.array(["2001-11-01"], dtype="datetime64[us]")
+    assert increment(ts, 13, "months")[0] == np.datetime64("2002-12-01", "us")
+    assert increment(ts, 2, "years")[0] == np.datetime64("2003-11-01", "us")
+
+
+def test_window_id_roundtrip():
+    ts = np.array(
+        ["2024-01-15T10:30:00", "2024-02-01T00:00:00"], dtype="datetime64[us]"
+    )
+    wid = window_id(ts, "months")
+    assert list(wid) == [(2024 - 1970) * 12 + 0, (2024 - 1970) * 12 + 1]
+    assert window_start(wid, "months")[0] == np.datetime64("2024-01-01", "us")
+    w3 = window_id(ts, "months", mult=3)  # quarterly
+    assert list(w3) == [wid[0] // 3, wid[1] // 3]
+
+
+def test_events_monthly_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from grass_ray.stages.grouped import rollup_events
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    out = rollup_events(
+        ray.data.read_parquet(path),
+        calendar_unit="months",
+        methods=("count", "sum"),
+    ).to_pandas()
+    want = (
+        duckdb.connect()
+        .execute(
+            f"""
+            SELECT event_type,
+                   (year(ts) - 1970) * 12 + month(ts) - 1 AS "window",
+                   CAST(count(value) AS BIGINT) AS count,
+                   sum(value) AS sum
+            FROM read_parquet('{path}') GROUP BY 1, 2
+            """
+        )
+        .df()
+    )
+    g = out.sort_values(["event_type", "window"]).reset_index(drop=True)
+    w = want.sort_values(["event_type", "window"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["count"].to_numpy() == w["count"].to_numpy()).all()
+    assert np.allclose(g["sum"], w["sum"])
