@@ -146,3 +146,27 @@ def test_onepass_partial_tier_resume(ray_session, tier_root):
     assert res["1m"] == []  # already committed -> skipped
     for tier in ("1m", "1h", "1d"):
         assert store.info(tier) == info_before[tier], tier
+
+
+def test_incremental_register(ray_session, tier_root):
+    """t.register analog: late-arriving docs land in new range partitions;
+    a re-run builds only those — incremental ingest with no recompute of
+    committed data (register.py:37-470 batched-registration analog)."""
+    import ray.data
+
+    first = synth_corpus_table(100, seed=3, n_tok=120)
+    build_tiers(ray.data.from_arrow(first), tier_root, docs_per_partition=20)
+    store = TierStore(tier_root)
+    parts1 = store.committed_partitions("1m")
+    n1 = store.info("1m")["n_rows"]
+    assert n1 == 100
+
+    # 60 new docs arrive (doc index continues -> new partitions)
+    more = synth_corpus_table(60, seed=3, n_tok=120, start_doc=100)
+    both = pa.concat_tables([first, more])
+    res = build_tiers(ray.data.from_arrow(both), tier_root, docs_per_partition=20)
+    new_parts = set(res["1m"])
+    assert new_parts == store.committed_partitions("1m") - parts1
+    assert store.info("1m")["n_rows"] == 160
+    # committed partitions were not touched
+    assert parts1 <= store.committed_partitions("1m")
