@@ -229,6 +229,17 @@ def _q_events_monthly(sf_dir: str) -> pa.Table:
     return t
 
 
+def _q_sessions(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.grouped import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ds, key_cols=("user_id",), gap_seconds=1800)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round6_col(t, "sum_value")
+
+
 def _q_neighbors(sf_dir: str) -> pa.Table:
     import numpy as _np
 
@@ -525,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_1h": _q_events_1h,
         "events_salted": _q_events_salted,
         "events_monthly": _q_events_monthly,
+        "events_sessions": _q_sessions,
         "neighbors_avg3": _q_neighbors,
         "interp_positions": _q_interp,
         "what_lookup": _q_what,
@@ -663,6 +675,30 @@ def oracle_sql() -> dict[str, str]:
                    {r6.format("sum(value)")} AS sum_v,
                    {r6.format("avg(value)")} AS avg_v
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": f"""
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            s AS (
+                SELECT *, CASE WHEN prev IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                               THEN 1 ELSE 0 END AS new_sess
+                FROM o
+            ),
+            g AS (
+                SELECT *, CAST(sum(new_sess) OVER
+                          (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT)
+                          AS session_id
+                FROM s
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   {r6.format("sum(value)")} AS sum_value
+            FROM g GROUP BY 1, 2
         """,
         "neighbors_avg3": f"""
             WITH tok AS ({tok})

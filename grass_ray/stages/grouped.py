@@ -244,3 +244,53 @@ def rollup_events(
         methods=methods,
         salt=salt,
     )
+
+
+def sessionize(
+    ds,
+    *,
+    key_cols=("user_id",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    gap_seconds: int = 1800,
+):
+    """Session windows over an event stream (engine extension — the
+    streaming-window shape TGRASS lacks): consecutive events of a key
+    closer than `gap_seconds` share a session.  Implemented as
+    ``groupby(key).map_groups`` with a timestamp sort inside the group
+    (partition-by-key + in-group order, the documented contract for
+    stream-shaped inputs).  Output: one row per session with
+    (key..., session_start, session_end, n_events, sum_value).
+    """
+    keys = list(key_cols)
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(batch, sort_keys=[(ts_col, "ascending")])
+        b = batch.take(order)
+        ts = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        secs = ts // 1_000_000
+        new = np.ones(len(secs), dtype=bool)
+        if len(secs) > 1:
+            new[1:] = (secs[1:] - secs[:-1]) > gap_seconds
+        sid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        n_sessions = len(starts)
+        ends = np.append(starts[1:], len(secs)) - 1
+        v = (
+            b.column(val_col)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        vsum = np.add.reduceat(np.where(np.isnan(v), 0.0, v), starts)
+        counts = np.diff(np.append(starts, len(secs)))
+        cols = {k: b.column(k).take(pa.array(starts)) for k in keys}
+        cols["session_id"] = pa.array(np.arange(n_sessions, dtype=np.int64))
+        cols["session_start"] = b.column(ts_col).take(pa.array(starts))
+        cols["session_end"] = b.column(ts_col).take(pa.array(ends))
+        cols["n_events"] = pa.array(counts.astype(np.int64))
+        cols["sum_value"] = pa.array(vsum, type=pa.float64())
+        return pa.table(cols)
+
+    return ds.groupby(keys).map_groups(per_key, batch_format="pyarrow")

@@ -241,3 +241,33 @@ def _parquet_files(d: str) -> list[str]:
 
 def _count_rows(d: str) -> int:
     return sum(pq.read_metadata(f).num_rows for f in _parquet_files(d))
+
+
+def _meta_path(store: "TierStore", tier: str) -> str:
+    return os.path.join(store._manifest_dir(tier), "_meta.json")
+
+
+def set_tier_metadata(store: "TierStore", tier: str, **kv):
+    """`t.support` analog: attach/update descriptive metadata for a tier
+    (title, description, semantic labels...) — atomic tmp+rename."""
+    path = _meta_path(store, tier)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    current = get_tier_metadata(store, tier)
+    current.update(kv)
+    tmp = path + f".tmp-{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        json.dump(current, f)
+    os.rename(tmp, path)
+    return current
+
+
+def get_tier_metadata(store: "TierStore", tier: str) -> dict:
+    path = _meta_path(store, tier)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+TierStore.set_metadata = set_tier_metadata
+TierStore.get_metadata = get_tier_metadata

@@ -139,3 +139,51 @@ def test_all_null_window_grouped(ray_session):
     out = _sorted(out, ["window"])
     assert list(out["count"]) == [0, 1]
     assert pd.isna(out["sum"][0]) and out["sum"][1] == 2.0
+
+
+def test_sessionize_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from grass_ray.stages.grouped import sessionize
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    out = sessionize(
+        ray.data.read_parquet(path),
+        key_cols=("user_id",),
+        gap_seconds=1800,
+    ).to_pandas()
+    want = (
+        duckdb.connect()
+        .execute(
+            f"""
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            FROM read_parquet('{path}')
+        ),
+        s AS (
+            SELECT *, CASE WHEN prev IS NULL
+                             OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM o
+        ),
+        g AS (
+            SELECT *, sum(new_sess) OVER
+                      (PARTITION BY user_id ORDER BY ts) - 1 AS session_id
+            FROM s
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY 1, 2
+        """
+        )
+        .df()
+    )
+    g = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
+    assert (g["session_start"].to_numpy() == w["session_start"].to_numpy()).all()
+    assert (g["session_end"].to_numpy() == w["session_end"].to_numpy()).all()

@@ -170,3 +170,49 @@ def test_incremental_register(ray_session, tier_root):
     assert store.info("1m")["n_rows"] == 160
     # committed partitions were not touched
     assert parts1 <= store.committed_partitions("1m")
+
+
+def test_tier_metadata_support(ray_session, tier_root):
+    """t.support analog: descriptive tier metadata CRUD."""
+    import ray.data
+
+    t = synth_corpus_table(10, seed=2, n_tok=100)
+    build_tiers(ray.data.from_arrow(t), tier_root, tier_specs=(("1m", 60),))
+    store = TierStore(tier_root)
+    store.set_metadata("1m", title="minute tier", semantic_label="tokens")
+    assert store.get_metadata("1m")["title"] == "minute tier"
+    store.set_metadata("1m", title="renamed")
+    md = store.get_metadata("1m")
+    assert md["title"] == "renamed" and md["semantic_label"] == "tokens"
+
+
+def test_parallel_equals_serial(ray_session, tier_root):
+    """Reference test strategy (§5: nprocs=4 == serial): identical tier
+    results regardless of block structure / parallelism."""
+    import ray.data
+
+    t = synth_corpus_table(30, seed=44, n_tok=700)
+    one_block = ray.data.from_arrow(t)
+    many_blocks = ray.data.from_arrow(t).repartition(8)
+    r1 = build_tiers(one_block, tier_root + "_a", docs_per_partition=7)
+    r2 = build_tiers(many_blocks, tier_root + "_b", docs_per_partition=7)
+    from grass_ray.pipelines.tiers import read_tier
+    from grass_ray.state.manifest import TierStore as TS
+
+    for tier in ("1m", "1h", "1d"):
+        a = (
+            read_tier(TS(tier_root + "_a"), tier)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            read_tier(TS(tier_root + "_b"), tier)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for col in ("windows", "sum", "count", "average"):
+            assert [list(x) for x in a[col]] == [list(x) for x in b[col]], (tier, col)
+    shutil.rmtree(tier_root + "_a", ignore_errors=True)
+    shutil.rmtree(tier_root + "_b", ignore_errors=True)
