@@ -187,3 +187,36 @@ def test_tier_select(ray_session):
     assert list(sel["average"][0]) == [11.0, 13.0]
     inv = tier_select(a, b, invert=True).to_pandas()
     assert list(inv["windows"][0]) == [0, 2]
+
+
+def test_algebra_statements(ray_session):
+    import ray.data
+    from grass_ray.stages.algebra import algebra
+
+    t = synth_corpus_table(8, seed=6)
+    tier = rollup(
+        ray.data.from_arrow(t),
+        60,
+        ("count", "sum", "minimum", "maximum", "average"),
+        nested=True,
+    )
+    tiers = {"A": tier, "B": tier}
+    name, res = algebra("C = A + B", tiers)
+    assert name == "C"
+    df = res.to_pandas()
+    base = tier.to_pandas().set_index("doc_id")
+    got = df.set_index("doc_id")
+    for d in got.index:
+        want = [None if v is None else 2 * v for v in base.loc[d, "average"]]
+        have = [None if (v is None or (isinstance(v, float) and math.isnan(v))) else v for v in got.loc[d, "average"]]
+        for a, b in zip(have, want):
+            assert (a is None and b is None) or a == pytest.approx(b)
+    _, shifted = algebra("tshift(A, 5)", tiers)
+    sw = shifted.to_pandas().set_index("doc_id")
+    for d in sw.index:
+        assert list(sw.loc[d, "windows"]) == [w + 5 for w in base.loc[d, "windows"]]
+    _, mapped = algebra('map(A, "x * 0 + 7")', tiers)
+    mv = mapped.to_pandas().iloc[0]["average"]
+    assert all(v == 7.0 or v is None for v in mv)
+    _, sel = algebra("A !: B", tiers)
+    assert all(len(w) == 0 for w in sel.to_pandas()["windows"])

@@ -216,3 +216,21 @@ def test_parallel_equals_serial(ray_session, tier_root):
             assert [list(x) for x in a[col]] == [list(x) for x in b[col]], (tier, col)
     shutil.rmtree(tier_root + "_a", ignore_errors=True)
     shutil.rmtree(tier_root + "_b", ignore_errors=True)
+
+
+def test_empty_doc_through_pipeline(ray_session, tier_root):
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d0000000", "d0000001"]),
+            "tokens": pa.array([[], [5, 6, 7]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([0, 3], type=pa.int32()),
+            "source": pa.array(["s", "s"]),
+        }
+    )
+    import ray.data
+
+    build_tiers(ray.data.from_arrow(t), tier_root, tier_specs=(("1m", 2),))
+    store = TierStore(tier_root)
+    out = read_tier(store, "1m").to_pandas().set_index("doc_id")
+    assert list(out.loc["d0000000", "windows"]) == []
+    assert list(out.loc["d0000001", "sum"]) == [11.0, 7.0]
