@@ -31,6 +31,11 @@ N_TOK = 1440  # one "day" of minutes per doc (FIXTURES F5)
 
 def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow as _pa
+
+    # cap driver-side Arrow compute to the simulated CPU budget so the
+    # N-vs-4N comparison is honest (pyarrow defaults to all 32 threads)
+    _pa.set_cpu_count(NUM_CPUS)
     import ray
 
     ray.init(

@@ -25,8 +25,18 @@ from grass_ray.stages.cascade import cascade, explode_nested
 from grass_ray.stages.gapfill import find_gaps, gapfill
 from grass_ray.stages.grouped import rollup_events, rollup_points, rollup_points_holistic
 from grass_ray.stages.rollup import explode_tokens, rollup, series_collapse
+from grass_ray.stages.accumulate import accdetect, accumulate
+from grass_ray.stages.algebra import algebra
+from grass_ray.stages.dedup import exact_dedup, minhash_dedup, simhash_candidates
+from grass_ray.stages.extract import apply_mapcalc, extract, tier_arith, tier_select
+from grass_ray.stages.grouped import sessionize
+from grass_ray.stages.interp import interp_positions
+from grass_ray.stages.neighbors import neighbors
+from grass_ray.stages.similarity import ann_topk, embedding_dedup, ivf_topk
+from grass_ray.stages.text_stage import analyze_text
 from grass_ray.stages.univar import univar
 from grass_ray.stages.what import what
+from grass_ray.pipelines.catalog import export_tier, import_tier, list_tier, merge_tiers
 from grass_ray.pipelines.tiers import build_tiers, read_tier
 from grass_ray.state.manifest import TierStore
 
@@ -35,8 +45,29 @@ __version__ = "0.1.0"
 __all__ = [
     "METHODS",
     "TierStore",
+    "accdetect",
+    "accumulate",
+    "algebra",
+    "analyze_text",
+    "ann_topk",
+    "apply_mapcalc",
     "build_tiers",
     "cascade",
+    "embedding_dedup",
+    "exact_dedup",
+    "export_tier",
+    "extract",
+    "import_tier",
+    "interp_positions",
+    "ivf_topk",
+    "list_tier",
+    "merge_tiers",
+    "minhash_dedup",
+    "neighbors",
+    "sessionize",
+    "simhash_candidates",
+    "tier_arith",
+    "tier_select",
     "corpus_from_documents",
     "corpus_sql",
     "decode_floats",

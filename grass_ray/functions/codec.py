@@ -20,8 +20,9 @@ float64 bit patterns including the canonical NaN used as NULL):
   ``1110|12b`` (−2047..2048), ``1111|64b``.
 
 Encoding is one vectorized NumPy pass (the variable-length bitstream is
-assembled with a repeat/arange scatter and ``np.packbits``); decoding is
-a tight sequential parse over the unpacked bit array.
+assembled word-wise: every field ORs into at most two uint64 words,
+merged with one sorted ``bitwise_or.reduceat``); decoding is a tight
+sequential parse over the unpacked bit array.
 """
 
 from __future__ import annotations
@@ -43,22 +44,64 @@ _SHIFTS = np.arange(63, -1, -1, dtype=np.uint64)
 def _assemble_bits(lengths: np.ndarray, payloads: np.ndarray) -> bytes:
     """Concatenate variable-length big-endian bit fields -> packed bytes.
 
-    lengths: uint8 bit lengths (1..64); payloads: uint64 values held in
-    the low `length` bits.
+    lengths: bit lengths (1..64); payloads: uint64 values held in the
+    low `length` bits.
+
+    Word-wise algorithm: each field lands in at most two 64-bit words of
+    the output stream; per-word contributions are OR-merged with one
+    sorted ``bitwise_or.reduceat`` — O(fields) memory traffic instead of
+    O(bits) (the per-bit expansion was the pipeline's bandwidth hog).
     """
     lengths = lengths.astype(np.int64)
+    payloads = payloads.astype(np.uint64)
     total = int(lengths.sum())
     if total == 0:
         return b""
-    src = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
-    starts = np.zeros(len(lengths), dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
-    k = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
-    shift = lengths[src] - 1 - k
-    bits = ((payloads[src] >> shift.astype(np.uint64)) & np.uint64(1)).astype(
-        np.uint8
+    ends = np.cumsum(lengths)
+    offs = ends - lengths  # start bit of each field
+    nwords = (total + 63) // 64
+    w0 = offs >> 6
+    bitpos = (offs & 63).astype(np.int64)
+    # left shift to align the field's MSB at stream bit `bitpos` of word0
+    sh0 = 64 - bitpos - lengths
+    pos_sh = sh0 >= 0
+    c0 = np.where(
+        pos_sh,
+        payloads << np.where(pos_sh, sh0, 0).astype(np.uint64),
+        payloads >> np.where(pos_sh, 0, -sh0).astype(np.uint64),
     )
-    return np.packbits(bits).tobytes()
+    spill = ~pos_sh
+    idx_list = [w0]
+    val_list = [c0]
+    if spill.any():
+        sh1 = (128 - bitpos - lengths)[spill].astype(np.uint64)
+        c1 = payloads[spill] << sh1
+        idx_list.append(w0[spill] + 1)
+        val_list.append(c1)
+    idx = np.concatenate(idx_list)
+    val = np.concatenate(val_list)
+    order = np.argsort(idx, kind="stable")
+    idx = idx[order]
+    val = val[order]
+    boundary = np.ones(len(idx), dtype=bool)
+    boundary[1:] = idx[1:] != idx[:-1]
+    starts = np.flatnonzero(boundary)
+    words = np.zeros(nwords, dtype=np.uint64)
+    words[idx[starts]] = np.bitwise_or.reduceat(val, starts)
+    return words.byteswap().tobytes()[: (total + 7) // 8]
+
+
+def _bitlen64(a: np.ndarray) -> np.ndarray:
+    """Bit length (position of highest set bit, 1..64) of uint64 > 0.
+
+    One float64 conversion + frexp, with a single correction step for
+    values the conversion rounds up across a power-of-two boundary.
+    """
+    bl = np.frexp(a.astype(np.float64))[1].astype(np.int64)
+    np.minimum(bl, 64, out=bl)
+    over = (a >> np.minimum(bl - 1, 63).astype(np.uint64)) == 0
+    bl[over] -= 1
+    return bl
 
 
 def encode_floats(values: np.ndarray) -> bytes:
@@ -81,21 +124,11 @@ def encode_floats(values: np.ndarray) -> bytes:
     sig = np.ones(n, dtype=np.uint64)
     if nz.any():
         x = xor[nz]
-
-        def _bitlen(a):
-            bl = np.zeros(len(a), dtype=np.int64)
-            tmp = a.copy()
-            for s in (32, 16, 8, 4, 2, 1):
-                big = tmp >= (np.uint64(1) << np.uint64(s))
-                bl[big] += s
-                tmp[big] >>= np.uint64(s)
-            return bl + 1  # position of highest set bit, 1..64
-
-        bitlen = _bitlen(x)
+        bitlen = _bitlen64(x)
         lz_nz = np.minimum(64 - bitlen, 31)  # 5-bit field caps at 31
         # trailing zeros: bit_length of the lowest set bit, minus 1
         low = x & (np.uint64(0) - x)
-        tz_nz = _bitlen(low) - 1
+        tz_nz = _bitlen64(low) - 1
         sig_nz = 64 - lz_nz - tz_nz  # meaningful bits, >= 1
         lz[nz] = lz_nz.astype(np.uint64)
         tz[nz] = tz_nz.astype(np.uint64)
@@ -305,20 +338,10 @@ def encode_floats_batched(flat: np.ndarray, lengths: np.ndarray) -> list[bytes]:
     sig = np.ones(n, dtype=np.uint64)
     if nz.any():
         x = xor[nz]
-
-        def _bitlen(a):
-            bl = np.zeros(len(a), dtype=np.int64)
-            tmp = a.copy()
-            for s in (32, 16, 8, 4, 2, 1):
-                big = tmp >= (np.uint64(1) << np.uint64(s))
-                bl[big] += s
-                tmp[big] >>= np.uint64(s)
-            return bl + 1
-
-        bitlen = _bitlen(x)
+        bitlen = _bitlen64(x)
         lz_nz = np.minimum(64 - bitlen, 31)
         low = x & (np.uint64(0) - x)
-        tz_nz = _bitlen(low) - 1
+        tz_nz = _bitlen64(low) - 1
         sig_nz = 64 - lz_nz - tz_nz
         lz[nz] = lz_nz.astype(np.uint64)
         tz[nz] = tz_nz.astype(np.uint64)

@@ -296,48 +296,38 @@ def build_tiers_onepass(
     out.write_parquet(staging, partition_cols=["tier", "part"])
     results: dict[str, list[int]] = {name: [] for name in tier_names}
     if os.path.isdir(staging):
-        todo = []
         for tdir in sorted(os.listdir(staging)):
             if not tdir.startswith("tier="):
                 continue
             tier = tdir.split("=", 1)[1]
-            for pdir in sorted(os.listdir(os.path.join(staging, tdir))):
+            tier_stage = os.path.join(staging, tdir)
+            # one columnar read yields every partition's stats at once
+            all_stats = store.bulk_partition_stats(tier_stage)
+            jobs = []
+            for pdir in sorted(os.listdir(tier_stage)):
                 if not pdir.startswith("part="):
                     continue
                 p = int(pdir.split("=", 1)[1])
                 if p in done_by_tier.get(tier, set()):
                     continue
-                todo.append((tier, p, os.path.join(staging, tdir, pdir)))
+                jobs.append(
+                    (p, os.path.join(tier_stage, pdir), all_stats.get(p, {}))
+                )
 
-        def commit_one(job):
-            tier, p, staged = job
-            stats = store.partition_stats_from_files(staged)
-            store.commit_partition(
-                tier,
-                p,
-                staged,
-                agg_type=",".join(methods),
-                lineage=json.dumps(
+            def lineage_fn(p, _tier=tier):
+                return json.dumps(
                     {
                         "inputs": lineage_inputs,
                         "engine_version": ENGINE_VERSION,
                         "partition": p,
                         "strategy": "onepass",
                     }
-                ),
-                stats=stats,
+                )
+
+            committed = store.commit_partitions_bulk(
+                tier, jobs, agg_type=",".join(methods), lineage_fn=lineage_fn
             )
-            return tier, p
-
-        # I/O-bound (footer reads + renames) -> thread pool; commits stay
-        # individually atomic (rename-then-manifest per partition)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            for tier, p in ex.map(commit_one, todo):
-                results[tier].append(p)
-        for name in results:
-            results[name].sort()
+            results[tier].extend(sorted(committed))
         shutil_rmtree(staging)
     # sweep any stale one-pass staging dirs from killed runs
     for d in os.listdir(out_root):

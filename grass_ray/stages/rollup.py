@@ -96,10 +96,24 @@ def rollup_batch(
     The nested form keeps the tier cascade, gap-fill and codec row-local.
     """
     n_tok = batch.column(n_tok_col).to_numpy(zero_copy_only=False)
-    values = _flat_tokens_f64(batch.column(tokens_col))
     seg_row, seg_window, seg_lengths, nwin = _window_layout(
         n_tok, gran, origin
     )
+    fast_ok = (
+        weights is None
+        and lo is None
+        and hi is None
+        and not propagate_nulls
+        and not quantiles
+        and set(methods) <= {"count", "sum", "minimum", "maximum", "average", "range"}
+        and pa.types.is_integer(batch.column(tokens_col).type.value_type)
+    )
+    if fast_ok:
+        results = _fast_int_reduce(batch.column(tokens_col), seg_lengths, methods)
+        return _emit(
+            batch, results, seg_row, seg_window, nwin, nested, key_cols, n_tok, gran
+        )
+    values = _flat_tokens_f64(batch.column(tokens_col))
     elem_weights = None
     if weights is not None:
         # one weight per window-local position (the r.series per-input
@@ -127,6 +141,80 @@ def rollup_batch(
         propagate_nulls=propagate_nulls,
         quantiles=quantiles,
     )
+    return _emit(
+        batch, results, seg_row, seg_window, nwin, nested, key_cols, n_tok, gran
+    )
+
+
+def _fast_int_reduce(tokens, seg_lengths, methods) -> dict[str, np.ndarray]:
+    """Decomposable reducers straight on int32 tokens + validity —
+    ~3x less memory traffic than the float64 path, same results
+    (integer sums are exact in both)."""
+    import pyarrow.compute as pc
+
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    flat = tokens.flatten()
+    valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+    vals = flat.fill_null(0).to_numpy(zero_copy_only=False)
+    starts = np.zeros(len(seg_lengths), dtype=np.int64)
+    np.cumsum(seg_lengths[:-1], out=starts[1:])
+    n = len(vals)
+    empty_seg = len(starts) == 0
+    cnt = (
+        np.add.reduceat(valid, starts, dtype=np.int64)
+        if not empty_seg
+        else np.empty(0, np.int64)
+    )
+    out: dict[str, np.ndarray] = {}
+    zero = cnt == 0
+    need = set(methods)
+    if {"sum", "average"} & need:
+        s = (
+            np.add.reduceat(vals, starts, dtype=np.int64)
+            if not empty_seg
+            else np.empty(0, np.int64)
+        ).astype(np.float64)
+        s[zero] = np.nan
+        if "sum" in need:
+            out["sum"] = s
+        if "average" in need:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out["average"] = s / cnt
+    if {"minimum", "range"} & need:
+        info = np.iinfo(vals.dtype)
+        mn = (
+            np.minimum.reduceat(np.where(valid, vals, info.max), starts)
+            if not empty_seg
+            else np.empty(0, vals.dtype)
+        ).astype(np.float64)
+        mn[zero] = np.nan
+    if {"maximum", "range"} & need:
+        info = np.iinfo(vals.dtype)
+        mx = (
+            np.maximum.reduceat(np.where(valid, vals, info.min), starts)
+            if not empty_seg
+            else np.empty(0, vals.dtype)
+        ).astype(np.float64)
+        mx[zero] = np.nan
+    ordered: dict[str, np.ndarray] = {}
+    for m in methods:
+        if m == "count":
+            ordered["count"] = cnt.astype(np.float64)
+        elif m == "sum":
+            ordered["sum"] = out["sum"]
+        elif m == "average":
+            ordered["average"] = out["average"]
+        elif m == "minimum":
+            ordered["minimum"] = mn
+        elif m == "maximum":
+            ordered["maximum"] = mx
+        elif m == "range":
+            ordered["range"] = mx - mn
+    return ordered
+
+
+def _emit(batch, results, seg_row, seg_window, nwin, nested, key_cols, n_tok, gran):
     out_names = list(results.keys())
     if not nested:
         cols: dict[str, pa.Array] = {}

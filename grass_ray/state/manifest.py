@@ -85,25 +85,35 @@ class TierStore:
             if d != "_manifest" and os.path.isdir(os.path.join(self.root, d))
         )
 
-    def committed_partitions(self, tier: str) -> set[int]:
+    def _manifest_files(self, tier: str) -> list[str]:
         d = self._manifest_dir(tier)
         if not os.path.isdir(d):
-            return set()
-        out = set()
-        for f in os.listdir(d):
-            if f.startswith("part=") and f.endswith(".parquet"):
-                out.add(int(f[len("part=") : -len(".parquet")]))
+            return []
+        return [
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    def committed_partitions(self, tier: str) -> set[int]:
+        out: set[int] = set()
+        for f in self._manifest_files(tier):
+            out.update(
+                pq.read_table(f, columns=["partition"])
+                .column("partition")
+                .to_pylist()
+            )
         return out
 
     def manifest(self, tier: str) -> pa.Table:
-        """All committed manifest rows for a tier (empty table if none)."""
-        d = self._manifest_dir(tier)
-        parts = sorted(self.committed_partitions(tier))
-        if not parts:
+        """All committed manifest rows for a tier (latest commit of a
+        partition wins; empty table if none)."""
+        files = self._manifest_files(tier)
+        if not files:
             return MANIFEST_SCHEMA.empty_table()
-        return pa.concat_tables(
-            [pq.read_table(self._manifest_row_path(tier, p)) for p in parts]
-        )
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        df = t.to_pandas().drop_duplicates("partition", keep="last")
+        return pa.Table.from_pandas(df, schema=MANIFEST_SCHEMA, preserve_index=False)
 
     def info(self, tier: str) -> dict:
         """`t.info`-style rollup of the tier manifest."""
@@ -177,6 +187,114 @@ class TierStore:
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:8]}.parquet")
         pq.write_table(row, tmp)
         os.rename(tmp, self._manifest_row_path(tier, p))
+
+    def commit_partitions_bulk(
+        self,
+        tier: str,
+        jobs: list,
+        *,
+        agg_type: str,
+        lineage_fn,
+    ) -> list[int]:
+        """Commit many partitions with ONE manifest file: rename every
+        staged dir into place, then write a single run manifest (tmp →
+        rename).  A crash between renames and the manifest write leaves
+        unmanifested dirs that the next run recomputes idempotently
+        (same contract as the per-partition path, amortized I/O).
+
+        jobs: [(partition, staged_dir, stats_dict), ...]
+        """
+        import time as _time
+
+        rows = []
+        for p, staged, stats in jobs:
+            final = self.partition_dir(tier, p)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.rename(staged, final)
+            stats = dict(stats or {})
+            rows.append(
+                {
+                    "tier": tier,
+                    "partition": p,
+                    "window_start": stats.get("window_start"),
+                    "window_end": stats.get("window_end"),
+                    "n_rows": stats.get("n_rows", 0),
+                    "n_points": stats.get("n_points", 0),
+                    "agg_type": agg_type,
+                    "vmin": stats.get("vmin"),
+                    "vmax": stats.get("vmax"),
+                    "lineage": lineage_fn(p),
+                    "done": True,
+                }
+            )
+        if not rows:
+            return []
+        mdir = self._manifest_dir(tier)
+        os.makedirs(mdir, exist_ok=True)
+        name = f"run-{_time.time_ns():020d}-{uuid.uuid4().hex[:6]}.parquet"
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:8]}")
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA), tmp
+        )
+        os.rename(tmp, os.path.join(mdir, name))
+        return [r["partition"] for r in rows]
+
+    def unregister_partition(self, tier: str, p: int):
+        """`t.unregister` analog: drop one partition's data + manifest
+        rows (manifest files are rewritten without the partition)."""
+        shutil.rmtree(self.partition_dir(tier, p), ignore_errors=True)
+        for f in self._manifest_files(tier):
+            t = pq.read_table(f)
+            mask = [v != p for v in t.column("partition").to_pylist()]
+            if all(mask):
+                continue
+            kept = t.filter(pa.array(mask))
+            tmp = f + f".tmp-{uuid.uuid4().hex[:6]}"
+            if kept.num_rows:
+                pq.write_table(kept, tmp)
+                os.rename(tmp, f)
+            else:
+                os.remove(f)
+
+    def bulk_partition_stats(self, tier_staging_dir: str) -> dict:
+        """Per-partition stats for a whole staged tier in ONE columnar
+        read (part from hive path + the scalar stat columns) instead of
+        per-partition footer walks."""
+        import pyarrow.dataset as pads
+
+        dsn = pads.dataset(tier_staging_dir, partitioning="hive")
+        want = [
+            c
+            for c in ("part", "n_points", "wstart", "wend", "vmin", "vmax")
+            if c in dsn.schema.names
+        ]
+        t = dsn.to_table(columns=want)
+        if "part" not in t.column_names or t.num_rows == 0:
+            return {}
+        agg = t.group_by("part").aggregate(
+            [
+                ("n_points", "sum"),
+                ("part", "count"),
+                ("wstart", "min"),
+                ("wend", "max"),
+                ("vmin", "min"),
+                ("vmax", "max"),
+            ]
+        )
+        out = {}
+        d = agg.to_pydict()
+        for i in range(agg.num_rows):
+            out[int(d["part"][i])] = {
+                "n_points": d["n_points_sum"][i] or 0,
+                "n_rows": d["part_count"][i],
+                "window_start": d["wstart_min"][i],
+                "window_end": d["wend_max"][i],
+                "vmin": d["vmin_min"][i],
+                "vmax": d["vmax_max"][i],
+            }
+        return out
 
     def partition_stats_from_files(self, staged_dir: str) -> dict:
         """Partition stats from Parquet footer statistics — no data scan.

@@ -83,11 +83,8 @@ def test_resume_skips_committed(ray_session, tier_root):
 
     # simulate a partially-failed earlier run: drop 3 partitions' commits
     dropped = sorted(committed)[:3]
-    import os
-
     for p in dropped:
-        shutil.rmtree(store.partition_dir("1m", p))
-        os.remove(store._manifest_row_path("1m", p))
+        store.unregister_partition("1m", p)
 
     res2 = build_tiers(
         ds, tier_root, tier_specs=(("1m", 60),), num_partitions=8
@@ -139,8 +136,7 @@ def test_onepass_partial_tier_resume(ray_session, tier_root):
     # simulate the crash: remove one partition's 1h+1d commits (1m stays)
     victim = sorted(store.committed_partitions("1h"))[0]
     for tier in ("1h", "1d"):
-        shutil.rmtree(store.partition_dir(tier, victim))
-        os.remove(store._manifest_row_path(tier, victim))
+        store.unregister_partition(tier, victim)
     res = build_tiers(ray.data.from_arrow(t), tier_root, docs_per_partition=10)
     assert res["1h"] == [victim] and res["1d"] == [victim]
     assert res["1m"] == []  # already committed -> skipped
