@@ -159,36 +159,79 @@ def encode_floats(values: np.ndarray) -> bytes:
     return head + _assemble_bits(all_len[keep], all_val[keep])
 
 
+def _extract_fields(words: np.ndarray, offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized big-endian bit-field extraction (inverse of
+    :func:`_assemble_bits`): field i = `lens[i]` bits at stream bit
+    offset `offs[i]`."""
+    w0 = (offs >> 6).astype(np.int64)
+    bitpos = (offs & 63).astype(np.uint64)
+    lens_u = lens.astype(np.uint64)
+    # take two consecutive words (second clamped at the end)
+    hi = words[w0]
+    w1 = np.minimum(w0 + 1, len(words) - 1)
+    lo = words[w1]
+    left = np.where(
+        bitpos > 0, hi << bitpos, hi
+    )  # shift out leading bits of word0
+    # bits spilling into word1
+    right = np.where(
+        bitpos > 0, lo >> (np.uint64(64) - bitpos), np.uint64(0)
+    )
+    merged = left | right
+    return merged >> (np.uint64(64) - lens_u)
+
+
 def decode_floats(data: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_floats` — bit-exact round trip."""
+    """Inverse of :func:`encode_floats` — bit-exact round trip.
+
+    Two-pass: a light sequential scan reads the control/header bits to
+    locate every payload, then one vectorized gather extracts all
+    payloads and a ``bitwise_xor.accumulate`` rebuilds the values.
+    """
     n = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
-    out = np.empty(n, dtype=np.uint64)
     if n == 0:
-        return out.view(np.float64)
-    bits = np.unpackbits(np.frombuffer(data[4:], dtype=np.uint8)).astype(np.uint64)
-    _SH = _SHIFTS
-
-    def read(pos, ln):
-        seg = bits[pos : pos + ln]
-        v = int((seg << _SH[64 - ln :]).sum())
-        return v, pos + ln
-
-    pos = 0
-    prev, pos = read(pos, 64)
-    out[0] = prev
+        return np.empty(0, dtype=np.float64)
+    body = data[4:]
+    pad = (-len(body)) % 8
+    if pad:
+        body = body + b"\x00" * pad
+    words = np.frombuffer(body, dtype=">u8").astype(np.uint64)
+    bits = np.unpackbits(np.frombuffer(data[4:], dtype=np.uint8))
+    offs = np.empty(n, dtype=np.int64)
+    lens = np.empty(n, dtype=np.int64)
+    tzs = np.empty(n, dtype=np.uint64)
+    # precompute the 11-bit header value at EVERY bit offset (11 shifted
+    # adds, no 2-D materialization) so the walk below is pure int lookups
+    if len(bits) >= 11:
+        m = len(bits) - 10
+        hdr_at = np.zeros(m, dtype=np.uint16)
+        b16 = bits.astype(np.uint16)
+        for k in range(11):
+            hdr_at += b16[k : m + k] << np.uint16(10 - k)
+        hdr_list = memoryview(hdr_at.tobytes()).cast("H")
+    else:
+        hdr_list = memoryview(b"").cast("H")
+    bit_list = memoryview(bits.tobytes())
+    # pass 1: walk ctrl/hdr bits (payload positions depend on prior sigs)
+    pos = 64
+    offs[0], lens[0], tzs[0] = 0, 64, 0
     for i in range(1, n):
-        ctrl = int(bits[pos]); pos += 1
-        if ctrl == 0:
-            out[i] = prev
+        if bit_list[pos] == 0:
+            pos += 1
+            offs[i], lens[i], tzs[i] = 0, 0, 0
             continue
-        hdr, pos = read(pos, 11)
-        lz = hdr >> 6
+        hdr = hdr_list[pos + 1]
         sig = (hdr & 0x3F) + 1
-        tz = 64 - lz - sig
-        payload, pos = read(pos, sig)
-        prev = prev ^ (payload << tz)  # plain python ints: 64-bit safe
-        out[i] = prev
-    return out.view(np.float64)
+        tzs[i] = 64 - (hdr >> 6) - sig
+        offs[i] = pos + 12
+        lens[i] = sig
+        pos += 12 + sig
+    # pass 2: vectorized extraction + xor prefix
+    has = lens > 0
+    xors = np.zeros(n, dtype=np.uint64)
+    if has.any():
+        xors[has] = _extract_fields(words, offs[has], lens[has]) << tzs[has]
+    return np.bitwise_xor.accumulate(xors).view(np.float64)
 
 
 _DOD_BUCKETS = (
@@ -250,49 +293,64 @@ def encode_windows(windows: np.ndarray) -> bytes:
 
 
 def decode_windows(data: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_windows`."""
+    """Inverse of :func:`encode_windows`.
+
+    Sequential control-bit walk (memoryview lookups) to locate the
+    delta-of-delta payloads, then vectorized extraction and a double
+    cumulative sum to rebuild the window ids.
+    """
     n = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
-    out = np.empty(n, dtype=np.int64)
     if n == 0:
-        return out
-    bits = np.unpackbits(np.frombuffer(data[4:], dtype=np.uint8)).astype(np.uint64)
-    _SH = _SHIFTS
-
-    def read(pos, ln):
-        seg = bits[pos : pos + ln]
-        v = int((seg << _SH[64 - ln :]).sum())
-        return v, pos + ln
-
-    pos = 0
-    v0, pos = read(pos, 64)
-    out[0] = np.uint64(v0).astype(np.int64)
-    if n == 1:
-        return out
-    dv, pos = read(pos, 64)
-    d = int(np.uint64(dv).astype(np.int64))
-    out[1] = out[0] + d
+        return np.empty(0, dtype=np.int64)
+    body = data[4:]
+    pad = (-len(body)) % 8
+    if pad:
+        body = body + b"\x00" * pad
+    words = np.frombuffer(body, dtype=">u8").astype(np.uint64)
+    bits = np.unpackbits(np.frombuffer(data[4:], dtype=np.uint8))
+    bl = memoryview(bits.tobytes())
+    offs = np.zeros(n, dtype=np.int64)
+    lens = np.zeros(n, dtype=np.int64)
+    bias = np.zeros(n, dtype=np.int64)
+    offs[0], lens[0] = 0, 64
+    pos = 64
+    if n >= 2:
+        offs[1], lens[1] = 64, 64
+        pos = 128
     for i in range(2, n):
-        if bits[pos] == 0:
+        if bl[pos] == 0:
             pos += 1
+            continue
+        if bl[pos + 1] == 0:
+            offs[i], lens[i], bias[i] = pos + 2, 7, -63
+            pos += 9
+        elif bl[pos + 2] == 0:
+            offs[i], lens[i], bias[i] = pos + 3, 9, -255
+            pos += 12
+        elif bl[pos + 3] == 0:
+            offs[i], lens[i], bias[i] = pos + 4, 12, -2047
+            pos += 16
         else:
-            if bits[pos + 1] == 0:
-                pos += 2
-                p, pos = read(pos, 7)
-                d += p - 63
-            elif bits[pos + 2] == 0:
-                pos += 3
-                p, pos = read(pos, 9)
-                d += p - 255
-            elif bits[pos + 3] == 0:
-                pos += 4
-                p, pos = read(pos, 12)
-                d += p - 2047
-            else:
-                pos += 4
-                p, pos = read(pos, 64)
-                d += int(np.uint64(p).astype(np.int64))
-        out[i] = out[i - 1] + d
+            offs[i], lens[i] = pos + 4, 64
+            pos += 68
+    has = lens > 0
+    raw = np.zeros(n, dtype=np.uint64)
+    raw[has] = _extract_fields(words, offs[has], lens[has])
+    out = np.zeros(n, dtype=np.int64)
+    out[0] = raw[0].astype(np.int64) if n else 0
+    if n == 1:
+        return out[:1]
+    # element 1 is the raw first delta; elements >= 2 are dod values
+    dod = raw.view(np.int64).copy()
+    small = has & (lens < 64)
+    dod[small] = raw[small].astype(np.int64) + bias[small]
+    dod[~has] = 0
+    deltas = dod.copy()
+    deltas[0] = 0
+    np.cumsum(deltas[1:], out=deltas[1:])  # delta_i for i>=1
+    out[1:] = out[0] + np.cumsum(deltas[1:])
     return out
+
 
 
 # ---------------------------------------------------------------------------
