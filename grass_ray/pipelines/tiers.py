@@ -449,3 +449,93 @@ def read_tier(
             concurrency=(1, 4),
         )
     return ds
+
+
+def build_tiers_waves(
+    corpus_dir: str,
+    out_root: str,
+    *,
+    tier_specs=(("1m", 60), ("1h", 60), ("1d", 24)),
+    methods=TIER_METHODS,
+    docs_per_partition: int = 2000,
+    partitions_per_wave: int = 64,
+    resume: bool = True,
+    lineage_inputs: str | None = None,
+):
+    """Checkpointed tier build: partitions are processed in WAVES, each
+    wave a complete one-pass build over only the input files whose doc
+    range overlaps it (Parquet footer min/max of ``doc_id``).
+
+    This bounds the blast radius of a failure to one wave (the plain
+    one-pass build commits only at the end of the whole run) and bounds
+    re-read amplification to the files straddling wave boundaries — the
+    long-running-100TB-job shape: kill it anywhere, rerun, and only the
+    in-flight wave recomputes.  Returns {tier: [committed partitions]}.
+    """
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from grass_ray.state.manifest import _parquet_files
+
+    files = _parquet_files(corpus_dir)
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        schema_names = md.schema.to_arrow_schema().names
+        ci = {n: i for i, n in enumerate(schema_names)}
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci["doc_id"]).statistics
+            if st is None or not st.has_min_max:
+                lo = None
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode(), mx.decode()
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if lo is None:
+            # no stats: file belongs to every wave
+            ranges.append((f, 0, 1 << 62))
+        else:
+            ranges.append((f, int(lo[1:]), int(hi[1:])))
+    if not ranges:
+        return {name: [] for name, _ in tier_specs}
+    max_doc = max(hi for _, _, hi in ranges)
+    n_parts = max_doc // docs_per_partition + 1
+    results: dict[str, list[int]] = {name: [] for name, _ in tier_specs}
+    wave_start = 0
+    while wave_start < n_parts:
+        wave_end = min(wave_start + partitions_per_wave, n_parts)
+        doc_lo = wave_start * docs_per_partition
+        doc_hi = wave_end * docs_per_partition  # exclusive
+        wave_files = [
+            f for f, lo, hi in ranges if hi >= doc_lo and lo < doc_hi
+        ]
+        if wave_files:
+            ds = ray.data.read_parquet(wave_files)
+
+            def clip(batch, _lo=doc_lo, _hi=doc_hi):
+                ids = batch.column("doc_id").to_pylist()
+                keep = pa.array(
+                    [(_lo <= int(s[1:]) < _hi) for s in ids]
+                )
+                return batch.filter(keep)
+
+            ds = ds.map_batches(clip, batch_format="pyarrow")
+            wave_res = build_tiers_onepass(
+                ds,
+                out_root,
+                tier_specs=tier_specs,
+                methods=methods,
+                resume=resume,
+                lineage_inputs=lineage_inputs
+                or f"{corpus_dir}[{doc_lo}:{doc_hi}]",
+                partitioning="range",
+                docs_per_partition=docs_per_partition,
+            )
+            for name, parts in wave_res.items():
+                results[name].extend(parts)
+        wave_start = wave_end
+    return results

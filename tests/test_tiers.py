@@ -230,3 +230,46 @@ def test_empty_doc_through_pipeline(ray_session, tier_root):
     out = read_tier(store, "1m").to_pandas().set_index("doc_id")
     assert list(out.loc["d0000000", "windows"]) == []
     assert list(out.loc["d0000001", "sum"]) == [11.0, 7.0]
+
+
+def test_build_tiers_waves_and_kill_resume(ray_session, tier_root, tmp_path):
+    """Wave builds commit incrementally; resume skips finished waves."""
+    import ray.data
+    from grass_ray.pipelines.tiers import build_tiers_waves
+
+    corpus_dir = str(tmp_path / "wavecorpus")
+    t = synth_corpus_table(120, seed=77, n_tok=120)
+    # write as several files so footer ranges drive wave selection
+    ray.data.from_arrow(t).repartition(6).write_parquet(corpus_dir)
+    res = build_tiers_waves(
+        corpus_dir, tier_root, docs_per_partition=10, partitions_per_wave=4
+    )
+    store = TierStore(tier_root)
+    assert store.info("1m")["n_rows"] == 120
+    assert sorted(res["1m"]) == sorted(store.committed_partitions("1m"))
+
+    # drop a mid-range partition (simulated partial wave) and resume
+    store.unregister_partition("1m", 5)
+    store.unregister_partition("1h", 5)
+    store.unregister_partition("1d", 5)
+    res2 = build_tiers_waves(
+        corpus_dir, tier_root, docs_per_partition=10, partitions_per_wave=4
+    )
+    assert res2["1m"] == [5]
+    assert store.info("1m")["n_rows"] == 120  # no double count
+    # direct equality of the repaired partition against fresh rollup
+    out = (
+        read_tier(store, "1m")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    direct = (
+        rollup_batch(t, 60, ("count", "sum", "minimum", "maximum", "average"), nested=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == list(direct["doc_id"])
+    for a, b in zip(out["sum"], direct["sum"]):
+        assert list(a) == list(b)
