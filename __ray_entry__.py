@@ -369,6 +369,46 @@ def _q_accum(sf_dir: str) -> pa.Table:
     return _round6_col(t, "accum")
 
 
+def _q_univar_zones(sf_dir: str) -> pa.Table:
+    """r.univar zones= analog: stats per source over every doc's tokens
+    — the cross-key shuffle plan (tokens leave their rows)."""
+    from grass_ray.stages.grouped import rollup_points_holistic
+    from grass_ray.stages.rollup import explode_tokens
+
+    pts = explode_tokens(_corpus(sf_dir))
+    out = rollup_points_holistic(
+        pts,
+        key_cols=("source",),
+        pos_col="pos",
+        val_col="token",
+        gran=1 << 40,
+        methods=("count", "sum", "minimum", "maximum", "average", "median", "stddev"),
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = t.drop_columns(["window"])
+    t = _rename(
+        t,
+        {
+            "count": "cnt",
+            "sum": "sum_tok",
+            "minimum": "min_tok",
+            "maximum": "max_tok",
+            "average": "avg_tok",
+            "median": "med_tok",
+            "stddev": "sd_tok",
+        },
+    )
+    # count arrives as float from the holistic kernel: normalize to int
+    import pyarrow.compute as pc
+
+    t = t.set_column(
+        t.column_names.index("cnt"),
+        "cnt",
+        pc.cast(t.column("cnt"), pa.int64()),
+    )
+    return _round6_col(t, "sd_tok")
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -533,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_stats": _q_series,
         "series_holistic": _q_series_holistic,
         "univar": _q_univar,
+        "univar_zones": _q_univar_zones,
         "events_1h": _q_events_1h,
         "events_salted": _q_events_salted,
         "events_monthly": _q_events_monthly,
@@ -652,6 +693,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(token) AS DOUBLE) AS sum_tok,
                    CAST(sum(abs(token)) AS DOUBLE) AS sum_abs
             FROM tok GROUP BY 1, 2
+        """,
+        "univar_zones": f"""
+            WITH tok AS ({tok})
+            SELECT source,
+                   CAST(count(token) AS BIGINT) AS cnt,
+                   CAST(sum(token) AS DOUBLE) AS sum_tok,
+                   CAST(min(token) AS DOUBLE) AS min_tok,
+                   CAST(max(token) AS DOUBLE) AS max_tok,
+                   avg(token) AS avg_tok,
+                   median(token) AS med_tok,
+                   {r6.format("stddev_pop(token)")} AS sd_tok
+            FROM tok GROUP BY 1
         """,
         "events_1h": f"""
             SELECT event_type, epoch_us(ts) // 3600000000 AS "window",

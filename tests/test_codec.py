@@ -123,3 +123,39 @@ def test_batched_empty_rows():
     assert np.array_equal(decode_floats(blobs[0]), np.empty(0))
     assert np.array_equal(decode_floats(blobs[1]), np.array([1.0, 2.0]))
     assert np.array_equal(decode_floats(blobs[2]), np.empty(0))
+
+
+# ---- property-based round trips (hypothesis) ------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+                st.integers(-(2**40), 2**40).map(float),
+            ),
+            min_size=0,
+            max_size=200,
+        )
+    )
+    def test_floats_roundtrip_property(vals):
+        arr = np.asarray(vals, dtype=np.float64)
+        out = decode_floats(encode_floats(arr))
+        assert np.array_equal(out.view(np.uint64), arr.view(np.uint64))
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(-(2**50), 2**50), min_size=0, max_size=200
+        )
+    )
+    def test_windows_roundtrip_property(vals):
+        arr = np.asarray(vals, dtype=np.int64)
+        out = decode_windows(encode_windows(arr))
+        assert np.array_equal(out, arr)
+
+except ImportError:  # pragma: no cover
+    pass
