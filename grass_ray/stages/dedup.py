@@ -143,13 +143,13 @@ def minhash_candidates(ds, *, num_perm=64, bands=16, k_shingle=5, id_col="doc_id
     cand = band_rows.groupby(["band", "band_hash"]).map_groups(
         pairs, batch_format="pyarrow"
     )
-    # dedupe pairs produced by multiple buckets
-    def first(batch: pa.Table) -> pa.Table:
-        return batch.slice(0, 1)
+    # dedupe pairs produced by multiple buckets: the candidate set is
+    # tiny relative to the corpus (that's the point of LSH), so a
+    # driver-side distinct beats a second cluster shuffle
+    df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    import ray.data
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        first, batch_format="pyarrow"
-    )
+    return ray.data.from_pandas(df.reset_index(drop=True))
 
 
 def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_col="doc_id", text_col="text"):
@@ -302,8 +302,7 @@ def simhash_candidates(ds, *, max_hamming=3, id_col="doc_id", text_col="text"):
     cand = rows.groupby(["band", "band_key"]).map_groups(
         pairs, batch_format="pyarrow"
     )
+    df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    import ray.data
 
-    def first(batch: pa.Table) -> pa.Table:
-        return batch.slice(0, 1)
-
-    return cand.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pyarrow")
+    return ray.data.from_pandas(df.reset_index(drop=True))

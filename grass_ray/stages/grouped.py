@@ -66,11 +66,14 @@ def _window_col(pos_col: str, gran: int, origin: int = 0):
     def add(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        pos = pc.cast(batch.column(pos_col), pa.int64())
-        w = pc.floor(
-            pc.divide(pc.cast(pc.add(pos, origin), pa.float64()), gran)
+        pos = (
+            pc.cast(batch.column(pos_col), pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
-        return batch.append_column("window", pc.cast(w, pa.int64()))
+        # integer floor division: exact for the full int64 range (the
+        # float-floor shortcut silently loses precision past 2^53)
+        w = np.floor_divide(pos + origin, gran)
+        return batch.append_column("window", pa.array(w, type=pa.int64()))
 
     return add
 
