@@ -1,0 +1,218 @@
+"""Command-line surface — the engine's analog of the reference's
+per-module CLIs (``t.rast.aggregate``, ``t.info``, ``t.rast.list``,
+``t.rast.export`` ...).  Every subcommand owns its Ray session (guarded
+init; never initialised when imported as a library).
+
+Examples::
+
+    python -m grass_ray build  --corpus /data/corpus --out /data/tiers
+    python -m grass_ray info   --store /data/tiers --tier 1m
+    python -m grass_ray list   --store /data/tiers --tier 1h --fmt csv --limit 20
+    python -m grass_ray gapfill --store /data/tiers --tier 1m --out /data/filled
+    python -m grass_ray export --store /data/tiers --tier 1d --dest /backup/1d
+    python -m grass_ray merge  --store /data/tiers --sources 1m minute2 --dest merged
+    python -m grass_ray topology --store /data/tiers --tier 1m
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args):
+    ray = _ray()
+    from grass_ray.pipelines.tiers import build_tiers, build_tiers_waves
+
+    tier_specs = tuple(
+        (name, int(f)) for name, f in (s.split(":") for s in args.tiers)
+    )
+    if args.waves:
+        res = build_tiers_waves(
+            args.corpus,
+            args.out,
+            tier_specs=tier_specs,
+            docs_per_partition=args.docs_per_partition,
+            partitions_per_wave=args.waves,
+        )
+    else:
+        import ray.data
+
+        res = build_tiers(
+            ray.data.read_parquet(args.corpus),
+            args.out,
+            tier_specs=tier_specs,
+            docs_per_partition=args.docs_per_partition,
+        )
+    print(json.dumps({t: len(p) for t, p in res.items()}))
+    ray.shutdown()
+
+
+def cmd_info(args):
+    from grass_ray.state.manifest import TierStore
+
+    store = TierStore(args.store)
+    tiers = [args.tier] if args.tier else store.tiers()
+    out = {t: store.info(t) for t in tiers}
+    for t in tiers:
+        md = store.get_metadata(t)
+        if md:
+            out[t]["metadata"] = md
+    print(json.dumps(out, indent=2, default=str))
+
+
+def cmd_list(args):
+    ray = _ray()
+    from grass_ray.pipelines.catalog import list_tier
+    from grass_ray.state.manifest import TierStore
+
+    res = list_tier(
+        TierStore(args.store),
+        args.tier,
+        fmt=args.fmt,
+        limit=args.limit,
+    )
+    if args.fmt == "table":
+        print(res.to_pandas().to_string(index=False))
+    else:
+        print(res)
+    ray.shutdown()
+
+
+def cmd_gapfill(args):
+    ray = _ray()
+    from grass_ray.pipelines.tiers import read_tier
+    from grass_ray.stages.gapfill import gapfill
+    from grass_ray.state.manifest import TierStore
+
+    ds = read_tier(TierStore(args.store), args.tier)
+    gapfill(ds, value_cols=tuple(args.value_cols)).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+
+
+def cmd_export(args):
+    from grass_ray.pipelines.catalog import export_tier
+    from grass_ray.state.manifest import TierStore
+
+    print(export_tier(TierStore(args.store), args.tier, args.dest))
+
+
+def cmd_import(args):
+    from grass_ray.pipelines.catalog import import_tier
+    from grass_ray.state.manifest import TierStore
+
+    parts = import_tier(TierStore(args.store), args.src, args.tier)
+    print(json.dumps({"tier": args.tier, "partitions": len(parts)}))
+
+
+def cmd_merge(args):
+    ray = _ray()
+    from grass_ray.pipelines.catalog import merge_tiers
+    from grass_ray.state.manifest import TierStore
+
+    parts = merge_tiers(TierStore(args.store), args.sources, args.dest)
+    print(json.dumps({"dest": args.dest, "partitions": len(parts)}))
+    ray.shutdown()
+
+
+def cmd_remove(args):
+    from grass_ray.state.manifest import TierStore
+
+    TierStore(args.store).remove_tier(args.tier)
+    print(json.dumps({"removed": args.tier}))
+
+
+def cmd_topology(args):
+    ray = _ray()
+    from grass_ray.pipelines.tiers import read_tier
+    from grass_ray.stages.sample import topology_report
+    from grass_ray.state.manifest import TierStore
+
+    rep = topology_report(read_tier(TierStore(args.store), args.tier))
+    print(json.dumps(rep, default=str))
+    ray.shutdown()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="grass_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build retention tiers from a corpus")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--tiers", nargs="+", default=["1m:60", "1h:60", "1d:24"])
+    b.add_argument("--docs-per-partition", type=int, default=2000)
+    b.add_argument("--waves", type=int, default=0, help="partitions per wave (0 = single pass)")
+    b.set_defaults(fn=cmd_build)
+
+    i = sub.add_parser("info", help="tier catalog info (t.info)")
+    i.add_argument("--store", required=True)
+    i.add_argument("--tier")
+    i.set_defaults(fn=cmd_info)
+
+    l = sub.add_parser("list", help="list tier keys (t.rast.list)")
+    l.add_argument("--store", required=True)
+    l.add_argument("--tier", required=True)
+    l.add_argument("--fmt", default="table", choices=["table", "csv", "json"])
+    l.add_argument("--limit", type=int, default=20)
+    l.set_defaults(fn=cmd_list)
+
+    g = sub.add_parser("gapfill", help="gap-fill a tier (t.rast.gapfill)")
+    g.add_argument("--store", required=True)
+    g.add_argument("--tier", required=True)
+    g.add_argument("--out", required=True)
+    g.add_argument("--value-cols", nargs="+", default=["average"])
+    g.set_defaults(fn=cmd_gapfill)
+
+    e = sub.add_parser("export", help="export a tier (t.rast.export)")
+    e.add_argument("--store", required=True)
+    e.add_argument("--tier", required=True)
+    e.add_argument("--dest", required=True)
+    e.set_defaults(fn=cmd_export)
+
+    im = sub.add_parser("import", help="import a tier (t.rast.import)")
+    im.add_argument("--store", required=True)
+    im.add_argument("--src", required=True)
+    im.add_argument("--tier", required=True)
+    im.set_defaults(fn=cmd_import)
+
+    m = sub.add_parser("merge", help="merge tiers (t.merge)")
+    m.add_argument("--store", required=True)
+    m.add_argument("--sources", nargs="+", required=True)
+    m.add_argument("--dest", required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    r = sub.add_parser("remove", help="remove a tier (t.remove)")
+    r.add_argument("--store", required=True)
+    r.add_argument("--tier", required=True)
+    r.set_defaults(fn=cmd_remove)
+
+    t = sub.add_parser("topology", help="gap/granularity report (t.topology)")
+    t.add_argument("--store", required=True)
+    t.add_argument("--tier", required=True)
+    t.set_defaults(fn=cmd_topology)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
