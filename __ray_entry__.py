@@ -524,6 +524,40 @@ def _q_langid_quality(sf_dir: str) -> pa.Table:
     )
 
 
+_STRATA = {"src0": 1.0, "src1": 0.5}
+
+
+def _q_sample_stratified(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.curate import sample_stratified
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    out = sample_stratified(ds, _STRATA, default_rate=0.1)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_pack_sequences(sf_dir: str) -> pa.Table:
+    from grass_ray.stages.curate import pack_sequences
+
+    out = pack_sequences(_corpus(sf_dir), block_len=1024)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["block_id", "n_tok", "n_docs"])
+
+
+def _q_curate(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from grass_ray.stages.curate import curate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    packed, _report = curate(ds, min_quality=0.2, dedup_threshold=0.7, block_len=1024)
+    t = pa.Table.from_pandas(packed.to_pandas(), preserve_index=False)
+    return t.select(["block_id", "n_tok", "n_docs"])
+
+
 def _q_multimodal(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -587,8 +621,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accumulate_running": _q_accum,
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
+        "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
+        "pack_sequences": _q_pack_sequences,
+        "curate_pipeline": _q_curate,
         "minhash_dedup": _q_minhash,
         "simhash_candidates": _q_simhash,
         "ann_topk": _q_ann,
@@ -853,6 +890,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id = (
                 SELECT min(doc_id) FROM documents d2 WHERE d2.text = d.text
             )
+        """,
+        "sample_stratified": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id % 100 < CASE source
+                WHEN 'src0' THEN 100
+                WHEN 'src1' THEN 50
+                ELSE 10 END
         """,
         "token_counts": """
             SELECT doc_id,

@@ -1,0 +1,185 @@
+"""Training-data curation ops: stratified sampling, sequence packing,
+and the composed curation pipeline (analyze → filter → dedup → pack).
+
+These are the engine-native operations a large-scale training-data
+pipeline needs on top of the TGRASS surface (north rule: first-class
+components).  All deterministic — a rerun reproduces the same sample,
+packs, and survivors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def sample_stratified(ds, rates: dict, *, default_rate: float = 0.0, key_col: str = "source", id_col: str = "doc_id"):
+    """Deterministic per-stratum sampling: keep a row iff
+    ``doc_index % 100 < rates[source]*100``.
+
+    Rates are percentages per source (broadcast once); the modulus rule
+    makes the sample reproducible and SQL-expressible — no RNG state
+    shipped to workers.
+    """
+    import ray
+
+    pct = {k: int(round(v * 100)) for k, v in rates.items()}
+    ref = ray.put((pct, int(round(default_rate * 100))))
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        p, dflt = ray.get(ref)
+        srcs = batch.column(key_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        keep = pa.array(
+            [
+                (int(i[1:]) if isinstance(i, str) else int(i)) % 100
+                < p.get(s, dflt)
+                for s, i in zip(srcs, ids)
+            ]
+        )
+        return batch.filter(keep)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds,
+    block_len: int = 2048,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    drop_remainder: bool = False,
+):
+    """Greedy sequence packing into fixed-length training blocks.
+
+    Documents are concatenated in order and cut into `block_len` token
+    blocks; each output row carries the packed tokens plus the doc spans
+    (doc_id, start offset within block, length) so attention masking can
+    respect document boundaries.  Packing is per input block — blocks
+    pack independently (the standard distributed-packing tradeoff: at
+    most one padded/short block per Ray block instead of a global
+    shuffle).  NULL tokens are dropped before packing (they are masked
+    positions, not trainable tokens).
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        valid = flat.is_valid().to_numpy(zero_copy_only=False)
+        vals = flat.fill_null(0).to_numpy(zero_copy_only=False)
+        lens = np.asarray(col.value_lengths().to_numpy(zero_copy_only=False)).astype(np.int64)
+        ids = batch.column(id_col).to_pylist()
+        # drop nulls, tracking per-doc kept lengths
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        kept_lens = (
+            np.add.reduceat(valid.astype(np.int64), starts[lens > 0])
+            if (lens > 0).any()
+            else np.empty(0, np.int64)
+        )
+        all_kept = np.zeros(len(lens), dtype=np.int64)
+        all_kept[lens > 0] = kept_lens
+        stream = vals[valid]
+        total = len(stream)
+        n_blocks = total // block_len if drop_remainder else (total + block_len - 1) // block_len
+
+        block_tokens = []
+        spans_block, spans_doc, spans_start, spans_len = [], [], [], []
+        # doc boundaries in the concatenated stream
+        doc_ends = np.cumsum(all_kept)
+        doc_starts = doc_ends - all_kept
+        for b in range(n_blocks):
+            lo, hi = b * block_len, min((b + 1) * block_len, total)
+            block_tokens.append(stream[lo:hi].astype(np.int32))
+            # docs overlapping [lo, hi)
+            first = int(np.searchsorted(doc_ends, lo, side="right"))
+            d = first
+            while d < len(ids) and doc_starts[d] < hi:
+                s = max(int(doc_starts[d]), lo) - lo
+                e = min(int(doc_ends[d]), hi) - lo
+                if e > s:
+                    spans_block.append(b)
+                    spans_doc.append(ids[d])
+                    spans_start.append(s)
+                    spans_len.append(e - s)
+                d += 1
+        offsets = pa.array(
+            np.concatenate(
+                [[0], np.cumsum([len(t) for t in block_tokens])]
+            ).astype(np.int32)
+        )
+        flat_out = (
+            np.concatenate(block_tokens) if block_tokens else np.empty(0, np.int32)
+        )
+        blocks_t = pa.table(
+            {
+                "block_id": pa.array(np.arange(n_blocks, dtype=np.int64)),
+                "tokens": pa.ListArray.from_arrays(
+                    offsets, pa.array(flat_out, type=pa.int32())
+                ),
+                "n_tok": pa.array(
+                    np.array([len(t) for t in block_tokens], dtype=np.int32)
+                ),
+                "n_docs": pa.array(
+                    np.bincount(
+                        np.array(spans_block, dtype=np.int64), minlength=n_blocks
+                    ).astype(np.int32)
+                    if n_blocks
+                    else np.empty(0, np.int32)
+                ),
+            }
+        )
+        return blocks_t
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=512)
+
+
+def curate(
+    ds,
+    *,
+    min_quality: float = 0.3,
+    lang: str | None = None,
+    dedup_threshold: float = 0.85,
+    block_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The composed curation pipeline over a documents table:
+
+    analyze (actor pool) → quality/lang filter → exact dedup →
+    MinHash near-dedup → tokenize (deterministic corpus derivation) →
+    pack into training blocks.
+
+    Returns (packed_blocks_ds, report dict).
+    """
+    import pyarrow.compute as pc
+
+    from grass_ray.sources.corpus import make_corpus_batch
+    from grass_ray.stages.dedup import exact_dedup, minhash_dedup
+    from grass_ray.stages.text_stage import analyze_text
+
+    report: dict = {}
+    analyzed = analyze_text(ds, features=("lang", "quality"))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("quality_score"), min_quality)
+        if lang:
+            m = pc.and_(m, pc.equal(batch.column("lang_pred"), lang))
+        return batch.filter(m)
+
+    filtered = analyzed.map_batches(keep, batch_format="pyarrow")
+    deduped = exact_dedup(filtered, col=text_col, id_col=id_col)
+    kept, pairs = minhash_dedup(
+        deduped, threshold=dedup_threshold, id_col=id_col, text_col=text_col
+    )
+    report["near_dup_pairs"] = pairs.num_rows
+    corpus = kept.map_batches(
+        lambda b: make_corpus_batch(
+            b.select(["doc_id", "source", "n_chars"])
+        ),
+        batch_format="pyarrow",
+    )
+    packed = pack_sequences(corpus, block_len=block_len)
+    return packed, report

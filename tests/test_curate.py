@@ -1,0 +1,76 @@
+"""Curation ops: stratified sampling, sequence packing, composed pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from grass_ray.sources.corpus import synth_corpus_table
+from grass_ray.stages.curate import curate, pack_sequences, sample_stratified
+
+
+def test_sample_stratified_deterministic(ray_session):
+    import ray.data
+
+    t = synth_corpus_table(200, seed=9, n_tok=50)
+    ds = ray.data.from_arrow(t)
+    rates = {"src0": 1.0, "src1": 0.5}
+    out1 = sample_stratified(ds, rates, default_rate=0.1).to_pandas()
+    out2 = sample_stratified(
+        ray.data.from_arrow(t), rates, default_rate=0.1
+    ).to_pandas()
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])  # reproducible
+    # all src0 kept; others follow the modulus rule
+    df = t.to_pandas()
+    src0 = set(df[df["source"] == "src0"]["doc_id"])
+    assert src0 <= set(out1["doc_id"])
+    for _, r in out1.iterrows():
+        idx = int(r["doc_id"][1:])
+        rate = {"src0": 100, "src1": 50}.get(r["source"], 10)
+        assert idx % 100 < rate
+
+
+def test_pack_sequences_spans_and_nulls(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "tokens": pa.array(
+                [[1, 2, 3], [4, None, 5, 6], [7, 8]], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([3, 4, 2], type=pa.int32()),
+            "source": pa.array(["s"] * 3),
+        }
+    )
+    out = pack_sequences(ray.data.from_arrow(t), block_len=4).to_pandas()
+    out = out.sort_values("block_id").reset_index(drop=True)
+    # stream after null drop: 1,2,3,4,5,6,7,8 -> blocks [1..4], [5..8]
+    assert len(out) == 2
+    assert list(out["tokens"][0]) == [1, 2, 3, 4]
+    assert list(out["tokens"][1]) == [5, 6, 7, 8]
+    assert list(out["n_tok"]) == [4, 4]
+    # block 0 spans docs a(3)+b(1); block 1 spans b(2)+c(2)
+    assert list(out["n_docs"]) == [2, 2]
+
+
+def test_pack_drop_remainder(ray_session):
+    import ray.data
+
+    t = synth_corpus_table(10, seed=4, n_tok=100)
+    full = pack_sequences(
+        ray.data.from_arrow(t), block_len=64, drop_remainder=True
+    ).to_pandas()
+    assert (full["n_tok"] == 64).all()
+
+
+def test_curate_pipeline(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    packed, report = curate(ds, min_quality=0.2, dedup_threshold=0.7, block_len=512)
+    df = packed.to_pandas()
+    assert len(df) > 0
+    assert (df["n_tok"] <= 512).all()
+    assert "near_dup_pairs" in report
