@@ -361,24 +361,54 @@ def decode_windows(data: bytes) -> np.ndarray:
 def _split_rows(buf: bytes, lengths: np.ndarray, row_bits: np.ndarray) -> list[bytes]:
     """Cut the shared padded bitstream into per-row blobs with n headers."""
     byte_off = np.concatenate([[0], np.cumsum(row_bits // 8)])
-    out = []
-    for i, n in enumerate(lengths):
-        head = np.uint32(n).tobytes()
-        out.append(head + buf[int(byte_off[i]) : int(byte_off[i + 1])])
-    return out
+    heads = np.ascontiguousarray(lengths, dtype="<u4").tobytes()
+    return [
+        heads[4 * i : 4 * i + 4] + buf[int(byte_off[i]) : int(byte_off[i + 1])]
+        for i in range(len(lengths))
+    ]
 
 
-def encode_floats_batched(flat: np.ndarray, lengths: np.ndarray) -> list[bytes]:
-    """Encode many rows at once: same per-row format as
-    :func:`encode_floats` (each row's stream padded to a byte boundary),
-    but every numpy pass runs over the whole flat column — per-row
-    Python overhead is one byte-slice, nothing else."""
+def _split_rows_arrow(buf: bytes, lengths: np.ndarray, row_bits: np.ndarray):
+    """Like :func:`_split_rows` but emits a zero-python-loop Arrow
+    BinaryArray: one contiguous output buffer built with two vectorized
+    byte scatters (headers, payloads) + offsets."""
+    import pyarrow as pa
+
+    nrows = len(lengths)
+    row_bytes = (row_bits // 8).astype(np.int64)
+    blob_lens = row_bytes + 4
+    out_off = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(blob_lens, out=out_off[1:])
+    total = int(out_off[-1])
+    out = np.empty(total, dtype=np.uint8)
+    # headers: 4 little-endian bytes at each row start
+    heads = np.ascontiguousarray(lengths, dtype="<u4").view(np.uint8).reshape(-1, 4)
+    head_pos = out_off[:-1]
+    for k in range(4):
+        out[head_pos + k] = heads[:, k]
+    # payloads: source bytes are contiguous; destination index is the
+    # source index shifted by 4*(row_index+1)
+    src_arr = np.frombuffer(buf, dtype=np.uint8)[: int(row_bytes.sum())]
+    if len(src_arr):
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), row_bytes)
+        dst = np.arange(len(src_arr), dtype=np.int64) + 4 * (row_of + 1)
+        out[dst] = src_arr
+    return pa.Array.from_buffers(
+        pa.binary(),
+        nrows,
+        [None, pa.py_buffer(out_off.astype(np.int32).tobytes()), pa.py_buffer(out.tobytes())],
+    )
+
+
+def _encode_floats_core(flat: np.ndarray, lengths: np.ndarray):
+    """Shared body of the batched float encoders: returns the packed
+    shared bitstream + per-row (byte-aligned) bit lengths."""
     flat = np.ascontiguousarray(flat, dtype=np.float64)
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(flat)
     nrows = len(lengths)
     if n == 0:
-        return [encode_floats(flat[0:0]) for _ in range(nrows)]
+        return b"", np.zeros(nrows, dtype=np.int64)
     starts = np.zeros(nrows, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     is_first = np.zeros(n, dtype=bool)
@@ -441,18 +471,17 @@ def encode_floats_batched(flat: np.ndarray, lengths: np.ndarray) -> list[bytes]:
     row_bits_padded = row_bits + pad
     keep = all_len > 0
     buf = _assemble_bits(all_len[keep], all_val[keep])
-    return _split_rows(buf, lengths, row_bits_padded)
+    return buf, row_bits_padded
 
 
-def encode_windows_batched(flat: np.ndarray, lengths: np.ndarray) -> list[bytes]:
-    """Batched delta-of-delta encode (per-row format of
-    :func:`encode_windows`, byte-aligned per row)."""
+def _encode_windows_core(flat: np.ndarray, lengths: np.ndarray):
+    """Shared body of the batched window encoders."""
     flat = np.ascontiguousarray(flat, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(flat)
     nrows = len(lengths)
     if n == 0:
-        return [encode_windows(flat[0:0]) for _ in range(nrows)]
+        return b"", np.zeros(nrows, dtype=np.int64)
     starts = np.zeros(nrows, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     pos_in_row = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
@@ -507,4 +536,28 @@ def encode_windows_batched(flat: np.ndarray, lengths: np.ndarray) -> list[bytes]
     all_len[pad_slot] = pad
     keep = all_len > 0
     buf = _assemble_bits(all_len[keep], all_val[keep])
-    return _split_rows(buf, lengths, row_bits + pad)
+    return buf, row_bits + pad
+
+
+def encode_floats_batched(flat, lengths) -> list[bytes]:
+    """Batched float encode -> list of per-row blobs (see core)."""
+    buf, row_bits = _encode_floats_core(flat, lengths)
+    return _split_rows(buf, np.asarray(lengths, dtype=np.int64), row_bits)
+
+
+def encode_floats_columns(flat, lengths):
+    """Batched float encode -> Arrow BinaryArray (no per-row Python)."""
+    buf, row_bits = _encode_floats_core(flat, lengths)
+    return _split_rows_arrow(buf, np.asarray(lengths, dtype=np.int64), row_bits)
+
+
+def encode_windows_batched(flat, lengths) -> list[bytes]:
+    """Batched window encode -> list of per-row blobs (see core)."""
+    buf, row_bits = _encode_windows_core(flat, lengths)
+    return _split_rows(buf, np.asarray(lengths, dtype=np.int64), row_bits)
+
+
+def encode_windows_column(flat, lengths):
+    """Batched window encode -> Arrow BinaryArray."""
+    buf, row_bits = _encode_windows_core(flat, lengths)
+    return _split_rows_arrow(buf, np.asarray(lengths, dtype=np.int64), row_bits)

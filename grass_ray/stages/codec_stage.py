@@ -50,13 +50,13 @@ class EncodeTier:
         lens = np.diff(offs)
         npoints = lens.astype(np.int64)
         from grass_ray.functions.codec import (
-            encode_floats_batched,
-            encode_windows_batched,
+            encode_floats_columns,
+            encode_windows_column,
         )
 
-        w_enc = encode_windows_batched(w_flat, lens)
+        w_enc = encode_windows_column(w_flat, lens)
         v_enc = {
-            vc: encode_floats_batched(flats[vc], lens)
+            vc: encode_floats_columns(flats[vc], lens)
             for vc in self.value_cols
         }
         self.rows_encoded += n
@@ -65,9 +65,9 @@ class EncodeTier:
             if not isinstance(batch.column(k).type, pa.ListType):
                 cols[k] = batch.column(k)
         cols["n_points"] = pa.array(npoints)
-        cols["windows_enc"] = pa.array(w_enc, type=pa.binary())
+        cols["windows_enc"] = w_enc
         for vc in self.value_cols:
-            cols[f"{vc}_enc"] = pa.array(v_enc[vc], type=pa.binary())
+            cols[f"{vc}_enc"] = v_enc[vc]
         return pa.table(cols)
 
 
