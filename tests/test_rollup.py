@@ -165,3 +165,47 @@ def test_rollup_weights_per_position():
     assert out["count"] == [4, 4]
     assert out["sum"] == [70.0, 150.0]
     assert out["average"] == [17.5, 37.5]
+
+
+def test_per_row_token_array_equality_vs_single_node(ray_session):
+    """North-rule per-row invariant: every corpus row's token array from
+    the Ray pipeline equals a single-node reference derivation computed
+    with plain Python over documents.parquet."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from grass_ray.sources.corpus import (
+        NULL_MOD,
+        NULL_RESIDUE,
+        TOKEN_MOD,
+        corpus_from_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        corpus_from_documents(sf)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).to_pylist()
+    assert len(got) == len(docs)
+    for row in docs:
+        did, n = row["doc_id"], row["n_chars"]
+        # single-node reference: pure python, no numpy, no ray
+        want = [
+            None
+            if (31 * i + did) % NULL_MOD == NULL_RESIDUE
+            else (7 * i + did) % TOKEN_MOD
+            for i in range(n)
+        ]
+        key = f"d{did:07d}"
+        have = [
+            None if (v is None or (isinstance(v, float) and math.isnan(v))) else int(v)
+            for v in got.loc[key, "tokens"]
+        ]
+        assert have == want, key
+        assert got.loc[key, "n_tok"] == n
+        assert got.loc[key, "source"] == row["source"]
