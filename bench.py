@@ -38,12 +38,15 @@ def run_bench() -> dict:
     _pa.set_cpu_count(NUM_CPUS)
     import ray
 
+    repo = os.path.dirname(os.path.abspath(__file__))
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # workers must resolve grass_ray even if the driver cwd differs
+        runtime_env={"env_vars": {"PYTHONPATH": repo}},
     )
     from ray.data import DataContext
 
