@@ -175,69 +175,118 @@ def _q_univar(sf_dir: str) -> pa.Table:
             "sum_abs": "sum_abs",
         },
     )
-    for c in ("sd_tok", "var_tok", "cv_tok"):
-        t = _round6_col(t, c)
+    # variance family from EXACT integer power sums with the identical
+    # closed form the oracle SQL uses -> bit-equal (no rounding games):
+    # var = max((Σv² − Σv·Σv/n)/n, 0); sd = √var; cv = 100·sd/mean
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    s = t.column("sum_tok").to_numpy(zero_copy_only=False).astype(np.float64)
+    s2 = t.column("sum_sq").to_numpy(zero_copy_only=False).astype(np.float64)
+    mean = t.column("mean_tok").to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = np.maximum((s2 - s * s / n) / n, 0.0)
+        sd = np.sqrt(var)
+        cv = 100.0 * sd / mean
+    for name, arr in (("var_tok", var), ("sd_tok", sd), ("cv_tok", cv)):
+        t = t.set_column(
+            t.column_names.index(name),
+            name,
+            pa.array(arr, type=pa.float64(), mask=np.isnan(arr)),
+        )
+    return t.drop_columns(["sum_sq"])
+
+
+def _events_cents(sf_dir: str):
+    """events with value as exact integer cents: float summation order
+    stops mattering, so engine and DuckDB sums are bit-equal (the
+    driver's values are exact 2-decimal floats)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100.0).astype(np.int64)
+        idx = batch.column_names.index("value")
+        return batch.set_column(idx, "value", pa.array(cents))
+
+    return ds.map_batches(to_cents, batch_format="pyarrow")
+
+
+def _cents_out(t: pa.Table, mapping: dict) -> pa.Table:
+    """Rename + convert cents aggregate columns back to value units with
+    the same /100.0 the oracle SQL applies."""
+    t = _rename(t, mapping)
+    for c in mapping.values():
+        if c == "cnt":
+            continue
+        x = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x / 100.0
+        t = t.set_column(
+            t.column_names.index(c),
+            c,
+            pa.array(x, type=pa.float64(), mask=np.isnan(x)),
+        )
+    if "sum_v" in t.column_names and "avg_v" in t.column_names:
+        s = t.column("sum_v").to_numpy(zero_copy_only=False)
+        n = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = s / n
+        t = t.set_column(
+            t.column_names.index("avg_v"),
+            "avg_v",
+            pa.array(avg, type=pa.float64(), mask=np.isnan(avg)),
+        )
     return t
 
 
 def _q_events_1h(sf_dir: str) -> pa.Table:
-    import ray.data
-
     from grass_ray.stages.grouped import rollup_events
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
     out = rollup_events(
-        ds, gran_seconds=3600, methods=("count", "sum", "minimum", "maximum", "average")
+        _events_cents(sf_dir),
+        gran_seconds=3600,
+        methods=("count", "sum", "minimum", "maximum", "average"),
     )
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    t = _rename(
+    return _cents_out(
         t,
         {"count": "cnt", "sum": "sum_v", "minimum": "min_v", "maximum": "max_v", "average": "avg_v"},
     )
-    for c in ("sum_v", "avg_v"):
-        t = _round6_col(t, c)
-    return t
 
 
 def _q_events_salted(sf_dir: str) -> pa.Table:
-    import ray.data
-
     from grass_ray.stages.grouped import rollup_events
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
     out = rollup_events(
-        ds, gran_seconds=3600, methods=("count", "sum"), salt=8
+        _events_cents(sf_dir), gran_seconds=3600, methods=("count", "sum"), salt=8
     )
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    t = _rename(t, {"count": "cnt", "sum": "sum_v"})
-    return _round6_col(t, "sum_v")
+    return _cents_out(t, {"count": "cnt", "sum": "sum_v"})
 
 
 def _q_events_monthly(sf_dir: str) -> pa.Table:
-    import ray.data
-
     from grass_ray.stages.grouped import rollup_events
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
     out = rollup_events(
-        ds, calendar_unit="months", methods=("count", "sum", "average")
+        _events_cents(sf_dir), calendar_unit="months", methods=("count", "sum", "average")
     )
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    t = _rename(t, {"count": "cnt", "sum": "sum_v", "average": "avg_v"})
-    for c in ("sum_v", "avg_v"):
-        t = _round6_col(t, c)
-    return t
+    return _cents_out(t, {"count": "cnt", "sum": "sum_v", "average": "avg_v"})
 
 
 def _q_sessions(sf_dir: str) -> pa.Table:
-    import ray.data
-
     from grass_ray.stages.grouped import sessionize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
-    out = sessionize(ds, key_cols=("user_id",), gap_seconds=1800)
+    out = sessionize(
+        _events_cents(sf_dir), key_cols=("user_id",), gap_seconds=1800
+    )
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return _round6_col(t, "sum_value")
+    x = t.column("sum_value").to_numpy(zero_copy_only=False) / 100.0
+    return t.set_column(
+        t.column_names.index("sum_value"),
+        "sum_value",
+        pa.array(x, type=pa.float64(), mask=np.isnan(x)),
+    )
 
 
 def _q_neighbors(sf_dir: str) -> pa.Table:
@@ -715,21 +764,30 @@ def oracle_sql() -> dict[str, str]:
             FROM tok GROUP BY 1, 2
         """,
         "univar": f"""
-            WITH tok AS ({tok})
-            SELECT source, doc_id,
-                   CAST(count(token) AS BIGINT) AS n,
-                   CAST(count(*) - count(token) AS BIGINT) AS nulls,
-                   CAST(min(token) AS DOUBLE) AS vmin,
-                   CAST(max(token) AS DOUBLE) AS vmax,
-                   CAST(max(token) - min(token) AS DOUBLE) AS vrange,
-                   avg(token) AS mean_tok,
-                   avg(abs(token)) AS mean_abs,
-                   {r6.format("stddev_pop(token)")} AS sd_tok,
-                   {r6.format("var_pop(token)")} AS var_tok,
-                   {r6.format("100 * stddev_pop(token) / avg(token)")} AS cv_tok,
-                   CAST(sum(token) AS DOUBLE) AS sum_tok,
-                   CAST(sum(abs(token)) AS DOUBLE) AS sum_abs
-            FROM tok GROUP BY 1, 2
+            WITH tok AS ({tok}),
+            base AS (
+                SELECT source, doc_id,
+                       CAST(count(token) AS DOUBLE) AS nf,
+                       CAST(count(token) AS BIGINT) AS n,
+                       CAST(count(*) - count(token) AS BIGINT) AS nulls,
+                       CAST(min(token) AS DOUBLE) AS vmin,
+                       CAST(max(token) AS DOUBLE) AS vmax,
+                       CAST(max(token) - min(token) AS DOUBLE) AS vrange,
+                       avg(token) AS mean_tok,
+                       avg(abs(token)) AS mean_abs,
+                       CAST(sum(token) AS DOUBLE) AS s,
+                       CAST(sum(token * token) AS DOUBLE) AS s2,
+                       CAST(sum(abs(token)) AS DOUBLE) AS sum_abs
+                FROM tok GROUP BY 1, 2
+            )
+            SELECT source, doc_id, n, nulls, vmin, vmax, vrange,
+                   mean_tok, mean_abs,
+                   sqrt(greatest((s2 - s * s / nf) / nf, 0.0)) AS sd_tok,
+                   greatest((s2 - s * s / nf) / nf, 0.0) AS var_tok,
+                   100.0 * sqrt(greatest((s2 - s * s / nf) / nf, 0.0))
+                       / mean_tok AS cv_tok,
+                   s AS sum_tok, sum_abs
+            FROM base
         """,
         "univar_zones": f"""
             WITH tok AS ({tok})
@@ -743,34 +801,56 @@ def oracle_sql() -> dict[str, str]:
                    {r6.format("stddev_pop(token)")} AS sd_tok
             FROM tok GROUP BY 1
         """,
-        "events_1h": f"""
+        "events_1h": """
+            WITH c AS (
+                SELECT event_type, ts,
+                       CAST(round(value * 100.0) AS BIGINT) AS cents
+                FROM events
+            )
             SELECT event_type, epoch_us(ts) // 3600000000 AS "window",
-                   CAST(count(value) AS BIGINT) AS cnt,
-                   {r6.format("sum(value)")} AS sum_v,
-                   CAST(min(value) AS DOUBLE) AS min_v,
-                   CAST(max(value) AS DOUBLE) AS max_v,
-                   {r6.format("avg(value)")} AS avg_v
-            FROM events GROUP BY 1, 2
+                   CAST(count(cents) AS BIGINT) AS cnt,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_v,
+                   CAST(min(cents) AS DOUBLE) / 100.0 AS min_v,
+                   CAST(max(cents) AS DOUBLE) / 100.0 AS max_v,
+                   (CAST(sum(cents) AS DOUBLE) / 100.0)
+                       / CAST(count(cents) AS DOUBLE) AS avg_v
+            FROM c GROUP BY 1, 2
         """,
-        "events_salted": f"""
+        "events_salted": """
+            WITH c AS (
+                SELECT event_type, ts,
+                       CAST(round(value * 100.0) AS BIGINT) AS cents
+                FROM events
+            )
             SELECT event_type, epoch_us(ts) // 3600000000 AS "window",
-                   CAST(count(value) AS BIGINT) AS cnt,
-                   {r6.format("sum(value)")} AS sum_v
-            FROM events GROUP BY 1, 2
+                   CAST(count(cents) AS BIGINT) AS cnt,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_v
+            FROM c GROUP BY 1, 2
         """,
-        "events_monthly": f"""
+        "events_monthly": """
+            WITH c AS (
+                SELECT event_type, ts,
+                       CAST(round(value * 100.0) AS BIGINT) AS cents
+                FROM events
+            )
             SELECT event_type,
                    (year(ts) - 1970) * 12 + month(ts) - 1 AS "window",
-                   CAST(count(value) AS BIGINT) AS cnt,
-                   {r6.format("sum(value)")} AS sum_v,
-                   {r6.format("avg(value)")} AS avg_v
-            FROM events GROUP BY 1, 2
+                   CAST(count(cents) AS BIGINT) AS cnt,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_v,
+                   (CAST(sum(cents) AS DOUBLE) / 100.0)
+                       / CAST(count(cents) AS DOUBLE) AS avg_v
+            FROM c GROUP BY 1, 2
         """,
-        "events_sessions": f"""
-            WITH o AS (
-                SELECT user_id, ts, value,
-                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        "events_sessions": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CAST(round(value * 100.0) AS BIGINT) AS cents
                 FROM events
+            ),
+            o AS (
+                SELECT user_id, ts, cents,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM e
             ),
             s AS (
                 SELECT *, CASE WHEN prev IS NULL
@@ -787,7 +867,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id,
                    min(ts) AS session_start, max(ts) AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   {r6.format("sum(value)")} AS sum_value
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
             FROM g GROUP BY 1, 2
         """,
         "neighbors_avg3": f"""

@@ -55,6 +55,9 @@ def univar_batch(
     res = reduce_segments(values, lens[keep], methods)
     # abs stats: reuse the same segmentation over |values|
     res_abs = reduce_segments(np.abs(values), lens[keep], ["average", "sum"])
+    # exact power sum Σv² (integer-valued tokens -> exact in float64):
+    # lets callers derive variance with the closed form from exact sums
+    res_sq = reduce_segments(values * values, lens[keep], ["sum"])
 
     nrows = batch.num_rows
     out: dict[str, pa.Array] = {}
@@ -84,6 +87,7 @@ def univar_batch(
     out["coeff_var"] = expand(res["coeff_var"])
     out["sum"] = expand(res["sum"])
     out["sum_abs"] = expand(res_abs["sum"])
+    out["sum_sq"] = expand(res_sq["sum"])
     if extended:
         out["quart1"] = expand(res["quart1"])
         out["median"] = expand(res["median"])
