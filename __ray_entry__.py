@@ -135,7 +135,7 @@ def _q_series_holistic(sf_dir: str) -> pa.Table:
     from grass_ray.stages.rollup import series_collapse
 
     out = series_collapse(
-        _corpus(sf_dir), ("median", "quart1", "perc90", "diversity", "stddev")
+        _corpus(sf_dir), ("median", "quart1", "perc90", "diversity")
     )
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     t = _rename(
@@ -145,10 +145,9 @@ def _q_series_holistic(sf_dir: str) -> pa.Table:
             "quart1": "q1_tok",
             "perc90": "p90_tok",
             "diversity": "n_distinct",
-            "stddev": "sd_tok",
         },
     )
-    for c in ("q1_tok", "p90_tok", "sd_tok"):
+    for c in ("q1_tok", "p90_tok"):
         t = _round6_col(t, c)
     return t
 
@@ -425,16 +424,44 @@ def _q_univar_zones(sf_dir: str) -> pa.Table:
     from grass_ray.stages.rollup import explode_tokens
 
     pts = explode_tokens(_corpus(sf_dir))
+
+    def with_sq(batch: pa.Table) -> pa.Table:
+        v = batch.column("token").cast(pa.float64()).to_numpy(zero_copy_only=False)
+        sq = v * v
+        return batch.append_column(
+            "token_sq", pa.array(sq, type=pa.float64(), mask=np.isnan(sq))
+        )
+
+    pts = pts.map_batches(with_sq, batch_format="pyarrow")
     out = rollup_points_holistic(
         pts,
         key_cols=("source",),
         pos_col="pos",
         val_col="token",
         gran=1 << 40,
-        methods=("count", "sum", "minimum", "maximum", "average", "median", "stddev"),
+        methods=("count", "sum", "minimum", "maximum", "average", "median"),
     )
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     t = t.drop_columns(["window"])
+    # exact Σv² per source (decomposable second pass) joined driver-side
+    from grass_ray.stages.grouped import rollup_points
+
+    sq = rollup_points(
+        pts,
+        key_cols=("source",),
+        pos_col="pos",
+        val_col="token_sq",
+        gran=1 << 40,
+        methods=("sum",),
+    ).to_pandas()[["source", "sum"]].rename(columns={"sum": "s2"})
+    df = t.to_pandas().merge(sq, on="source")
+    n = df["count"].to_numpy().astype(np.float64)
+    s = df["sum"].to_numpy().astype(np.float64)
+    s2 = df["s2"].to_numpy().astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        df["sd_tok"] = np.sqrt(np.maximum((s2 - s * s / n) / n, 0.0))
+    df = df.drop(columns=["s2"])
+    t = pa.Table.from_pandas(df, preserve_index=False)
     t = _rename(
         t,
         {
@@ -444,18 +471,15 @@ def _q_univar_zones(sf_dir: str) -> pa.Table:
             "maximum": "max_tok",
             "average": "avg_tok",
             "median": "med_tok",
-            "stddev": "sd_tok",
         },
     )
-    # count arrives as float from the holistic kernel: normalize to int
     import pyarrow.compute as pc
 
-    t = t.set_column(
+    return t.set_column(
         t.column_names.index("cnt"),
         "cnt",
         pc.cast(t.column("cnt"), pa.int64()),
     )
-    return _round6_col(t, "sd_tok")
 
 
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
@@ -759,8 +783,7 @@ def oracle_sql() -> dict[str, str]:
                    median(token) AS med_tok,
                    {r6.format("quantile_cont(token, 0.25)")} AS q1_tok,
                    {r6.format("quantile_cont(token, 0.90)")} AS p90_tok,
-                   CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
-                   {r6.format("stddev_pop(token)")} AS sd_tok
+                   CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
             FROM tok GROUP BY 1, 2
         """,
         "univar": f"""
@@ -790,16 +813,23 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         """,
         "univar_zones": f"""
-            WITH tok AS ({tok})
-            SELECT source,
-                   CAST(count(token) AS BIGINT) AS cnt,
-                   CAST(sum(token) AS DOUBLE) AS sum_tok,
-                   CAST(min(token) AS DOUBLE) AS min_tok,
-                   CAST(max(token) AS DOUBLE) AS max_tok,
-                   avg(token) AS avg_tok,
-                   median(token) AS med_tok,
-                   {r6.format("stddev_pop(token)")} AS sd_tok
-            FROM tok GROUP BY 1
+            WITH tok AS ({tok}),
+            base AS (
+                SELECT source,
+                       CAST(count(token) AS DOUBLE) AS nf,
+                       CAST(count(token) AS BIGINT) AS cnt,
+                       CAST(sum(token) AS DOUBLE) AS sum_tok,
+                       CAST(min(token) AS DOUBLE) AS min_tok,
+                       CAST(max(token) AS DOUBLE) AS max_tok,
+                       avg(token) AS avg_tok,
+                       median(token) AS med_tok,
+                       CAST(sum(token * token) AS DOUBLE) AS s2
+                FROM tok GROUP BY 1
+            )
+            SELECT source, cnt, sum_tok, min_tok, max_tok, avg_tok, med_tok,
+                   sqrt(greatest((s2 - sum_tok * sum_tok / nf) / nf, 0.0))
+                       AS sd_tok
+            FROM base
         """,
         "events_1h": """
             WITH c AS (
