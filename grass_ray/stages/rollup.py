@@ -83,6 +83,7 @@ def rollup_batch(
     quantiles: dict | None = None,
     weights=None,
     nested: bool = False,
+    register_null: bool = True,
     key_cols: tuple = ("source", "doc_id"),
     tokens_col: str = "tokens",
     n_tok_col: str = "n_tok",
@@ -94,6 +95,12 @@ def rollup_batch(
     nested=True  -> one output row per key with parallel list columns:
         (key_cols..., gran:int64, windows:list<int64>, <method>:list<f64>)
     The nested form keeps the tier cascade, gap-fill and codec row-local.
+
+    register_null=False drops all-NULL windows entirely — the
+    reference's default (NULL-only outputs are not registered unless
+    ``-n``, ``aggregation.py:199-206``), turning them into *gaps* that
+    ``gapfill`` will interpolate across.  Default True keeps them as
+    explicit NULL points (poisoning interpolation like a NULL map).
     """
     n_tok = batch.column(n_tok_col).to_numpy(zero_copy_only=False)
     seg_row, seg_window, seg_lengths, nwin = _window_layout(
@@ -110,6 +117,11 @@ def rollup_batch(
     )
     if fast_ok:
         results = _fast_int_reduce(batch.column(tokens_col), seg_lengths, methods)
+        if not register_null:
+            seg_row, seg_window, nwin, results = _drop_null_windows(
+                batch.column(tokens_col), seg_lengths, seg_row, seg_window,
+                len(n_tok), results,
+            )
         return _emit(
             batch, results, seg_row, seg_window, nwin, nested, key_cols, n_tok, gran
         )
@@ -141,9 +153,36 @@ def rollup_batch(
         propagate_nulls=propagate_nulls,
         quantiles=quantiles,
     )
+    if not register_null:
+        seg_row, seg_window, nwin, results = _drop_null_windows(
+            batch.column(tokens_col), seg_lengths, seg_row, seg_window,
+            len(n_tok), results,
+        )
     return _emit(
         batch, results, seg_row, seg_window, nwin, nested, key_cols, n_tok, gran
     )
+
+
+def _drop_null_windows(tokens, seg_lengths, seg_row, seg_window, nrows, results):
+    """Drop segments with zero valid values (register_null=False)."""
+    import pyarrow.compute as pc
+
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    valid = pc.is_valid(tokens.flatten()).to_numpy(zero_copy_only=False)
+    starts = np.zeros(len(seg_lengths), dtype=np.int64)
+    np.cumsum(seg_lengths[:-1], out=starts[1:])
+    cnt = (
+        np.add.reduceat(valid.astype(np.int64), starts)
+        if len(starts)
+        else np.empty(0, np.int64)
+    )
+    keep = cnt > 0
+    seg_row = seg_row[keep]
+    seg_window = seg_window[keep]
+    nwin = np.bincount(seg_row, minlength=nrows).astype(np.int64)
+    results = {k: v[keep] for k, v in results.items()}
+    return seg_row, seg_window, nwin, results
 
 
 def _fast_int_reduce(tokens, seg_lengths, methods) -> dict[str, np.ndarray]:

@@ -68,3 +68,44 @@ def what(ds, positions, *, doc_ids=None, key_cols=("source", "doc_id"), tokens_c
         return pa.table(cols)
 
     return ds.map_batches(kernel, batch_format="pyarrow", batch_size=512)
+
+
+def what_timerow(ds, positions, *, doc_ids=None, key_cols=("source", "doc_id"), tokens_col="tokens"):
+    """`t.rast.what` timerow layout: one row per key with the sampled
+    values as a list aligned with `positions` (out-of-range -> NULL)."""
+    import ray
+
+    pos_arr = np.asarray(sorted(positions), dtype=np.int64)
+    ref = ray.put(
+        {"positions": pos_arr, "doc_ids": set(doc_ids) if doc_ids is not None else None}
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        pos = q["positions"]
+        want = q["doc_ids"]
+        if want is not None:
+            keep = pa.array([d in want for d in batch.column("doc_id").to_pylist()])
+            batch = batch.filter(keep)
+        col = batch.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        lens = np.asarray(col.value_lengths().to_numpy(zero_copy_only=False)).astype(np.int64)
+        flat = col.flatten().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        k = len(pos)
+        vals = np.full(n * k, np.nan)
+        row_rep = np.repeat(np.arange(n, dtype=np.int64), k)
+        pos_rep = np.tile(pos, n)
+        ok = pos_rep < lens[row_rep]
+        vals[ok] = flat[starts[row_rep[ok]] + pos_rep[ok]]
+        offsets = pa.array((np.arange(n + 1) * k).astype(np.int32))
+        cols = {c: batch.column(c) for c in key_cols}
+        cols["values"] = pa.ListArray.from_arrays(
+            offsets, pa.array(vals, type=pa.float64(), mask=np.isnan(vals))
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=512)

@@ -220,3 +220,40 @@ def test_algebra_statements(ray_session):
     assert all(v == 7.0 or v is None for v in mv)
     _, sel = algebra("A !: B", tiers)
     assert all(len(w) == 0 for w in sel.to_pandas()["windows"])
+
+
+def test_register_null_drop():
+    t = corpus_table([("d1", "s", [100, 200, 300, None, None, None, 700, 800, 900])])
+    # default: all-NULL window kept as NULL point
+    kept = rollup_batch(t, 3, ("count", "sum")).to_pydict()
+    assert kept["window"] == [0, 1, 2]
+    assert kept["sum"] == [600.0, None, 2400.0]
+    # reference default (-n off): NULL-only windows unregistered -> gap
+    dropped = rollup_batch(t, 3, ("count", "sum"), register_null=False).to_pydict()
+    assert dropped["window"] == [0, 2]
+    assert dropped["sum"] == [600.0, 2400.0]
+    # ...which the gap-fill then interpolates across (reference chain)
+    from grass_ray.stages.gapfill import gapfill_batch
+
+    nested = rollup_batch(
+        t, 3, ("count", "sum", "minimum", "maximum", "average"),
+        nested=True, register_null=False,
+    )
+    filled = gapfill_batch(nested).to_pydict()
+    assert filled["windows"] == [[0, 1, 2]]
+    assert filled["average"] == [[200.0, 500.0, 800.0]]
+    assert filled["is_filled"] == [[False, True, False]]
+
+
+def test_what_timerow(ray_session):
+    import ray.data
+    from grass_ray.stages.what import what_timerow
+
+    t = corpus_table([("d1", "s", [10, 11, 12]), ("d2", "s", [20, None])])
+    out = (
+        what_timerow(ray.data.from_arrow(t), positions=[0, 1, 5])
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert [None if pd.isna(v) else v for v in out.loc["d1", "values"]] == [10.0, 11.0, None]
+    assert [None if pd.isna(v) else v for v in out.loc["d2", "values"]] == [20.0, None, None]
