@@ -1,0 +1,122 @@
+"""Adversarial edge cases across the engine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from grass_ray.sources.corpus import synth_corpus_table
+from grass_ray.stages.cascade import cascade_batch
+from grass_ray.stages.rollup import rollup_batch
+
+
+def test_giant_single_doc(ray_session):
+    """One 2M-token doc through the full encoded tier build."""
+    import ray.data
+
+    from grass_ray.pipelines.tiers import build_tiers, read_tier
+    from grass_ray.state.manifest import TierStore
+
+    n = 2_000_000
+    toks = np.arange(n, dtype=np.int64) % 32003
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d0000000"]),
+            "tokens": pa.array([toks.astype(np.int32)], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([n], type=pa.int32()),
+            "source": pa.array(["s"]),
+        }
+    )
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="giant_")
+    build_tiers(ray.data.from_arrow(t), root)
+    store = TierStore(root)
+    info = store.info("1m")
+    assert info["n_points"] == (n + 59) // 60
+    out = read_tier(store, "1d").to_pandas()
+    # 1d windows: 2M / 86400 = 23.1 -> 24 windows
+    assert len(out["windows"][0]) == 24
+    # exact check of a day-window sum vs closed form
+    w0 = [v for v in out["sum"][0]][0]
+    assert w0 == float(np.sum(np.arange(86400) % 32003))
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_negative_positions_grouped(ray_session):
+    import ray.data
+
+    from grass_ray.stages.grouped import rollup_points
+
+    t = pa.table(
+        {
+            "k": ["a"] * 5,
+            "pos": pa.array([-7, -3, -1, 0, 4], type=pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    out = (
+        rollup_points(
+            ray.data.from_arrow(t),
+            key_cols=("k",),
+            pos_col="pos",
+            val_col="v",
+            gran=4,
+            methods=("count", "sum"),
+        )
+        .to_pandas()
+        .sort_values("window")
+        .reset_index(drop=True)
+    )
+    # floor semantics: -7//4=-2, -3//4=-1, -1//4=-1, 0//4=0, 4//4=1
+    assert list(out["window"]) == [-2, -1, 0, 1]
+    assert list(out["count"]) == [1, 2, 1, 1]
+
+
+def test_cascade_factor_bigger_than_range():
+    t = synth_corpus_table(5, seed=1, n_tok=100)
+    fine = rollup_batch(t, 10, ("count", "sum", "minimum", "maximum", "average"), nested=True)
+    coarse = cascade_batch(fine, 1000).to_pydict()
+    for ws in coarse["windows"]:
+        assert ws == [0]
+    direct = rollup_batch(t, 10_000, ("count", "sum"), nested=True).to_pydict()
+    assert coarse["sum"] == direct["sum"]
+
+
+def test_unicode_text_ops(ray_session):
+    from grass_ray.functions.textstats import (
+        detect_language,
+        fingerprint,
+        quality_features,
+        shingles,
+    )
+    from grass_ray.stages.dedup import simhash64
+
+    txt = "héllo wörld — привет 你好 🎉 the and of to a in"
+    assert isinstance(fingerprint(txt), int)
+    assert fingerprint(txt) == fingerprint(txt)
+    q = quality_features(txt)
+    assert 0 <= q["quality_score"] <= 1
+    assert detect_language(txt)[0] in ("en", "und", "de", "fr", "es", "it")
+    assert len(shingles(txt, 3)) > 0
+    assert simhash64(txt) == simhash64(txt)
+
+
+def test_single_token_docs(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:07d}" for i in range(3)]),
+            "tokens": pa.array([[5], [None], [7]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1, 1], type=pa.int32()),
+            "source": pa.array(["s"] * 3),
+        }
+    )
+    out = rollup_batch(t, 60, ("count", "sum", "median", "slope")).to_pydict()
+    assert out["count"] == [1, 0, 1]
+    assert out["sum"] == [5.0, None, 7.0]
+    assert out["median"] == [5.0, None, 7.0]
+    assert out["slope"] == [None, None, None]  # count < 2
