@@ -40,7 +40,12 @@ def accumulate_batch(
     avg_col: str = "average",
     max_col: str = "maximum",
     out_col: str = "accum",
+    cycle: int | None = None,
 ) -> pa.Table:
+    """`cycle`: restart the running sum every `cycle` windows — the
+    ``t.rast.accumulate`` cycle loop (e.g. yearly GDD restart,
+    ``t.rast.accumulate.py:155+``); accumulation then runs within
+    ``cycle_id = window // cycle`` groups."""
     if method not in _METHODS:
         raise ValueError(f"method must be one of {_METHODS}")
     col = batch.column(avg_col)
@@ -68,12 +73,29 @@ def accumulate_batch(
     # NULL windows contribute 0 but stay NULL in the accumulated output
     isnan = np.isnan(contrib)
     safe = np.where(isnan, 0.0, contrib)
-    # per-row cumulative sum: global cumsum minus each row's base
-    c = np.cumsum(safe)
+    # per-segment cumulative sum: global cumsum minus each segment's
+    # base, where a segment is a row — or a (row, cycle) group when
+    # `cycle` is set (windows assumed ascending per row, as rollup emits)
     starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    base = np.where(starts > 0, c[np.maximum(starts - 1, 0)], 0.0)
-    acc = c - np.repeat(base, lens)
+    if cycle:
+        wcol = batch.column("windows")
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        w = wcol.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        cyc = np.floor_divide(w, cycle)
+        n = len(w)
+        boundary = np.ones(n, dtype=bool)
+        if n:
+            row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            boundary[1:] = (cyc[1:] != cyc[:-1]) | (row_of[1:] != row_of[:-1])
+        seg_starts = np.flatnonzero(boundary)
+    else:
+        seg_starts = starts[lens > 0]
+    c = np.cumsum(safe)
+    base = np.where(seg_starts > 0, c[np.maximum(seg_starts - 1, 0)], 0.0)
+    seg_lens = np.diff(np.append(seg_starts, len(safe)))
+    acc = c - np.repeat(base, seg_lens)
     acc[isnan] = np.nan
     offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
     arr = pa.ListArray.from_arrays(

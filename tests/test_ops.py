@@ -257,3 +257,19 @@ def test_what_timerow(ray_session):
     )
     assert [None if pd.isna(v) else v for v in out.loc["d1", "values"]] == [10.0, 11.0, None]
     assert [None if pd.isna(v) else v for v in out.loc["d2", "values"]] == [20.0, None, None]
+
+
+def test_accumulate_cycles():
+    t = corpus_table([("d1", "s", [1, 2, 3, 4, 5, 6])])
+    nested = rollup_batch(t, 1, ("average", "maximum"), nested=True)
+    out = accumulate_batch(nested, method="mean", cycle=3).to_pydict()
+    # cycles of 3 windows: [1,3,6], restart: [4,9,15]
+    assert out["accum"] == [[1.0, 3.0, 6.0, 4.0, 9.0, 15.0]]
+    # no cycle: plain running sum
+    out2 = accumulate_batch(nested, method="mean").to_pydict()
+    assert out2["accum"] == [[1.0, 3.0, 6.0, 10.0, 15.0, 21.0]]
+    # cycle with NULL in the middle
+    t2 = corpus_table([("d1", "s", [1, None, 3, 4])])
+    n2 = rollup_batch(t2, 1, ("average", "maximum"), nested=True)
+    o = accumulate_batch(n2, method="mean", cycle=2).to_pydict()
+    assert o["accum"] == [[1.0, None, 3.0, 7.0]]
