@@ -427,6 +427,7 @@ def read_tier(
     decode: bool = True,
     value_cols=TIER_METHODS,
     columns=None,
+    window_range: tuple | None = None,
 ):
     """Read a committed tier as a Dataset (optionally decoding the codec).
 
@@ -434,11 +435,41 @@ def read_tier(
     ``part`` column; ``.staging-*`` dirs are hidden from discovery) and
     keeps only partitions with a committed manifest row, so orphan
     directories from a crash mid-commit are ignored.
+
+    window_range=(lo, hi) prunes at the read: partitions whose manifest
+    (window_start, window_end) extent misses the range are never opened,
+    and a Parquet predicate on the per-row wstart/wend footer statistics
+    skips non-overlapping row groups inside the survivors — the engine's
+    own storage honors the prune-at-the-read rule.
     """
+    import pyarrow.compute as _pc
+
     import ray.data
 
     committed = store.committed_partitions(tier)
-    ds = ray.data.read_parquet(store.tier_dir(tier), columns=columns)
+    pq_filter = None
+    if window_range is not None:
+        lo, hi = window_range
+        m = store.manifest(tier).to_pydict()
+        committed = {
+            p
+            for p, ws, we in zip(
+                m["partition"], m["window_start"], m["window_end"]
+            )
+            if p in committed
+            and ws is not None
+            and we is not None
+            and we >= lo
+            and ws <= hi
+        }
+        pq_filter = (_pc.field("wend") >= lo) & (_pc.field("wstart") <= hi)
+    if not committed:
+        import pandas as pd
+
+        return ray.data.from_pandas(pd.DataFrame())
+    ds = ray.data.read_parquet(
+        store.tier_dir(tier), columns=columns, filter=pq_filter
+    )
     ds = _keep_partitions(ds, committed)
     if encoded and decode:
         ds = ds.map_batches(

@@ -273,3 +273,26 @@ def test_build_tiers_waves_and_kill_resume(ray_session, tier_root, tmp_path):
     assert list(out["doc_id"]) == list(direct["doc_id"])
     for a, b in zip(out["sum"], direct["sum"]):
         assert list(a) == list(b)
+
+
+def test_read_tier_window_range_prune(ray_session, tier_root):
+    """window_range prunes by manifest extents + parquet footer stats."""
+    import ray.data
+
+    # two partitions with disjoint window ranges: short docs (1 window)
+    # vs long docs (48 windows at 1m over 2880 tokens)
+    short = synth_corpus_table(20, seed=1, n_tok=60)
+    long = synth_corpus_table(20, seed=1, n_tok=2880, start_doc=2000)
+    both = pa.concat_tables([short, long])
+    build_tiers(ray.data.from_arrow(both), tier_root, tier_specs=(("1m", 60),), docs_per_partition=100)
+    store = TierStore(tier_root)
+    full = read_tier(store, "1m").to_pandas()
+    assert len(full) == 40
+    # only windows >= 10 exist in the long-doc partition
+    pruned = read_tier(store, "1m", window_range=(10, 47)).to_pandas()
+    assert set(pruned["doc_id"]) == set(
+        long.column("doc_id").to_pylist()
+    )
+    # empty range -> empty dataset, no read
+    none = read_tier(store, "1m", window_range=(1000, 2000)).to_pandas()
+    assert len(none) == 0
