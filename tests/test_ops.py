@@ -273,3 +273,30 @@ def test_accumulate_cycles():
     n2 = rollup_batch(t2, 1, ("average", "maximum"), nested=True)
     o = accumulate_batch(n2, method="mean", cycle=2).to_pydict()
     assert o["accum"] == [[1.0, None, 3.0, 7.0]]
+
+
+def test_algebra_hash_and_buff(ray_session):
+    import ray.data
+    from grass_ray.stages.algebra import algebra
+
+    def nested(rows):
+        return pa.table(
+            {
+                "source": pa.array([r[0] for r in rows]),
+                "doc_id": pa.array([r[1] for r in rows]),
+                "gran": pa.array([1] * len(rows), type=pa.int64()),
+                "windows": pa.array([r[2] for r in rows], type=pa.list_(pa.int64())),
+                "average": pa.array([r[3] for r in rows], type=pa.list_(pa.float64())),
+            }
+        )
+
+    a = ray.data.from_arrow(nested([("s", "d1", [0, 1, 5], [1.0, 2.0, 3.0])]))
+    b = ray.data.from_arrow(nested([("s", "d1", [1, 5, 9], [0.0, 0.0, 0.0])]))
+    _, h = algebra("A # B", {"A": a, "B": b})
+    hc = h.to_pandas().iloc[0]["hash_count"]
+    assert list(hc) == [0, 1, 1]
+    _, buf = algebra("buff(A, 1)", {"A": a, "B": b})
+    bd = buf.to_pandas()
+    # windows 0,1 merge into [-1, 3); 5 -> [4, 7)
+    assert list(bd["start"]) == [-1, 4]
+    assert list(bd["end"]) == [3, 7]
