@@ -266,7 +266,6 @@ def build_tiers_onepass(
     first_gran = tier_specs[0][1]
 
     def kernel(batch: pa.Table) -> pa.Table:
-        enc = EncodeTier(methods)
         nested = rollup_batch(
             batch,
             first_gran,
@@ -279,7 +278,21 @@ def build_tiers_onepass(
         for i, (name, factor) in enumerate(tier_specs):
             if i > 0:
                 current = cascade_batch(current, factor)
-            t = enc(stats_kernel(current))
+            # holistic tier-0-only columns (median, quantiles, ...) drop
+            # out after a cascade (non-decomposable, F7): encode only
+            # the value columns this tier actually carries
+            present = [
+                c
+                for c in methods
+                if c in current.column_names
+                and isinstance(current.column(c).type, pa.ListType)
+            ]
+            extra = [
+                c
+                for c in ("average", "range")
+                if c in current.column_names and c not in present
+            ]
+            t = EncodeTier(tuple(present + extra))(stats_kernel(current))
             outs.append(t.append_column("tier", pa.array([name] * t.num_rows)))
         return pa.concat_tables(outs, promote_options="default")
 

@@ -296,3 +296,25 @@ def test_read_tier_window_range_prune(ray_session, tier_root):
     # empty range -> empty dataset, no read
     none = read_tier(store, "1m", window_range=(1000, 2000)).to_pandas()
     assert len(none) == 0
+
+
+def test_build_tiers_with_holistic_tier0(ray_session, tier_root):
+    """median at tier 0 only: cascaded tiers drop it (holistic is
+    non-decomposable, F7), schemas promote cleanly in the one-pass."""
+    import ray.data
+
+    t = synth_corpus_table(20, seed=6, n_tok=2880)
+    build_tiers(
+        ray.data.from_arrow(t),
+        tier_root,
+        methods=("count", "sum", "minimum", "maximum", "average", "median"),
+    )
+    store = TierStore(tier_root)
+    m1 = read_tier(
+        store, "1m",
+        value_cols=("count", "sum", "minimum", "maximum", "average", "median"),
+    ).to_pandas()
+    assert all(len(x) > 0 for x in m1["median"])
+    direct = rollup_batch(t, 60, ("median",), nested=True).to_pydict()
+    got = m1.sort_values("doc_id").reset_index(drop=True)
+    assert [list(v) for v in got["median"]] == direct["median"]
