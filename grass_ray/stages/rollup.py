@@ -37,6 +37,10 @@ from grass_ray.functions.reducers import (
 
 DEFAULT_METHODS = ("count", "sum", "minimum", "maximum", "average")
 
+#: explode budget per kernel invocation (~32M values ≈ 256 MB of f64
+#: working set) — the reference's `bufrows` memory budgeting analog
+_MAX_EXPLODE_VALUES = 32_000_000
+
 
 def _flat_tokens_f64(tokens: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """list<int32> column -> flat float64 values with NaN at nulls."""
@@ -96,6 +100,12 @@ def rollup_batch(
         (key_cols..., gran:int64, windows:list<int64>, <method>:list<f64>)
     The nested form keeps the tier cascade, gap-fill and codec row-local.
 
+    Memory guard (≙ the reference's ``bufrows`` budgeting,
+    ``r.series/main.c:414-432``): when a batch would explode more than
+    ~32M values (very wide rows), it is processed in row chunks and the
+    outputs concatenated, bounding peak working-set regardless of
+    ``batch_size`` × ``n_tok``.
+
     register_null=False drops all-NULL windows entirely — the
     reference's default (NULL-only outputs are not registered unless
     ``-n``, ``aggregation.py:199-206``), turning them into *gaps* that
@@ -103,6 +113,37 @@ def rollup_batch(
     explicit NULL points (poisoning interpolation like a NULL map).
     """
     n_tok = batch.column(n_tok_col).to_numpy(zero_copy_only=False)
+    total_vals = int(n_tok.astype(np.int64).sum())
+    if total_vals > _MAX_EXPLODE_VALUES and batch.num_rows > 1:
+        # chunk rows so each sub-batch stays under the explode budget
+        csum = np.cumsum(n_tok.astype(np.int64))
+        outs = []
+        start = 0
+        while start < batch.num_rows:
+            end = int(
+                np.searchsorted(csum, csum[start] + _MAX_EXPLODE_VALUES - 1)
+            )
+            end = max(end, start + 1)
+            outs.append(
+                rollup_batch(
+                    batch.slice(start, end - start),
+                    gran,
+                    methods,
+                    origin=origin,
+                    lo=lo,
+                    hi=hi,
+                    propagate_nulls=propagate_nulls,
+                    quantiles=quantiles,
+                    weights=weights,
+                    nested=nested,
+                    register_null=register_null,
+                    key_cols=key_cols,
+                    tokens_col=tokens_col,
+                    n_tok_col=n_tok_col,
+                )
+            )
+            start = end
+        return pa.concat_tables(outs)
     seg_row, seg_window, seg_lengths, nwin = _window_layout(
         n_tok, gran, origin
     )

@@ -120,3 +120,18 @@ def test_single_token_docs(ray_session):
     assert out["sum"] == [5.0, None, 7.0]
     assert out["median"] == [5.0, None, 7.0]
     assert out["slope"] == [None, None, None]  # count < 2
+
+
+def test_explode_chunking_guard(monkeypatch):
+    """Wide-row chunking produces identical results to unchunked."""
+    import grass_ray.stages.rollup as R
+
+    t = synth_corpus_table(40, seed=2, n_tok=2880)
+    full = R.rollup_batch(t, 60, ("count", "sum", "average")).to_pydict()
+    monkeypatch.setattr(R, "_MAX_EXPLODE_VALUES", 10_000)
+    chunked = R.rollup_batch(t, 60, ("count", "sum", "average")).to_pydict()
+    assert chunked == full
+    nested_full = R.rollup_batch(t, 60, ("count", "sum", "minimum", "maximum", "average"), nested=True).to_pydict()
+    monkeypatch.setattr(R, "_MAX_EXPLODE_VALUES", 32_000_000)
+    nested_ref = R.rollup_batch(t, 60, ("count", "sum", "minimum", "maximum", "average"), nested=True).to_pydict()
+    assert nested_full == nested_ref
