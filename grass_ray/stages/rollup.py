@@ -120,9 +120,8 @@ def rollup_batch(
         outs = []
         start = 0
         while start < batch.num_rows:
-            end = int(
-                np.searchsorted(csum, csum[start] + _MAX_EXPLODE_VALUES - 1)
-            )
+            base = int(csum[start] - n_tok[start])
+            end = int(np.searchsorted(csum, base + _MAX_EXPLODE_VALUES, side="right"))
             end = max(end, start + 1)
             outs.append(
                 rollup_batch(
