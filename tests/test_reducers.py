@@ -241,3 +241,39 @@ def test_empty_input():
     res = reduce_segments(np.empty(0), np.empty(0, dtype=np.int64), ALL)
     for m in ALL:
         assert len(res[m]) == 0
+
+
+# ---- property-based parity (hypothesis) -----------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _vals = st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(-1000, 1000).map(float),
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(_vals)
+    def test_property_parity_all_methods(vals):
+        assert_matches_oracle(vals)
+
+    @settings(max_examples=25, deadline=None)
+    @given(_vals, st.integers(1, 9))
+    def test_property_parity_weighted(vals, wseed):
+        rng = np.random.default_rng(wseed)
+        w = rng.integers(1, 6, size=len(vals)).astype(float)
+        assert_matches_oracle(vals, methods=WEIGHTED_CAPABLE, weights=w)
+
+except ImportError:  # pragma: no cover
+    pass
