@@ -1,0 +1,168 @@
+"""Corpus ingestion from additional source formats + a real tokenizer.
+
+The reference ingests through per-module readers (`t.register` file
+lists, `t.rast.import` archives); the engine equivalently accepts any
+source Ray Data can read and normalizes it to the corpus schema
+``(doc_id, tokens, n_tok, source)``:
+
+* :func:`read_corpus_parquet` — canonical path (column-pruned).
+* :func:`read_corpus_jsonl` — JSONL rows with either a ``tokens`` list
+  or raw ``text`` (tokenized on ingest).
+* :func:`read_corpus_csv` — CSV with a text column.
+* :func:`read_corpus_textdir` — one document per file (file name is the
+  doc_id).
+* :class:`HashTokenizer` — deterministic word tokenizer (stable 64-bit
+  word hash modulo a vocab size; compiled regex per actor), the real
+  text→tokens path used when sources carry text instead of tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class HashTokenizer:
+    """text -> tokens: list<int32> via process-stable word hashing.
+
+    Actor-pool stage: regex compiled once per actor; per batch the text
+    column is tokenized and the corpus columns emitted.  Deterministic
+    across processes/machines (blake2b word hash % vocab).
+    """
+
+    def __init__(self, vocab_size: int = 50257, text_col: str = "text",
+                 id_col: str = "doc_id", source_col: str = "source"):
+        import re
+
+        from grass_ray.functions.textstats import _stable_hash64
+
+        self.word = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+        self.hash = _stable_hash64
+        self.vocab = vocab_size
+        self.text_col = text_col
+        self.id_col = id_col
+        self.source_col = source_col
+        self.cache: dict[str, int] = {}
+
+    def _tok(self, text: str) -> list[int]:
+        out = []
+        cache = self.cache
+        for w in self.word.findall(text.lower()):
+            t = cache.get(w)
+            if t is None:
+                t = self.hash(w) % self.vocab
+                if len(cache) < 262144:
+                    cache[w] = t
+            out.append(t)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        toks = [self._tok(t or "") for t in texts]
+        ids = batch.column(self.id_col).to_pylist() if self.id_col in batch.column_names else range(len(texts))
+        srcs = (
+            batch.column(self.source_col).to_pylist()
+            if self.source_col in batch.column_names
+            else ["unknown"] * len(texts)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [i if isinstance(i, str) else f"d{int(i):07d}" for i in ids]
+                ),
+                "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+                "n_tok": pa.array(
+                    [len(t) for t in toks], type=pa.int32()
+                ),
+                "source": pa.array([str(s) for s in srcs]),
+            }
+        )
+
+
+def tokenize_text(ds, vocab_size: int = 50257, concurrency=(1, 8), **kw):
+    """documents-with-text -> corpus via the actor-pool tokenizer."""
+    return ds.map_batches(
+        HashTokenizer,
+        fn_constructor_kwargs={"vocab_size": vocab_size, **kw},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+    )
+
+
+def _normalize(ds):
+    """Ensure corpus schema/dtypes on a source that already has tokens."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = toks.cast(pa.list_(pa.int32()))
+        n = toks.value_lengths().cast(pa.int32())
+        ids = batch.column("doc_id")
+        if not pa.types.is_string(ids.type):
+            ids = pa.array(
+                [f"d{int(i):07d}" for i in ids.to_pylist()], type=pa.string()
+            )
+        src = (
+            batch.column("source")
+            if "source" in batch.column_names
+            else pa.array(["unknown"] * batch.num_rows)
+        )
+        return pa.table(
+            {"doc_id": ids, "tokens": toks, "n_tok": n, "source": src}
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def read_corpus_parquet(path, **kw):
+    import ray.data
+
+    return _normalize(ray.data.read_parquet(path, **kw))
+
+
+def read_corpus_jsonl(path, vocab_size: int = 50257):
+    """JSONL docs: rows with `tokens` pass through; rows with `text`
+    are tokenized on ingest."""
+    import ray.data
+
+    ds = ray.data.read_json(path)
+    names = ds.schema().names
+    if "tokens" in names:
+        return _normalize(ds)
+    return tokenize_text(ds, vocab_size=vocab_size)
+
+
+def read_corpus_csv(path, vocab_size: int = 50257, **kw):
+    import ray.data
+
+    return tokenize_text(ray.data.read_csv(path, **kw), vocab_size=vocab_size)
+
+
+def read_corpus_textdir(path, vocab_size: int = 50257, source: str = "files"):
+    """Directory of text files: one doc per file, doc_id = file name."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_binary_files(path, include_paths=True)
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [os.path.splitext(os.path.basename(p))[0] for p in paths]
+                ),
+                "text": pa.array(
+                    [b.decode("utf-8", "ignore") for b in blobs]
+                ),
+                "source": pa.array([source] * len(paths)),
+            }
+        )
+
+    return tokenize_text(
+        ds.map_batches(to_docs, batch_format="pyarrow"), vocab_size=vocab_size
+    )

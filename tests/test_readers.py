@@ -1,0 +1,81 @@
+"""Corpus ingestion from jsonl/csv/textdir + hash tokenizer."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from grass_ray.sources.readers import (
+    HashTokenizer,
+    read_corpus_csv,
+    read_corpus_jsonl,
+    read_corpus_textdir,
+    tokenize_text,
+)
+
+
+def test_hash_tokenizer_deterministic():
+    t1 = HashTokenizer(vocab_size=1000)
+    t2 = HashTokenizer(vocab_size=1000)
+    toks = t1._tok("Hello, world! hello")
+    assert toks == t2._tok("Hello, world! hello")
+    assert len(toks) == 5  # hello , world ! hello
+    assert toks[0] == toks[4]  # case-folded repeat
+    assert all(0 <= t < 1000 for t in toks)
+
+
+def test_tokenize_documents_rollup(ray_session):
+    """Real text -> tokens -> windowed rollup end to end."""
+    import ray.data
+
+    from grass_ray.stages.rollup import rollup
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    corpus = tokenize_text(docs, vocab_size=32000)
+    out = rollup(corpus, 16, ("count", "sum")).to_pandas()
+    assert len(out) > 500
+    assert (out["count"] <= 16).all()
+
+
+def test_read_corpus_jsonl(ray_session, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"doc_id": 1, "tokens": [1, 2, 3], "source": "a"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "tokens": [4, 5], "source": "b"}) + "\n")
+    out = read_corpus_jsonl(str(p)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == ["d0000001", "d0000002"]
+    assert list(out["n_tok"]) == [3, 2]
+    # text variant
+    p2 = tmp_path / "docs_text.jsonl"
+    with open(p2, "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "one two three", "source": "a"}) + "\n")
+    out2 = read_corpus_jsonl(str(p2)).to_pandas()
+    assert out2["n_tok"][0] == 3
+
+
+def test_read_corpus_csv(ray_session, tmp_path):
+    p = tmp_path / "docs.csv"
+    with open(p, "w") as f:
+        f.write("doc_id,text,source\n")
+        f.write('7,"alpha beta gamma",web\n')
+    out = read_corpus_csv(str(p)).to_pandas()
+    assert out["doc_id"][0] == "d0000007"
+    assert out["n_tok"][0] == 3
+    assert out["source"][0] == "web"
+
+
+def test_read_corpus_textdir(ray_session, tmp_path):
+    d = tmp_path / "txt"
+    os.makedirs(d)
+    (d / "docA.txt").write_text("the quick brown fox")
+    (d / "docB.txt").write_text("lazy dog")
+    out = read_corpus_textdir(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == ["docA", "docB"]
+    assert list(out["n_tok"]) == [4, 2]
+    assert (out["source"] == "files").all()
