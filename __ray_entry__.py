@@ -631,6 +631,23 @@ def _q_curate(sf_dir: str) -> pa.Table:
     return t.select(["block_id", "n_tok", "n_docs"])
 
 
+def _q_tokenize_rollup(sf_dir: str) -> pa.Table:
+    """Real-text ingest: hash-tokenize documents.text (actor pool) and
+    roll the resulting corpus into 16-position windows."""
+    import ray.data
+
+    from grass_ray.sources.readers import tokenize_text
+    from grass_ray.stages.rollup import rollup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    corpus = tokenize_text(docs, vocab_size=32000)
+    out = rollup(corpus, 16, ("count", "sum", "average"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _rename(t, {"count": "cnt", "sum": "sum_tok", "average": "avg_tok"})
+
+
 def _q_multimodal(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -704,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann,
         "ivf_topk": _q_ivf,
         "langid_quality": _q_langid_quality,
+        "tokenize_rollup": _q_tokenize_rollup,
         "multimodal_features": _q_multimodal,
     }
 
