@@ -1,0 +1,128 @@
+"""Mergeable quantile sketch (KLL-lite) for approximate holistic
+aggregation at tier scale.
+
+Exact holistic methods (median/quantiles) shuffle raw points into their
+group (``stages/grouped.rollup_points_holistic``).  At 10¹²-sequence
+scale that exchange is the cost ceiling, so the engine also offers the
+sketch plan: each batch emits one serialized sketch per key (bounded
+size), a tiny ``groupby`` merges sketches, and quantiles are answered
+from the merged summary — the standard mergeable-summary pattern
+(Karnin–Lang–Liberty-style compactor hierarchy, simplified: level k
+holds up to ``k_cap`` sorted items, overflow compacts by keeping every
+other item (deterministic offset) and promoting to level k+1, where
+each item carries weight 2^(k)).
+
+Deterministic (compaction offset from a per-level counter, no RNG) —
+the same input always produces the same sketch, keeping the engine's
+reproducibility contract.  Error is ~O(1/k_cap) in rank.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+
+
+class KLLSketch:
+    """Compactor-hierarchy quantile sketch over float64 values."""
+
+    def __init__(self, k_cap: int = 256):
+        self.k_cap = int(k_cap)
+        self.levels: list[np.ndarray] = [np.empty(0)]
+        self.n = 0
+        self._compactions = 0
+
+    # ---- build -----------------------------------------------------
+    def update_many(self, values: np.ndarray):
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def _cap(self, level: int) -> int:
+        # uniform per-level capacity: rank error ~ O(sqrt(levels)/k_cap)
+        return self.k_cap
+
+    def _compress(self):
+        lvl = 0
+        while lvl < len(self.levels):
+            arr = self.levels[lvl]
+            cap = self._cap(lvl)
+            if len(arr) <= cap:
+                lvl += 1
+                continue
+            arr = np.sort(arr)
+            off = self._compactions & 1  # deterministic alternating offset
+            self._compactions += 1
+            keep = arr[off::2]
+            if lvl + 1 >= len(self.levels):
+                self.levels.append(np.empty(0))
+            self.levels[lvl + 1] = np.concatenate(
+                [self.levels[lvl + 1], keep]
+            )
+            self.levels[lvl] = np.empty(0)
+            lvl += 1
+
+    # ---- merge -----------------------------------------------------
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        self.n += other.n
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0))
+        for i, arr in enumerate(other.levels):
+            if len(arr):
+                self.levels[i] = np.concatenate([self.levels[i], arr])
+        self._compress()
+        return self
+
+    # ---- query -----------------------------------------------------
+    def quantile(self, q: float) -> float:
+        items = []
+        weights = []
+        for lvl, arr in enumerate(self.levels):
+            if len(arr):
+                items.append(arr)
+                weights.append(np.full(len(arr), 1 << lvl, dtype=np.int64))
+        if not items:
+            return float("nan")
+        v = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(v[min(idx, len(v) - 1)])
+
+    # ---- serialization (for shipping through Arrow binary columns) --
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        buf.write(struct.pack("<qiq", self.n, self.k_cap, self._compactions))
+        buf.write(struct.pack("<i", len(self.levels)))
+        for arr in self.levels:
+            buf.write(struct.pack("<i", len(arr)))
+            buf.write(np.ascontiguousarray(arr).tobytes())
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KLLSketch":
+        buf = io.BytesIO(data)
+        n, k_cap, comps = struct.unpack("<qiq", buf.read(20))
+        (nlev,) = struct.unpack("<i", buf.read(4))
+        sk = cls(k_cap)
+        sk.n = n
+        sk._compactions = comps
+        sk.levels = []
+        for _ in range(nlev):
+            (ln,) = struct.unpack("<i", buf.read(4))
+            sk.levels.append(
+                np.frombuffer(buf.read(8 * ln), dtype=np.float64).copy()
+            )
+        if not sk.levels:
+            sk.levels = [np.empty(0)]
+        return sk

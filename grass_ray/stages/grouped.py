@@ -297,3 +297,56 @@ def sessionize(
         return pa.table(cols)
 
     return ds.groupby(keys).map_groups(per_key, batch_format="pyarrow")
+
+
+def approx_quantiles(
+    ds,
+    *,
+    key_cols,
+    val_col: str,
+    quantiles=(0.5,),
+    k_cap: int = 256,
+):
+    """Approximate grouped quantiles via mergeable KLL-lite sketches:
+    one bounded-size sketch per key per batch (map_batches), a tiny
+    ``groupby(key)`` over serialized sketches, merge + query in
+    ``map_groups``.  The shuffle moves sketches, not points — the
+    scale plan for holistic methods (exact path:
+    :func:`rollup_points_holistic`)."""
+    from grass_ray.functions.sketch import KLLSketch
+
+    keys = list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(keys + [val_col]).to_pandas()
+        rows_k = {k: [] for k in keys}
+        blobs = []
+        for kv, grp in df.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            sk = KLLSketch(k_cap).update_many(grp[val_col].to_numpy(dtype=np.float64))
+            for k, v in zip(keys, kv):
+                rows_k[k].append(v)
+            blobs.append(sk.to_bytes())
+        cols = {k: pa.array(rows_k[k]) for k in keys}
+        cols["sketch"] = pa.array(blobs, type=pa.binary())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        sk = None
+        for blob in batch.column("sketch").to_pylist():
+            s = KLLSketch.from_bytes(blob)
+            sk = s if sk is None else sk.merge(s)
+        cols = {k: batch.column(k).slice(0, 1) for k in keys}
+        cols["n"] = pa.array([sk.n], type=pa.int64())
+        for q in quantiles:
+            cols[f"q{int(q * 100):02d}"] = pa.array(
+                [sk.quantile(q)], type=pa.float64()
+            )
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")

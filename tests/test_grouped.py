@@ -187,3 +187,44 @@ def test_sessionize_vs_duckdb(ray_session):
     assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
     assert (g["session_start"].to_numpy() == w["session_start"].to_numpy()).all()
     assert (g["session_end"].to_numpy() == w["session_end"].to_numpy()).all()
+
+
+def test_kll_sketch_accuracy():
+    from grass_ray.functions.sketch import KLLSketch
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=50000) * 100
+    sk = KLLSketch(256).update_many(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = sk.quantile(q)
+        true = np.quantile(vals, q)
+        rank_err = abs((vals <= est).mean() - q)
+        assert rank_err < 0.05, (q, est, true, rank_err)
+    # merge equivalence: two halves merged ~= whole
+    a = KLLSketch(256).update_many(vals[:25000])
+    b = KLLSketch(256).update_many(vals[25000:])
+    m = a.merge(KLLSketch.from_bytes(b.to_bytes()))
+    assert abs((vals <= m.quantile(0.5)).mean() - 0.5) < 0.05
+    # serialization round trip preserves answers
+    r = KLLSketch.from_bytes(m.to_bytes())
+    assert r.quantile(0.5) == m.quantile(0.5)
+    assert r.n == 50000
+
+
+def test_approx_quantiles_grouped(ray_session):
+    import ray.data
+
+    from grass_ray.stages.grouped import approx_quantiles
+    from grass_ray.stages.rollup import explode_tokens
+
+    t = synth_corpus_table(30, seed=12, n_tok=1440)
+    pts = explode_tokens(ray.data.from_arrow(t))
+    out = approx_quantiles(
+        pts, key_cols=("source",), val_col="token", quantiles=(0.5, 0.9)
+    ).to_pandas()
+    exact = pts.to_pandas()
+    for _, r in out.iterrows():
+        grp = exact[exact["source"] == r["source"]]["token"].dropna()
+        for q, col in ((0.5, "q50"), (0.9, "q90")):
+            rank_err = abs((grp <= r[col]).mean() - q)
+            assert rank_err < 0.06, (r["source"], q, rank_err)
