@@ -631,6 +631,18 @@ def _q_curate(sf_dir: str) -> pa.Table:
     return t.select(["block_id", "n_tok", "n_docs"])
 
 
+def _q_approx_quantiles(sf_dir: str) -> pa.Table:
+    """Sketch-based grouped quantiles (scale plan for holistic methods)."""
+    from grass_ray.stages.grouped import approx_quantiles
+    from grass_ray.stages.rollup import explode_tokens
+
+    pts = explode_tokens(_corpus(sf_dir))
+    out = approx_quantiles(
+        pts, key_cols=("source",), val_col="token", quantiles=(0.5, 0.9)
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_tokenize_rollup(sf_dir: str) -> pa.Table:
     """Real-text ingest: hash-tokenize documents.text (actor pool) and
     roll the resulting corpus into 16-position windows."""
@@ -722,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf,
         "langid_quality": _q_langid_quality,
         "tokenize_rollup": _q_tokenize_rollup,
+        "approx_quantiles": _q_approx_quantiles,
         "multimodal_features": _q_multimodal,
     }
 
