@@ -121,6 +121,10 @@ def run_bench() -> dict:
         "minhash_dedup",
         "ann_topk",
         "langid_quality",
+        "events_sessions",
+        "pack_sequences",
+        "tokenize_rollup",
+        "approx_quantiles",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -118,9 +118,11 @@ def merge_tiers(store: TierStore, sources: list[str], dest: str):
     return committed
 
 
-def export_tier(store: TierStore, tier: str, dest_dir: str):
+def export_tier(store: TierStore, tier: str, dest_dir: str, *, archive: bool = False):
     """Pack a tier: partition parquet + manifest + init/list metadata
-    (the stds_export layout: data + list.txt + init.txt)."""
+    (the stds_export layout: data + list.txt + init.txt).  archive=True
+    additionally produces ``<dest_dir>.tar.gz`` — the reference's
+    tar.gz packaging (``stds_export.py:54-150``)."""
     os.makedirs(dest_dir, exist_ok=True)
     data_dir = os.path.join(dest_dir, "data")
     if os.path.isdir(data_dir):
@@ -137,7 +139,19 @@ def export_tier(store: TierStore, tier: str, dest_dir: str):
             f.write(
                 f"part={row['partition']}|{row['window_start']}|{row['window_end']}|{row['n_rows']}\n"
             )
+    if archive:
+        base = shutil.make_archive(dest_dir, "gztar", dest_dir)
+        return base
     return dest_dir
+
+
+def import_tier_archive(store: TierStore, archive_path: str, tier: str):
+    """Unpack an exported ``.tar.gz`` and import it (stds_import)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="grassray_imp_") as tmp:
+        shutil.unpack_archive(archive_path, tmp)
+        return import_tier(store, tmp, tier)
 
 
 def import_tier(store: TierStore, src_dir: str, tier: str):

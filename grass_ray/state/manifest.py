@@ -389,3 +389,30 @@ def get_tier_metadata(store: "TierStore", tier: str) -> dict:
 
 TierStore.set_metadata = set_tier_metadata
 TierStore.get_metadata = get_tier_metadata
+
+
+def copy_tier(store: "TierStore", src: str, dst: str):
+    """`t.copy` analog: duplicate a tier's data + manifest under a new
+    name (committed partitions only)."""
+    if os.path.isdir(store.tier_dir(dst)) or store.committed_partitions(dst):
+        raise ValueError(f"tier {dst!r} already exists")
+    shutil.copytree(store.tier_dir(src), store.tier_dir(dst))
+    # drop any staging leftovers from the copy
+    for d in os.listdir(store.tier_dir(dst)):
+        if d.startswith(".staging"):
+            shutil.rmtree(os.path.join(store.tier_dir(dst), d), ignore_errors=True)
+    os.makedirs(store._manifest_dir(dst), exist_ok=True)
+    for f in store._manifest_files(src):
+        t = pq.read_table(f)
+        import pyarrow.compute as pc_
+
+        t = t.set_column(
+            t.column_names.index("tier"),
+            "tier",
+            pa.array([dst] * t.num_rows),
+        )
+        pq.write_table(t, os.path.join(store._manifest_dir(dst), os.path.basename(f)))
+    return sorted(store.committed_partitions(dst))
+
+
+TierStore.copy_tier = copy_tier

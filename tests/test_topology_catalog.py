@@ -142,3 +142,26 @@ def test_catalog_list_merge_export(ray_session, tmp_path):
     # merge into a new tier: identical source -> same key count (dedup)
     merge_tiers(store, ["1m", "1m"], "merged")
     assert store.info("merged")["n_rows"] == info_before["n_rows"]
+
+
+def test_export_archive_and_copy(ray_session, tmp_path):
+    import ray.data
+    from grass_ray.pipelines.catalog import export_tier, import_tier_archive
+
+    root = str(tmp_path / "store2")
+    t = synth_corpus_table(10, seed=3, n_tok=100)
+    build_tiers(ray.data.from_arrow(t), root, tier_specs=(("1m", 60),))
+    store = TierStore(root)
+    # tar.gz export -> wipe -> archive import
+    arc = export_tier(store, "1m", str(tmp_path / "exp2"), archive=True)
+    assert arc.endswith(".tar.gz")
+    info = store.info("1m")
+    store.remove_tier("1m")
+    import_tier_archive(store, arc, "1m")
+    assert store.info("1m")["n_rows"] == info["n_rows"]
+    # t.copy
+    parts = store.copy_tier("1m", "minute_copy")
+    assert parts == sorted(store.committed_partitions("1m"))
+    assert store.info("minute_copy")["n_rows"] == info["n_rows"]
+    with pytest.raises(ValueError):
+        store.copy_tier("1m", "minute_copy")
