@@ -147,3 +147,56 @@ def decode_pipeline(ds, *, fake: bool = True, feature_dim: int = 64):
         batch_size=32,
         concurrency=(1, 4),
     )
+
+
+class ResizeImages:
+    """pixels (H×W flat) -> resized pixels (stub: exact nearest-neighbor
+    subsampling on the fake-decoded byte grid — a real PIL/cv2 resize
+    drops in with the same actor signature and output layout)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("pixels")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = col.value_lengths().to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        out = []
+        start = 0
+        for ln, wi, hi in zip(lens, w, h):
+            img = flat[start : start + ln]
+            start += ln
+            if ln != wi * hi:
+                out.append(np.zeros(self.out_w * self.out_h, dtype=np.uint8))
+                continue
+            grid = img.reshape(int(hi), int(wi))
+            ys = (np.arange(self.out_h) * hi // self.out_h).astype(np.int64)
+            xs = (np.arange(self.out_w) * wi // self.out_w).astype(np.int64)
+            out.append(grid[np.ix_(ys, xs)].ravel())
+        flat_out = np.concatenate(out) if out else np.empty(0, dtype=np.uint8)
+        offsets = pa.array(
+            (np.arange(len(out) + 1) * self.out_w * self.out_h).astype(np.int32)
+        )
+        arr = pa.ListArray.from_arrays(offsets, pa.array(flat_out, type=pa.uint8()))
+        t = batch.append_column("pixels_resized", arr)
+        t = t.append_column(
+            "resized_w", pa.array([self.out_w] * batch.num_rows, type=pa.int32())
+        )
+        return t.append_column(
+            "resized_h", pa.array([self.out_h] * batch.num_rows, type=pa.int32())
+        )
+
+
+def resize_images(ds, out_w: int = 32, out_h: int = 32):
+    return ds.map_batches(
+        ResizeImages,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+    )

@@ -257,3 +257,16 @@ def test_frame_sample(ray_session):
     out = frame_sample(ray.data.from_arrow(t), every_n=2).to_pandas()
     assert all(len(f) == 4 for f in out["frames"])  # 8 frames -> every 2nd
     assert all(len(f[0]) == 1024 for f in out["frames"])
+
+
+def test_resize_images(ray_session):
+    import ray.data
+    from grass_ray.stages.multimodal import DecodeMedia, resize_images
+
+    t = synth_media(4, payload_bytes=4096)
+    decoded = ray.data.from_arrow(DecodeMedia(fake=True)(t))
+    out = resize_images(decoded, out_w=16, out_h=16).to_pandas()
+    assert all(len(p) == 256 for p in out["pixels_resized"])
+    # deterministic nearest-neighbor: top-left pixel preserved
+    for _, r in out.iterrows():
+        assert r["pixels_resized"][0] == r["pixels"][0]
