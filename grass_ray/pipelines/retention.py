@@ -1,0 +1,136 @@
+"""Retention policy — age data out of a tier by window cutoff.
+
+The retention half of the "rollup + downsample + retention engine":
+fine tiers keep a bounded window horizon while coarse tiers retain
+history.  ``apply_retention(store, tier, min_window)`` removes every
+rolled-up point with ``window < min_window``:
+
+* partitions whose manifest extent ends before the cutoff are dropped
+  whole (cheap: manifest + directory delete, no data read);
+* partitions straddling the cutoff are trimmed: rows decoded, windows
+  below the cutoff removed, re-encoded and atomically re-committed
+  (same write-staging → rename → manifest contract as the builder);
+* partitions entirely above the cutoff are untouched.
+
+A typical policy: ``1m`` keeps 7 days, ``1h`` keeps 90 days, ``1d``
+keeps everything — expressed as three `apply_retention` calls driven by
+each tier's granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from grass_ray.stages.codec_stage import DecodeTier, EncodeTier
+from grass_ray.state.manifest import TierStore, _parquet_files
+
+
+def _trim_partition_table(t: pa.Table, min_window: int, value_cols) -> pa.Table:
+    """Decode rows, drop windows < min_window, re-encode, refresh stats."""
+    from grass_ray.pipelines.tiers import _row_stats_kernel
+
+    dec = DecodeTier(value_cols)(t)
+    wcol = dec.column("windows")
+    if isinstance(wcol, pa.ChunkedArray):
+        wcol = wcol.combine_chunks()
+    keep_rows = []
+    d = dec.to_pydict()
+    list_cols = [
+        k for k in dec.column_names if isinstance(dec.column(k).type, pa.ListType)
+    ]
+    out = {k: [] for k in dec.column_names}
+    for i in range(dec.num_rows):
+        ws = d["windows"][i]
+        keep = [j for j, w in enumerate(ws) if w >= min_window]
+        if not keep and ws:
+            continue  # row entirely aged out
+        for k in dec.column_names:
+            if k in list_cols:
+                out[k].append([d[k][i][j] for j in keep])
+            else:
+                out[k].append(d[k][i])
+    arrays = {}
+    for k in dec.column_names:
+        if k in list_cols:
+            arrays[k] = pa.array(out[k], type=dec.column(k).type)
+        else:
+            arrays[k] = pa.array(out[k], type=dec.schema.field(k).type)
+    trimmed = pa.table(arrays)
+    if trimmed.num_rows == 0:
+        return trimmed
+    stale = [c for c in ("wstart", "wend", "vmin", "vmax") if c in trimmed.column_names]
+    if stale:
+        trimmed = trimmed.drop_columns(stale)
+    stats_kernel = _row_stats_kernel()
+    return EncodeTier(value_cols)(stats_kernel(trimmed))
+
+
+def apply_retention(
+    store: TierStore,
+    tier: str,
+    min_window: int,
+    *,
+    value_cols=("count", "sum", "minimum", "maximum", "average"),
+) -> dict:
+    """Remove all points with window < min_window from a tier.
+
+    Returns {"dropped": [...], "trimmed": [...], "kept": n}.
+    """
+    m = store.manifest(tier).to_pydict()
+    dropped, trimmed, kept = [], [], 0
+    for p, ws, we in zip(m["partition"], m["window_start"], m["window_end"]):
+        if we is not None and we < min_window:
+            store.unregister_partition(tier, p)
+            dropped.append(p)
+        elif ws is not None and ws < min_window:
+            pdir = store.partition_dir(tier, p)
+            t = pa.concat_tables(
+                [pq.read_table(f) for f in _parquet_files(pdir)]
+            )
+            if "part" not in t.column_names:
+                t = t.append_column(
+                    "part", pa.array([p] * t.num_rows, type=pa.int32())
+                )
+            new = _trim_partition_table(t, min_window, value_cols)
+            if new.num_rows == 0:
+                store.unregister_partition(tier, p)
+                dropped.append(p)
+                continue
+            staged = store.staging_dir(tier)
+            os.makedirs(staged, exist_ok=True)
+            pq.write_table(
+                new.drop_columns(
+                    [c for c in ("part",) if c in new.column_names]
+                ),
+                os.path.join(staged, "data.parquet"),
+            )
+            stats = store.partition_stats_from_files(staged)
+            store.unregister_partition(tier, p)
+            store.commit_partition(
+                tier,
+                p,
+                staged,
+                agg_type=m["agg_type"][0] if m["agg_type"] else "retention",
+                lineage=json.dumps(
+                    {"op": "retention", "min_window": min_window, "partition": p}
+                ),
+                stats=stats,
+            )
+            trimmed.append(p)
+        else:
+            kept += 1
+    store.clean_staging(tier)
+    return {"dropped": sorted(dropped), "trimmed": sorted(trimmed), "kept": kept}
+
+
+def apply_retention_policy(store: TierStore, policy: dict) -> dict:
+    """Apply {tier: min_window} cutoffs (a full retention sweep)."""
+    return {
+        tier: apply_retention(store, tier, cutoff)
+        for tier, cutoff in policy.items()
+    }

@@ -318,3 +318,45 @@ def test_build_tiers_with_holistic_tier0(ray_session, tier_root):
     direct = rollup_batch(t, 60, ("median",), nested=True).to_pydict()
     got = m1.sort_values("doc_id").reset_index(drop=True)
     assert [list(v) for v in got["median"]] == direct["median"]
+
+
+def test_retention_policy(ray_session, tier_root):
+    """Age out windows below a cutoff: whole-partition drops + boundary
+    trims, totals consistent, reads reflect the policy."""
+    import ray.data
+
+    from grass_ray.pipelines.retention import apply_retention
+
+    # docs in distinct partitions with distinct window ranges: short docs
+    # end at window 0; long docs span windows 0..47
+    short = synth_corpus_table(20, seed=1, n_tok=60)
+    long = synth_corpus_table(20, seed=1, n_tok=2880, start_doc=2000)
+    both = pa.concat_tables([short, long])
+    build_tiers(
+        ray.data.from_arrow(both), tier_root, tier_specs=(("1m", 60),),
+        docs_per_partition=100,
+    )
+    store = TierStore(tier_root)
+    before = store.info("1m")
+    assert before["n_points"] == 20 * 1 + 20 * 48
+
+    res = apply_retention(store, "1m", min_window=10)
+    # the short-doc partition (all windows 0) drops entirely;
+    # the long-doc partition gets trimmed to windows 10..47
+    assert len(res["dropped"]) == 1
+    assert len(res["trimmed"]) == 1
+    after = store.info("1m")
+    assert after["n_points"] == 20 * 38
+    assert after["window_start"] == 10
+    out = read_tier(store, "1m").to_pandas()
+    assert len(out) == 20
+    for ws in out["windows"]:
+        assert min(ws) >= 10
+    # values of surviving windows unchanged vs direct rollup
+    direct = rollup_batch(long, 60, ("count", "sum", "minimum", "maximum", "average"), nested=True).to_pydict()
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    for i in range(20):
+        assert list(got["sum"][i]) == direct["sum"][i][10:]
+    # idempotent second sweep
+    res2 = apply_retention(store, "1m", min_window=10)
+    assert res2["dropped"] == [] and res2["trimmed"] == []
