@@ -37,6 +37,7 @@ from grass_ray.stages.text_stage import analyze_text
 from grass_ray.stages.univar import univar
 from grass_ray.stages.what import what
 from grass_ray.pipelines.catalog import export_tier, import_tier, list_tier, merge_tiers
+from grass_ray.pipelines.retention import apply_retention, apply_retention_policy
 from grass_ray.pipelines.tiers import build_tiers, read_tier
 from grass_ray.state.manifest import TierStore
 
@@ -49,6 +50,8 @@ __all__ = [
     "accumulate",
     "algebra",
     "analyze_text",
+    "apply_retention",
+    "apply_retention_policy",
     "ann_topk",
     "apply_mapcalc",
     "build_tiers",

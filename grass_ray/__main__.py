@@ -140,6 +140,14 @@ def cmd_remove(args):
     print(json.dumps({"removed": args.tier}))
 
 
+def cmd_retention(args):
+    from grass_ray.pipelines.retention import apply_retention
+    from grass_ray.state.manifest import TierStore
+
+    res = apply_retention(TierStore(args.store), args.tier, args.min_window)
+    print(json.dumps(res))
+
+
 def cmd_topology(args):
     ray = _ray()
     from grass_ray.pipelines.tiers import read_tier
@@ -204,6 +212,12 @@ def main(argv=None):
     r.add_argument("--store", required=True)
     r.add_argument("--tier", required=True)
     r.set_defaults(fn=cmd_remove)
+
+    rt = sub.add_parser("retention", help="age out windows below a cutoff")
+    rt.add_argument("--store", required=True)
+    rt.add_argument("--tier", required=True)
+    rt.add_argument("--min-window", type=int, required=True)
+    rt.set_defaults(fn=cmd_retention)
 
     t = sub.add_parser("topology", help="gap/granularity report (t.topology)")
     t.add_argument("--store", required=True)
