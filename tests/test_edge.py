@@ -135,3 +135,66 @@ def test_explode_chunking_guard(monkeypatch):
     monkeypatch.setattr(R, "_MAX_EXPLODE_VALUES", 32_000_000)
     nested_ref = R.rollup_batch(t, 60, ("count", "sum", "minimum", "maximum", "average"), nested=True).to_pydict()
     assert nested_full == nested_ref
+
+
+@pytest.mark.parametrize("seed,g0,f1,f2", [(101, 7, 4, 3), (202, 13, 5, 2), (303, 60, 60, 24)])
+def test_fuzz_build_vs_bruteforce(ray_session, tmp_path, seed, g0, f1, f2):
+    """Differential fuzz: full encoded tier build (one-pass, manifests,
+    codec) vs a brute-force per-doc recompute in plain numpy."""
+    import ray.data
+
+    from grass_ray.pipelines.tiers import build_tiers, read_tier
+    from grass_ray.state.manifest import TierStore
+
+    rng = np.random.default_rng(seed)
+    n_docs = 30
+    rows = []
+    for i in range(n_docs):
+        n = int(rng.integers(1, 400))
+        toks = rng.integers(0, 1000, size=n).astype(object)
+        for j in range(n):
+            if rng.random() < 0.15:
+                toks[j] = None
+        rows.append((f"d{i:07d}", f"s{i % 4}", [None if t is None else int(t) for t in toks]))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[2] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[2]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+    root = str(tmp_path / f"fuzz{seed}")
+    specs = (("t0", g0), ("t1", f1), ("t2", f2))
+    build_tiers(ray.data.from_arrow(t), root, tier_specs=specs, docs_per_partition=7)
+    store = TierStore(root)
+
+    def brute(toks, gran):
+        out = {}
+        for w in range((len(toks) + gran - 1) // gran):
+            seg = [v for v in toks[w * gran : (w + 1) * gran] if v is not None]
+            out[w] = (
+                len(seg),
+                float(sum(seg)) if seg else None,
+                float(min(seg)) if seg else None,
+                float(max(seg)) if seg else None,
+            )
+        return out
+
+    grans = {"t0": g0, "t1": g0 * f1, "t2": g0 * f1 * f2}
+    for tier, gran in grans.items():
+        got = read_tier(store, tier).to_pandas().set_index("doc_id")
+        for doc_id, _, toks in rows:
+            want = brute(toks, gran)
+            ws = list(got.loc[doc_id, "windows"])
+            assert ws == sorted(want), (tier, doc_id)
+            for j, w in enumerate(ws):
+                cnt, s, mn, mx = want[w]
+                assert got.loc[doc_id, "count"][j] == cnt, (tier, doc_id, w)
+                gs = got.loc[doc_id, "sum"][j]
+                if s is None:
+                    assert gs is None or (isinstance(gs, float) and np.isnan(gs))
+                else:
+                    assert gs == s
+                    assert got.loc[doc_id, "minimum"][j] == mn
+                    assert got.loc[doc_id, "maximum"][j] == mx
