@@ -482,6 +482,38 @@ def _q_univar_zones(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_series_enriched(sf_dir: str) -> pa.Table:
+    """Broadcast (map-side) join: per-doc series stats enriched with the
+    per-source doc count — the small side is computed once, shipped via
+    ``ray.put``, and looked up inside ``map_batches`` (no shuffle join)."""
+    import ray
+
+    from grass_ray.stages.rollup import series_collapse
+
+    per_doc = series_collapse(_corpus(sf_dir), ("count", "sum"))
+    # small side: docs per source (driver-side aggregate of a tiny table)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    )
+    import collections
+
+    counts = collections.Counter(docs.column("source").to_pylist())
+    ref = ray.put(dict(counts))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        side = ray.get(ref)
+        vals = [side.get(s, 0) for s in batch.column("source").to_pylist()]
+        return batch.append_column(
+            "source_docs", pa.array(vals, type=pa.int64())
+        )
+
+    out = per_doc.map_batches(enrich, batch_format="pyarrow")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _rename(t, {"count": "cnt", "sum": "sum_tok"})
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -707,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_weighted": _q_rollup_weighted,
         "cascade_1h": _q_cascade_1h,
         "series_stats": _q_series,
+        "series_enriched": _q_series_enriched,
         "series_holistic": _q_series_holistic,
         "univar": _q_univar,
         "univar_zones": _q_univar_zones,
@@ -807,6 +840,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(token) AS DOUBLE) AS max_tok,
                    avg(token) AS avg_tok
             FROM tok GROUP BY 1, 2
+        """,
+        "series_enriched": f"""
+            WITH tok AS ({tok}),
+            per_doc AS (
+                SELECT source, doc_id,
+                       CAST(count(token) AS BIGINT) AS cnt,
+                       CAST(sum(token) AS DOUBLE) AS sum_tok
+                FROM tok GROUP BY 1, 2
+            ),
+            side AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS source_docs
+                FROM documents GROUP BY 1
+            )
+            SELECT p.source, p.doc_id, p.cnt, p.sum_tok, s.source_docs
+            FROM per_doc p JOIN side s USING (source)
         """,
         "series_holistic": f"""
             WITH tok AS ({tok})
