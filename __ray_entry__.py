@@ -514,6 +514,34 @@ def _q_series_enriched(sf_dir: str) -> pa.Table:
     return _rename(t, {"count": "cnt", "sum": "sum_tok"})
 
 
+def _q_join_documents(sf_dir: str) -> pa.Table:
+    """Two-large-sides partitioned hash join (bucket + per-bucket merge):
+    per-doc series stats ⋈ documents metadata on doc_id."""
+    import ray.data
+
+    from grass_ray.stages.join import bucket_join
+    from grass_ray.stages.rollup import series_collapse
+
+    per_doc = series_collapse(_corpus(sf_dir), ("count", "sum"))
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def keyize(batch: pa.Table) -> pa.Table:
+        ids = pa.array(
+            [f"d{int(i):07d}" for i in batch.column("doc_id").to_pylist()]
+        )
+        return batch.set_column(
+            batch.column_names.index("doc_id"), "doc_id", ids
+        )
+
+    docs = docs.map_batches(keyize, batch_format="pyarrow")
+    out = bucket_join(per_doc, docs, key_cols=("doc_id",), buckets=16)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _rename(t, {"count": "cnt", "sum": "sum_tok"})
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -740,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_1h": _q_cascade_1h,
         "series_stats": _q_series,
         "series_enriched": _q_series_enriched,
+        "join_documents": _q_join_documents,
         "series_holistic": _q_series_holistic,
         "univar": _q_univar,
         "univar_zones": _q_univar_zones,
@@ -855,6 +884,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.source, p.doc_id, p.cnt, p.sum_tok, s.source_docs
             FROM per_doc p JOIN side s USING (source)
+        """,
+        "join_documents": f"""
+            WITH tok AS ({tok}),
+            per_doc AS (
+                SELECT source, doc_id,
+                       CAST(count(token) AS BIGINT) AS cnt,
+                       CAST(sum(token) AS DOUBLE) AS sum_tok
+                FROM tok GROUP BY 1, 2
+            )
+            SELECT p.source, p.doc_id, p.cnt, p.sum_tok,
+                   d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM per_doc p
+            JOIN (SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                          AS doc_id, lang, n_chars
+                  FROM documents) d USING (doc_id)
         """,
         "series_holistic": f"""
             WITH tok AS ({tok})

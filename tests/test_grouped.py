@@ -228,3 +228,38 @@ def test_approx_quantiles_grouped(ray_session):
         for q, col in ((0.5, "q50"), (0.9, "q90")):
             rank_err = abs((grp <= r[col]).mean() - q)
             assert rank_err < 0.06, (r["source"], q, rank_err)
+
+
+def test_bucket_join_vs_pandas(ray_session):
+    import ray.data
+
+    from grass_ray.stages.join import bucket_join
+
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame(
+        {
+            "k": [f"k{i % 37}" for i in range(300)],
+            "i": np.arange(300),
+            "v": rng.normal(size=300),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [f"k{i % 41}" for i in range(250)],
+            "j": np.arange(250),
+            "v": rng.normal(size=250),  # name collision -> suffixed
+        }
+    )
+    out = bucket_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        key_cols=("k",),
+        buckets=8,
+    ).to_pandas()
+    want = left.merge(right, on="k", suffixes=("", "_r"))
+    assert len(out) == len(want)
+    a = out.sort_values(["k", "i", "j"]).reset_index(drop=True)
+    b = want.sort_values(["k", "i", "j"]).reset_index(drop=True)
+    assert (a["i"].to_numpy() == b["i"].to_numpy()).all()
+    assert (a["j"].to_numpy() == b["j"].to_numpy()).all()
+    assert np.allclose(a["v_r"], b["v_r"])
