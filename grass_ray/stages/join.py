@@ -101,3 +101,97 @@ def bucket_join(
         return tbl
 
     return both.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def asof_join(
+    ds_left,
+    ds_right,
+    *,
+    key_cols,
+    ts_col: str = "ts",
+    buckets: int = 64,
+    suffix: str = "_r",
+    direction: str = "backward",
+):
+    """As-of join: each left row matches the latest right row with
+    ``right.ts <= left.ts`` for the same key (direction="backward";
+    "forward" takes the earliest later row).  Plan: hash-bucket both
+    sides by key, sort within the bucket, ``pd.merge_asof`` per bucket
+    — the documented pattern for time-aligned joins; partitioning
+    assumption: a key's rows land in one bucket (guaranteed by the key
+    hash), ordering established inside the group.
+    """
+    import pandas as pd
+
+    keys = list(key_cols)
+    lschema, rschema = ds_left.schema(), ds_right.schema()
+    rpay_src = [c for c in rschema.names if c not in keys and c != ts_col]
+    lnames = set(lschema.names)
+    rename = {c: (c + suffix if c in lnames else c) for c in rpay_src}
+
+    def tag(side: str):
+        def kernel(batch: pa.Table) -> pa.Table:
+            key_vals = [batch.column(k).to_pylist() for k in keys]
+            b = np.array(
+                [
+                    zlib.crc32("|".join(str(v) for v in row).encode()) % buckets
+                    for row in zip(*key_vals)
+                ],
+                dtype=np.int32,
+            )
+            return batch.append_column("_bucket", pa.array(b))
+
+        return kernel
+
+    # ship each side separately keyed by bucket; merge inside map_groups
+    # over the union of PICKLED sub-frames is awkward — instead bucket
+    # the left and broadcast-partition the right per bucket via its own
+    # groupby materialization (right is re-read per bucket from the
+    # object store, not recomputed).
+    left = ds_left.map_batches(tag("l"), batch_format="pyarrow")
+    right = ds_right.map_batches(tag("r"), batch_format="pyarrow")
+    import ray
+
+    right_by_bucket: dict = {}
+    for batch in right.iter_batches(batch_format="pyarrow"):
+        df = batch.to_pandas()
+        for b, grp in df.groupby("_bucket"):
+            right_by_bucket.setdefault(int(b), []).append(grp)
+    right_by_bucket = {
+        b: (
+            __import__("pandas")
+            .concat(gs, ignore_index=True)
+            .sort_values(ts_col)
+            .reset_index(drop=True)
+        )
+        for b, gs in right_by_bucket.items()
+    }
+    ref = ray.put(right_by_bucket)
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = ray.get(ref)
+        l = batch.to_pandas()
+        b = int(l["_bucket"].iloc[0])
+        r = side.get(b)
+        l = l.sort_values(ts_col).reset_index(drop=True)
+        if r is None or len(r) == 0:
+            out = l.drop(columns=["_bucket"])
+            for c in rpay_src:
+                out[rename[c]] = None
+            out[ts_col + suffix] = pd.NaT
+            return pa.Table.from_pandas(out, preserve_index=False)
+        r2 = r.drop(columns=["_bucket"]).rename(columns=rename)
+        r2[ts_col + suffix] = r2[ts_col]  # expose the matched right ts
+        merged = pd.merge_asof(
+            l.drop(columns=["_bucket"]),
+            r2,
+            on=ts_col,
+            by=keys,
+            direction=direction,
+            suffixes=("", suffix),
+        )
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return left.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")

@@ -263,3 +263,53 @@ def test_bucket_join_vs_pandas(ray_session):
     assert (a["i"].to_numpy() == b["i"].to_numpy()).all()
     assert (a["j"].to_numpy() == b["j"].to_numpy()).all()
     assert np.allclose(a["v_r"], b["v_r"])
+
+
+def test_asof_join_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from grass_ray.stages.join import asof_join
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ds = ray.data.read_parquet(path, columns=["user_id", "ts", "event_type", "value"])
+    # right side: only 'click'-type events (whatever the first type is)
+    import pyarrow.parquet as pq
+
+    first_type = pq.read_table(path, columns=["event_type"]).column(
+        "event_type"
+    )[0].as_py()
+    import pyarrow.compute as pc
+
+    rightf = ray.data.read_parquet(path).map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), first_type)).select(
+            ["user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        ds, rightf, key_cols=("user_id",), ts_col="ts", buckets=16
+    ).to_pandas()
+    want = (
+        duckdb.connect()
+        .execute(
+            f"""
+        SELECT a.user_id, a.ts, a.event_type, a.value,
+               b.ts AS ts_r, b.value AS value_r
+        FROM read_parquet('{path}') a
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, value FROM read_parquet('{path}')
+            WHERE event_type = '{first_type}'
+        ) b ON a.user_id = b.user_id AND a.ts >= b.ts
+        """
+        )
+        .df()
+    )
+    assert len(out) == len(want)
+    a = out.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    b = want.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    # matched right timestamps must agree (NaT where no prior click)
+    assert (a["ts_r"].isna() == b["ts_r"].isna()).all()
+    m = ~a["ts_r"].isna()
+    assert (a.loc[m, "ts_r"].to_numpy() == b.loc[m, "ts_r"].to_numpy()).all()
+    assert np.allclose(a.loc[m, "value_r"], b.loc[m, "value_r"])
