@@ -195,3 +195,125 @@ def asof_join(
         return pa.Table.from_pandas(merged, preserve_index=False)
 
     return left.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def interval_join(
+    ds_left,
+    ds_right,
+    *,
+    key_cols=(),
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_span: int = 1024,
+    suffix: str = "_r",
+):
+    """Range join: pairs of (left, right) intervals that overlap
+    (half-open ``[start, end)``), optionally also matching on key_cols —
+    the distributed form of the reference's R-tree interval topology
+    join (``spatio_temporal_relationships.py:496-516``).
+
+    Plan: each interval replicates to every coarse bucket of width
+    ``bucket_span`` it touches; a bucket-local cross check keeps actual
+    overlaps; pairs spanning several buckets are deduplicated by
+    attributing each pair to the bucket containing
+    ``max(start_l, start_r)``.  Partitioning assumption: interval
+    lengths ≪ total span (replication factor ≈ len/bucket_span + 1);
+    pick ``bucket_span`` ≥ the typical interval length.
+    """
+    keys = list(key_cols)
+
+    def expand(side: str):
+        def kernel(batch: pa.Table) -> pa.Table:
+            s = batch.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            e = batch.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b0 = np.floor_divide(s, bucket_span)
+            b1 = np.floor_divide(np.maximum(e - 1, s), bucket_span)
+            counts = (b1 - b0 + 1).astype(np.int64)
+            total = int(counts.sum())
+            src = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+            cstarts = np.zeros(len(s), dtype=np.int64)
+            np.cumsum(counts[:-1], out=cstarts[1:])
+            off = np.arange(total, dtype=np.int64) - np.repeat(cstarts, counts)
+            bucket = b0[src] + off
+            take = pa.array(src)
+            cols = {c: batch.column(c).take(take) for c in batch.column_names}
+            cols["_bucket"] = pa.array(bucket)
+            cols["_side"] = pa.array([side] * total)
+            return pa.table(cols)
+
+        return kernel
+
+    lschema, rschema = ds_left.schema(), ds_right.schema()
+    lnames = set(lschema.names)
+    rename = {
+        c: (c + suffix if c in lnames else c)
+        for c in rschema.names
+        if c not in keys
+    }
+    # align schemas for the union: left keeps names; right renames
+    # non-key columns then both pad to the combined set
+    lcols = list(lschema.names)
+    rcols = [rename.get(c, c) for c in rschema.names]
+    all_cols = keys + [c for c in lcols if c not in keys] + [
+        c for c in rcols if c not in keys and c not in lcols
+    ]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = {rename.get(n, n): t for n, t in zip(rschema.names, rschema.types)}
+
+    def pad(side: str):
+        def kernel(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for c in all_cols:
+                src = c
+                if side == "r":
+                    inv = {v: k for k, v in rename.items()}
+                    src = inv.get(c, c)
+                if src in batch.column_names and (
+                    side == "l" and c in ltypes or side == "r" and c in rtypes or c in keys
+                ):
+                    cols[c] = batch.column(src)
+                else:
+                    typ = ltypes.get(c) or rtypes.get(c)
+                    cols[c] = pa.nulls(n, type=typ)
+            cols["_bucket"] = batch.column("_bucket")
+            cols["_side"] = batch.column("_side")
+            return pa.table(cols)
+
+        return kernel
+
+    left = ds_left.map_batches(expand("l"), batch_format="pyarrow").map_batches(
+        pad("l"), batch_format="pyarrow"
+    )
+    right = ds_right.map_batches(expand("r"), batch_format="pyarrow").map_batches(
+        pad("r"), batch_format="pyarrow"
+    )
+    both = left.union(right)
+    rstart = rename.get(start_col, start_col)
+    rend = rename.get(end_col, end_col)
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        bucket = int(df["_bucket"].iloc[0])
+        l = df[df["_side"] == "l"]
+        r = df[df["_side"] == "r"]
+        lkeep = keys + [c for c in lcols if c not in keys]
+        rkeep = keys + [c for c in rcols if c not in keys]
+        l = l[lkeep]
+        r = r[rkeep]
+        if keys:
+            merged = l.merge(r, on=keys, how="inner")
+        else:
+            merged = l.assign(_x=1).merge(r.assign(_x=1), on="_x").drop(columns=["_x"])
+        if len(merged) == 0:
+            return pa.Table.from_pandas(merged, preserve_index=False)
+        ov = (merged[start_col] < merged[rend]) & (merged[rstart] < merged[end_col])
+        anchor = np.maximum(merged[start_col].to_numpy(), merged[rstart].to_numpy())
+        own = np.floor_divide(anchor, bucket_span) == bucket
+        return pa.Table.from_pandas(
+            merged[ov & own].reset_index(drop=True), preserve_index=False
+        )
+
+    return both.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")

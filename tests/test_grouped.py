@@ -313,3 +313,43 @@ def test_asof_join_vs_duckdb(ray_session):
     m = ~a["ts_r"].isna()
     assert (a.loc[m, "ts_r"].to_numpy() == b.loc[m, "ts_r"].to_numpy()).all()
     assert np.allclose(a.loc[m, "value_r"], b.loc[m, "value_r"])
+
+
+def test_interval_join_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from grass_ray.stages.join import interval_join
+
+    rng = np.random.default_rng(9)
+    def mk(n, seed_off):
+        s = rng.integers(0, 5000, size=n)
+        ln = rng.integers(1, 300, size=n)
+        return pd.DataFrame(
+            {
+                "k": [f"k{i % 5}" for i in range(n)],
+                "iid": np.arange(n) + seed_off,
+                "start": s,
+                "end": s + ln,
+            }
+        )
+
+    a, b = mk(120, 0), mk(90, 1000)
+    out = interval_join(
+        ray.data.from_pandas(a),
+        ray.data.from_pandas(b),
+        key_cols=("k",),
+        bucket_span=512,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    want = con.execute(
+        """
+        SELECT a.iid, b.iid AS iid_r FROM a JOIN b
+        ON a.k = b.k AND a.start < b."end" AND b.start < a."end"
+        """
+    ).df()
+    got = set(zip(out["iid"], out["iid_r"]))
+    exp = set(zip(want["iid"], want["iid_r"]))
+    assert got == exp
