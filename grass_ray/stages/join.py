@@ -115,22 +115,45 @@ def asof_join(
 ):
     """As-of join: each left row matches the latest right row with
     ``right.ts <= left.ts`` for the same key (direction="backward";
-    "forward" takes the earliest later row).  Plan: hash-bucket both
-    sides by key, sort within the bucket, ``pd.merge_asof`` per bucket
-    — the documented pattern for time-aligned joins; partitioning
-    assumption: a key's rows land in one bucket (guaranteed by the key
-    hash), ordering established inside the group.
+    "forward" takes the earliest later row).
+
+    Plan: the same union-of-padded-sides + ``groupby(hash(key) % B)``
+    exchange as :func:`bucket_join`, with ``pd.merge_asof`` per bucket
+    (both sides sorted in-group).  Fully distributed — no side is
+    collected on the driver.  Partitioning assumption: a key's rows land
+    in one bucket (guaranteed by the key hash).
     """
     import pandas as pd
 
     keys = list(key_cols)
     lschema, rschema = ds_left.schema(), ds_right.schema()
-    rpay_src = [c for c in rschema.names if c not in keys and c != ts_col]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
     lnames = set(lschema.names)
+    rpay_src = [c for c in rschema.names if c not in keys and c != ts_col]
     rename = {c: (c + suffix if c in lnames else c) for c in rpay_src}
+    lpay = [c for c in lschema.names if c not in keys and c != ts_col]
+    rpay = [rename[c] for c in rpay_src]
+    wire = (
+        [(k, ltypes[k]) for k in keys]
+        + [(ts_col, ltypes[ts_col])]
+        + [(c, ltypes[c]) for c in lpay]
+        + [(rename[c], rtypes[c]) for c in rpay_src]
+    )
 
-    def tag(side: str):
+    def pad(side: str, colmap: dict):
         def kernel(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in wire:
+                src = colmap.get(name, name)
+                ok = (side == "l" and name in ltypes) or (
+                    side == "r" and (name in rpay or name in keys or name == ts_col)
+                )
+                if ok and src in batch.column_names:
+                    cols[name] = batch.column(src)
+                else:
+                    cols[name] = pa.nulls(n, type=typ)
             key_vals = [batch.column(k).to_pylist() for k in keys]
             b = np.array(
                 [
@@ -139,62 +162,43 @@ def asof_join(
                 ],
                 dtype=np.int32,
             )
-            return batch.append_column("_bucket", pa.array(b))
+            cols["_bucket"] = pa.array(b)
+            cols["_side"] = pa.array([side] * n)
+            return pa.table(cols)
 
         return kernel
 
-    # ship each side separately keyed by bucket; merge inside map_groups
-    # over the union of PICKLED sub-frames is awkward — instead bucket
-    # the left and broadcast-partition the right per bucket via its own
-    # groupby materialization (right is re-read per bucket from the
-    # object store, not recomputed).
-    left = ds_left.map_batches(tag("l"), batch_format="pyarrow")
-    right = ds_right.map_batches(tag("r"), batch_format="pyarrow")
-    import ray
+    right_map = {dst: src for src, dst in rename.items()}
+    left = ds_left.map_batches(pad("l", {}), batch_format="pyarrow")
+    right = ds_right.map_batches(pad("r", right_map), batch_format="pyarrow")
+    both = left.union(right)
 
-    right_by_bucket: dict = {}
-    for batch in right.iter_batches(batch_format="pyarrow"):
+    def per_bucket(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        for b, grp in df.groupby("_bucket"):
-            right_by_bucket.setdefault(int(b), []).append(grp)
-    right_by_bucket = {
-        b: (
-            __import__("pandas")
-            .concat(gs, ignore_index=True)
+        l = (
+            df[df["_side"] == "l"][keys + [ts_col] + lpay]
             .sort_values(ts_col)
             .reset_index(drop=True)
         )
-        for b, gs in right_by_bucket.items()
-    }
-    ref = ray.put(right_by_bucket)
-
-    def per_bucket(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        side = ray.get(ref)
-        l = batch.to_pandas()
-        b = int(l["_bucket"].iloc[0])
-        r = side.get(b)
-        l = l.sort_values(ts_col).reset_index(drop=True)
-        if r is None or len(r) == 0:
-            out = l.drop(columns=["_bucket"])
-            for c in rpay_src:
-                out[rename[c]] = None
+        r = (
+            df[df["_side"] == "r"][keys + [ts_col] + rpay]
+            .sort_values(ts_col)
+            .reset_index(drop=True)
+        )
+        if len(r) == 0:
+            out = l.copy()
+            for c in rpay:
+                out[c] = None
             out[ts_col + suffix] = pd.NaT
             return pa.Table.from_pandas(out, preserve_index=False)
-        r2 = r.drop(columns=["_bucket"]).rename(columns=rename)
-        r2[ts_col + suffix] = r2[ts_col]  # expose the matched right ts
+        r = r.copy()
+        r[ts_col + suffix] = r[ts_col]
         merged = pd.merge_asof(
-            l.drop(columns=["_bucket"]),
-            r2,
-            on=ts_col,
-            by=keys,
-            direction=direction,
-            suffixes=("", suffix),
+            l, r, on=ts_col, by=keys, direction=direction, suffixes=("", suffix)
         )
         return pa.Table.from_pandas(merged, preserve_index=False)
 
-    return left.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    return both.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def interval_join(
