@@ -9,12 +9,15 @@ same deterministic corpus derivation (`grass_ray.sources.corpus`).
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Float-compare contract: any column whose value depends on float
-summation order is rounded on BOTH sides with the identical formula
-``floor(x*1e6 + 0.5)/1e6`` so the driver's value hash matches.
-Integer-derived aggregates (counts, integer-token sums, means, HF-7
-quantiles over ints, linear interpolation at exact halves) match
-bit-for-bit without rounding.
+Float-compare contract (value hashes must match bit-for-bit):
+* integer-derived aggregates (counts, token sums, means, min/max,
+  linear interpolation at exact halves) are exact on both sides;
+* variance/stddev/cv use the identical closed form from exact integer
+  power sums on both sides (no accumulation-order dependence);
+* event values are exact 2-decimal floats → aggregated as integer
+  cents and divided back identically on both sides;
+* only quantile interpolation and order-identical cumulative sums use
+  the shared rounding formula ``floor(x*1e6 + 0.5)/1e6`` (both sides).
 """
 
 from __future__ import annotations
