@@ -545,6 +545,29 @@ def _q_join_documents(sf_dir: str) -> pa.Table:
     return _rename(t, {"count": "cnt", "sum": "sum_tok"})
 
 
+def _q_events_asof(sf_dir: str) -> pa.Table:
+    """As-of join: every event matched to the latest prior 'click'-type
+    event of the same user (distributed bucketed merge_asof; oracle is
+    DuckDB's native ASOF JOIN)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from grass_ray.stages.join import asof_join
+
+    path = f"{sf_dir}/events.parquet"
+    left = ray.data.read_parquet(
+        path, columns=["user_id", "ts", "event_type", "value"]
+    )
+    right = ray.data.read_parquet(path).map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click")).select(
+            ["user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(left, right, key_cols=("user_id",), ts_col="ts", buckets=16)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -779,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_salted": _q_events_salted,
         "events_monthly": _q_events_monthly,
         "events_sessions": _q_sessions,
+        "events_asof": _q_events_asof,
         "neighbors_avg3": _q_neighbors,
         "interp_positions": _q_interp,
         "what_lookup": _q_what,
@@ -1025,6 +1049,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
             FROM g GROUP BY 1, 2
+        """,
+        "events_asof": """
+            SELECT a.user_id, a.ts, a.event_type, a.value,
+                   b.value AS value_r, b.ts AS ts_r
+            FROM events a
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            ) b ON a.user_id = b.user_id AND a.ts >= b.ts
         """,
         "neighbors_avg3": f"""
             WITH tok AS ({tok})
