@@ -68,8 +68,18 @@ def assign_partition_range(ds, docs_per_partition: int, key_col: str = "doc_id")
 
     def kernel(batch: pa.Table) -> pa.Table:
         ids = batch.column(key_col).to_pylist()
+
+        def idx(s):
+            # canonical ids are 'd<number>'; any other id falls back to a
+            # stable hash so foreign corpora still partition fine (they
+            # just lose the contiguous-range no-shuffle property)
+            tail = s[1:] if isinstance(s, str) and len(s) > 1 else ""
+            if tail.isdigit():
+                return int(tail)
+            return zlib.crc32(str(s).encode())
+
         part = np.array(
-            [int(s[1:]) // docs_per_partition for s in ids], dtype=np.int32
+            [idx(s) // docs_per_partition for s in ids], dtype=np.int32
         )
         return batch.append_column("part", pa.array(part))
 

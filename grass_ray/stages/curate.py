@@ -27,15 +27,20 @@ def sample_stratified(ds, rates: dict, *, default_rate: float = 0.0, key_col: st
     ref = ray.put((pct, int(round(default_rate * 100))))
 
     def kernel(batch: pa.Table) -> pa.Table:
+        import zlib
+
         p, dflt = ray.get(ref)
         srcs = batch.column(key_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
+
+        def idx(i):
+            if isinstance(i, str):
+                tail = i[1:]
+                return int(tail) if tail.isdigit() else zlib.crc32(i.encode())
+            return int(i)
+
         keep = pa.array(
-            [
-                (int(i[1:]) if isinstance(i, str) else int(i)) % 100
-                < p.get(s, dflt)
-                for s, i in zip(srcs, ids)
-            ]
+            [idx(i) % 100 < p.get(s, dflt) for s, i in zip(srcs, ids)]
         )
         return batch.filter(keep)
 

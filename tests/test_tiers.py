@@ -360,3 +360,22 @@ def test_retention_policy(ray_session, tier_root):
     # idempotent second sweep
     res2 = apply_retention(store, "1m", min_window=10)
     assert res2["dropped"] == [] and res2["trimmed"] == []
+
+
+def test_range_partition_non_numeric_ids(ray_session, tier_root):
+    """Foreign corpora with arbitrary doc ids still build (hash fallback)."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["alpha", "beta", "d12", "weird-id!"]),
+            "tokens": pa.array([[1, 2]] * 4, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 4, type=pa.int32()),
+            "source": pa.array(["s"] * 4),
+        }
+    )
+    build_tiers(ray.data.from_arrow(t), tier_root, tier_specs=(("1m", 2),))
+    store = TierStore(tier_root)
+    assert store.info("1m")["n_rows"] == 4
+    out = read_tier(store, "1m").to_pandas()
+    assert sorted(out["doc_id"]) == ["alpha", "beta", "d12", "weird-id!"]
