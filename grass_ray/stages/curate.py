@@ -118,6 +118,14 @@ def pack_sequences(
         flat_out = (
             np.concatenate(block_tokens) if block_tokens else np.empty(0, np.int32)
         )
+        spans_per_block = (
+            np.bincount(np.array(spans_block, dtype=np.int64), minlength=n_blocks)
+            if n_blocks
+            else np.empty(0, np.int64)
+        )
+        span_offsets = pa.array(
+            np.concatenate([[0], np.cumsum(spans_per_block)]).astype(np.int32)
+        )
         blocks_t = pa.table(
             {
                 "block_id": pa.array(np.arange(n_blocks, dtype=np.int64)),
@@ -127,12 +135,19 @@ def pack_sequences(
                 "n_tok": pa.array(
                     np.array([len(t) for t in block_tokens], dtype=np.int32)
                 ),
-                "n_docs": pa.array(
-                    np.bincount(
-                        np.array(spans_block, dtype=np.int64), minlength=n_blocks
-                    ).astype(np.int32)
-                    if n_blocks
-                    else np.empty(0, np.int32)
+                "n_docs": pa.array(spans_per_block.astype(np.int32)),
+                # doc spans (attention-mask boundaries): parallel lists
+                # aligned per block, ordered by offset within the block
+                "span_doc_ids": pa.ListArray.from_arrays(
+                    span_offsets, pa.array([str(d) for d in spans_doc])
+                ),
+                "span_starts": pa.ListArray.from_arrays(
+                    span_offsets,
+                    pa.array(np.array(spans_start, dtype=np.int32)),
+                ),
+                "span_lens": pa.ListArray.from_arrays(
+                    span_offsets,
+                    pa.array(np.array(spans_len, dtype=np.int32)),
                 ),
             }
         )

@@ -53,6 +53,11 @@ def test_pack_sequences_spans_and_nulls(ray_session):
     assert list(out["n_tok"]) == [4, 4]
     # block 0 spans docs a(3)+b(1); block 1 spans b(2)+c(2)
     assert list(out["n_docs"]) == [2, 2]
+    assert list(out["span_doc_ids"][0]) == ["a", "b"]
+    assert list(out["span_starts"][0]) == [0, 3]
+    assert list(out["span_lens"][0]) == [3, 1]
+    assert list(out["span_doc_ids"][1]) == ["b", "c"]
+    assert list(out["span_lens"][1]) == [2, 2]
 
 
 def test_pack_drop_remainder(ray_session):
