@@ -1,23 +1,37 @@
 """The flagship pipeline: resumable cascading retention-tier build.
 
 ``t.rast.aggregate`` chained across granularities with registration into
-a catalog (SURVEY §3.1), Ray-Data-first:
+a catalog (SURVEY §3.1), Ray-Data-first.  Three build strategies:
 
-    corpus parquet
-      → map_batches(assign partition = hash(doc_id) % P)   [narrow]
-      → filter out committed partitions                    [narrow, resume]
-      → rollup(gran=60, nested)                            [narrow, row-local]
-      → + row stats → EncodeTier actor pool → write staging parquet
-          partitioned by part                              [sink]
-      → atomic per-partition commit + manifest rows        [driver]
-      → tier 1h = cascade(decode(tier 1m), 60) → encode → write
-      → tier 1d = cascade(tier 1h, 24) → ...
+* **one-pass** (default, :func:`build_tiers_onepass`): every corpus
+  batch emits ALL tiers' encoded rows in one kernel
+  (rollup → cascade → cascade, all row-local) tagged with a ``tier``
+  column; one partitioned write; per-(tier, partition) bulk manifest
+  commits.  The raw data is read exactly once, nothing is re-read, and
+  **no stage shuffles**: range partitioning on the doc index makes each
+  batch partition-contiguous, so even the partitioned write needs no
+  exchange.
 
-No stage shuffles: partitioning rides on (source, doc_id)-hash which the
-whole cascade preserves (SURVEY §4 "Shuffle" row).  Every tier is
-resumable per partition: a re-run skips partitions whose manifest row is
-committed (the catalog-as-checkpoint behavior of the reference,
-``aggregation.py:146-160``).
+      corpus parquet
+        → assign range partition (doc index // docs_per_partition)
+        → filter out committed partitions            [resume]
+        → per batch: rollup 1m → cascade ×60 → cascade ×24,
+          row stats + Gorilla/dod encode, tier tag   [row-local]
+        → write staging partitioned by (tier, part)  [sink]
+        → bulk atomic commits + one manifest file    [driver]
+
+* **chained** (``strategy="chained"``): tier k reads tier k−1's
+  committed output back (decoded) — the incremental path when a fine
+  tier already exists and only coarser tiers need (re)building.
+
+* **waves** (:func:`build_tiers_waves`): partitions processed in
+  footer-range-selected waves, each committing independently — the
+  long-running-job shape (a kill loses at most one wave).
+
+Resumability: a re-run skips partitions whose manifest row is committed
+(the catalog-as-checkpoint behavior of the reference,
+``aggregation.py:146-160``); hash partitioning (+ pre-write sort) stays
+available for skewed id spaces.
 """
 
 from __future__ import annotations
