@@ -31,6 +31,10 @@ from grass_ray.stages.dedup import exact_dedup, minhash_dedup, simhash_candidate
 from grass_ray.stages.extract import apply_mapcalc, extract, tier_arith, tier_select
 from grass_ray.stages.grouped import sessionize
 from grass_ray.stages.interp import interp_positions
+from grass_ray.stages.join import asof_join, bucket_join, interval_join
+from grass_ray.stages.curate import curate, pack_sequences, sample_stratified
+from grass_ray.functions.sketch import KLLSketch
+from grass_ray.stages.grouped import approx_quantiles
 from grass_ray.stages.neighbors import neighbors
 from grass_ray.stages.similarity import ann_topk, embedding_dedup, ivf_topk
 from grass_ray.stages.text_stage import analyze_text
@@ -50,6 +54,14 @@ __all__ = [
     "accumulate",
     "algebra",
     "analyze_text",
+    "approx_quantiles",
+    "asof_join",
+    "bucket_join",
+    "curate",
+    "interval_join",
+    "KLLSketch",
+    "pack_sequences",
+    "sample_stratified",
     "apply_retention",
     "apply_retention_policy",
     "ann_topk",
