@@ -152,3 +152,49 @@ def test_events_monthly_vs_duckdb(ray_session):
     assert len(g) == len(w)
     assert (g["count"].to_numpy() == w["count"].to_numpy()).all()
     assert np.allclose(g["sum"], w["sum"])
+
+
+def test_reference_month_aggregation_golden():
+    """Pin the reference's published numbers
+    (temporal/t.rast.aggregate/testsuite/test_aggregation_absolute.py):
+    7 maps valued 100..600+NULL at 14-day intervals from
+    2001-01-15 12:05:45, granularity '1 months', sampling=contains,
+    method=maximum -> per-month maxima [100, 300, 500] and
+    max_max = 500 (the NULL-only April window unregistered)."""
+    from grass_ray.functions.calendar import increment, window_id
+    from grass_ray.functions.topology import select_by_relations
+
+    start = np.datetime64("2001-01-15T12:05:45", "us")
+    starts = [increment(np.array([start]), 14 * k, "days")[0] for k in range(7)]
+    ends = [increment(np.array([s]), 14, "days")[0] for s in starts]
+    values = [100.0, 200.0, 300.0, 400.0, 500.0, 600.0, np.nan]
+    # interval extents in epoch-days (integer time like the reference's
+    # relative branch; month windows via calendar window ids)
+    s_days = np.array([s.astype("datetime64[D]").view("int64") for s in starts])
+    e_days = np.array([e.astype("datetime64[D]").view("int64") for e in ends])
+    month_ids = sorted(set(window_id(np.array(starts), "months").tolist()))
+    from grass_ray.functions.calendar import window_start
+
+    per_month = {}
+    for m in month_ids:
+        mstart = int(
+            window_start(np.array([m]), "months")[0]
+            .astype("datetime64[D]")
+            .view("int64")
+        )
+        mend = int(
+            window_start(np.array([m + 1]), "months")[0]
+            .astype("datetime64[D]")
+            .view("int64")
+        )
+        idx = select_by_relations(mstart, mend, s_days, e_days, ("contains",))
+        vals = [values[i] for i in idx if not np.isnan(values[i])]
+        if vals:  # NULL-only windows unregistered (register_null default)
+            per_month[m] = max(vals)
+    jan2001 = (2001 - 1970) * 12 + 0
+    assert per_month == {
+        jan2001: 100.0,      # only map 1 fully inside January
+        jan2001 + 1: 300.0,  # map 3 inside February
+        jan2001 + 2: 500.0,  # map 5 inside March
+    }
+    assert max(per_month.values()) == 500.0  # the published max_max
