@@ -670,6 +670,19 @@ def _q_ivf(sf_dir: str) -> pa.Table:
     return ivf_topk(ds, q, k=10, n_clusters=16, nprobe=6)
 
 
+def _q_embedding_dedup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup: centroid-bucketed pair detection over
+    the embeddings table; returns the surviving vec_ids."""
+    import ray.data
+
+    from grass_ray.stages.similarity import embedding_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    kept, _pairs = embedding_dedup(ds, threshold=0.999, n_clusters=8)
+    t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
+    return t.select(["vec_id", "label"])
+
+
 def _q_langid_quality(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -821,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates": _q_simhash,
         "ann_topk": _q_ann,
         "ivf_topk": _q_ivf,
+        "embedding_dedup": _q_embedding_dedup,
         "langid_quality": _q_langid_quality,
         "tokenize_rollup": _q_tokenize_rollup,
         "approx_quantiles": _q_approx_quantiles,
