@@ -683,6 +683,47 @@ def _q_embedding_dedup(sf_dir: str) -> pa.Table:
     return t.select(["vec_id", "label"])
 
 
+def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
+    """n-gram Jaccard near-dup: SimHash band candidates verified with
+    exact word-3-gram Jaccard (pairs + scores)."""
+    import ray
+
+    import ray.data
+
+    from grass_ray.functions.textstats import jaccard, shingles
+    from grass_ray.stages.dedup import simhash_candidates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    cand = simhash_candidates(ds, max_hamming=8).to_pandas()
+    need = set(cand["id_a"]) | set(cand["id_b"]) if len(cand) else set()
+    nref = ray.put(need)
+
+    def collect(batch: pa.Table) -> pa.Table:
+        want = ray.get(nref)
+        keep = pa.array([i in want for i in batch.column("doc_id").to_pylist()])
+        return batch.filter(keep).select(["doc_id", "text"])
+
+    sh = {}
+    if need:
+        small = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        sh = {r["doc_id"]: shingles(r["text"], 3) for _, r in small.iterrows()}
+    rows = [
+        {
+            "id_a": int(r["id_a"]),
+            "id_b": int(r["id_b"]),
+            "jaccard": jaccard(sh.get(r["id_a"], []), sh.get(r["id_b"], [])),
+        }
+        for _, r in cand.iterrows()
+    ]
+    if not rows:
+        return pa.table(
+            {"id_a": pa.array([], type=pa.int64()),
+             "id_b": pa.array([], type=pa.int64()),
+             "jaccard": pa.array([], type=pa.float64())}
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def _q_langid_quality(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -832,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pipeline": _q_curate,
         "minhash_dedup": _q_minhash,
         "simhash_candidates": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann,
         "ivf_topk": _q_ivf,
         "embedding_dedup": _q_embedding_dedup,
