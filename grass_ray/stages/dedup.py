@@ -306,3 +306,70 @@ def simhash_candidates(ds, *, max_hamming=3, id_col="doc_id", text_col="text"):
     import ray.data
 
     return ray.data.from_pandas(df.reset_index(drop=True))
+
+
+def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b", max_iters=10):
+    """Connected components over candidate pairs by iterative min-label
+    propagation: each node's label = min(label of self, labels of
+    neighbors); repeat with a groupby-min exchange until fixed point.
+    Scales as O(E) per round with the component diameter bounding the
+    rounds — the distributed closure over near-dup pairs (the
+    keep-smallest rule in :func:`minhash_dedup` is its 1-hop
+    approximation).  Returns a Dataset of (node, component) rows where
+    component = the smallest node id in the component.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    # initial labels: every endpoint labels itself
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a)
+        b = batch.column(id_b)
+        nodes = pa.concat_arrays([a.combine_chunks(), b.combine_chunks()])
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = pairs_ds.map_batches(seed, batch_format="pyarrow").groupby(
+        "node"
+    ).aggregate(Min("label", alias_name="label"))
+
+    edges = pairs_ds
+    for _ in range(max_iters):
+        # join labels onto both endpoints (broadcast: label table is one
+        # row per node — small relative to edges; at larger scale swap
+        # for bucket_join)
+        import ray
+
+        lab = {
+            r["node"]: r["label"] for r in labels.to_pandas().to_dict("records")
+        }
+        ref = ray.put(lab)
+
+        # bind this round's ref via default arg: the dataset is lazy and
+        # re-executes earlier rounds' closures, which must not see later
+        # rebindings of `ref`
+        def propagate(batch: pa.Table, _ref=ref) -> pa.Table:
+            l = ray.get(_ref)
+            a = batch.column(id_a).to_pylist()
+            b = batch.column(id_b).to_pylist()
+            out_n, out_l = [], []
+            for x, y in zip(a, b):
+                m = min(l.get(x, x), l.get(y, y))
+                out_n.extend((x, y))
+                out_l.extend((m, m))
+            return pa.table({"node": pa.array(out_n), "label": pa.array(out_l)})
+
+        prop = edges.map_batches(propagate, batch_format="pyarrow")
+        new_labels = (
+            prop.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+        old = labels.to_pandas().set_index("node")["label"]
+        new = new_labels.to_pandas().set_index("node")["label"]
+        labels = new_labels
+        if old.sort_index().equals(new.sort_index()):
+            break
+    return labels.map_batches(
+        lambda b: b.rename_columns(["node", "component"]),
+        batch_format="pyarrow",
+    )

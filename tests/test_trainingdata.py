@@ -270,3 +270,23 @@ def test_resize_images(ray_session):
     # deterministic nearest-neighbor: top-left pixel preserved
     for _, r in out.iterrows():
         assert r["pixels_resized"][0] == r["pixels"][0]
+
+
+def test_connected_components(ray_session):
+    import ray.data
+    from grass_ray.stages.dedup import connected_components
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 5, 9, 20], type=pa.int64()),
+            "id_b": pa.array([5, 9, 13, 21], type=pa.int64()),
+        }
+    )
+    out = (
+        connected_components(ray.data.from_arrow(pairs))
+        .to_pandas()
+        .set_index("node")["component"]
+        .to_dict()
+    )
+    # chain 1-5-9-13 collapses to component 1; 20-21 to 20
+    assert out == {1: 1, 5: 1, 9: 1, 13: 1, 20: 20, 21: 20}
