@@ -152,9 +152,12 @@ def minhash_candidates(ds, *, num_perm=64, bands=16, k_shingle=5, id_col="doc_id
     return ray.data.from_pandas(df.reset_index(drop=True))
 
 
-def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_col="doc_id", text_col="text"):
-    """Near-dup removal: verify candidates with exact Jaccard, drop every
-    doc whose verified neighbor has a smaller id.
+def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_col="doc_id", text_col="text", components=False):
+    """Near-dup removal: verify candidates with exact Jaccard, then drop
+    duplicates.  Default drop rule: any doc with a verified smaller-id
+    neighbor (1-hop).  ``components=True`` instead closes the verified
+    pairs into connected components (min-label propagation) and keeps
+    one representative per component — the transitive policy.
 
     Returns (kept_dataset, verified_pairs_table).  The verify step
     broadcasts the candidate docs' shingle sets (candidate set << corpus;
@@ -190,6 +193,17 @@ def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_c
         if j >= threshold:
             pairs.append((r["id_a"], r["id_b"], j))
             drop.add(max(r["id_a"], r["id_b"]))
+    if components and pairs:
+        import ray.data as _rd
+
+        comp = connected_components(
+            _rd.from_pandas(
+                __import__("pandas").DataFrame(
+                    {"id_a": [p[0] for p in pairs], "id_b": [p[1] for p in pairs]}
+                )
+            )
+        ).to_pandas()
+        drop = set(comp[comp["node"] != comp["component"]]["node"])
     drop_ref = ray.put(drop)
 
     def keep_fn(batch: pa.Table) -> pa.Table:

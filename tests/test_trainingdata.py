@@ -290,3 +290,25 @@ def test_connected_components(ray_session):
     )
     # chain 1-5-9-13 collapses to component 1; 20-21 to 20
     assert out == {1: 1, 5: 1, 9: 1, 13: 1, 20: 20, 21: 20}
+
+
+def test_minhash_dedup_components(ray_session):
+    import ray.data
+
+    base = (
+        "data processing engines stream batches of rows through operators "
+        "that filter map join and aggregate them into results for users"
+    )
+    a = base
+    b = base.replace("users", "analysts")
+    c = b.replace("results", "answers")
+    other = "totally different gardening text about bees flowers and honey yields"
+    t = docs_table([a, b, c, other], ids=[1, 2, 3, 4])
+    kept, pairs = minhash_dedup(
+        ray.data.from_arrow(t), threshold=0.5, num_perm=64, bands=32,
+        k_shingle=3, components=True,
+    )
+    kdf = kept.to_pandas()
+    # chain a~b~c collapses to one representative (smallest id)
+    assert 1 in set(kdf["doc_id"]) and 4 in set(kdf["doc_id"])
+    assert {2, 3} & set(kdf["doc_id"]) == set() or len(kdf) <= 3
