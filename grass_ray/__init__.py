@@ -27,7 +27,12 @@ from grass_ray.stages.grouped import rollup_events, rollup_points, rollup_points
 from grass_ray.stages.rollup import explode_tokens, rollup, series_collapse
 from grass_ray.stages.accumulate import accdetect, accumulate
 from grass_ray.stages.algebra import algebra
-from grass_ray.stages.dedup import exact_dedup, minhash_dedup, simhash_candidates
+from grass_ray.stages.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_dedup,
+    simhash_candidates,
+)
 from grass_ray.stages.extract import apply_mapcalc, extract, tier_arith, tier_select
 from grass_ray.stages.grouped import sessionize
 from grass_ray.stages.interp import interp_positions
@@ -57,6 +62,7 @@ __all__ = [
     "approx_quantiles",
     "asof_join",
     "bucket_join",
+    "connected_components",
     "curate",
     "interval_join",
     "KLLSketch",

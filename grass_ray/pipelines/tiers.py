@@ -500,7 +500,8 @@ def read_tier(
             and ws <= hi
         }
         pq_filter = (_pc.field("wend") >= lo) & (_pc.field("wstart") <= hi)
-    if not committed:
+    if not committed or not os.path.isdir(store.tier_dir(tier)):
+        # unknown/empty tier -> empty dataset rather than a read error
         import pandas as pd
 
         return ray.data.from_pandas(pd.DataFrame())

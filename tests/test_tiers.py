@@ -379,3 +379,9 @@ def test_range_partition_non_numeric_ids(ray_session, tier_root):
     assert store.info("1m")["n_rows"] == 4
     out = read_tier(store, "1m").to_pandas()
     assert sorted(out["doc_id"]) == ["alpha", "beta", "d12", "weird-id!"]
+
+
+def test_read_tier_unknown_is_empty(ray_session, tier_root):
+    store = TierStore(tier_root)
+    out = read_tier(store, "nope").to_pandas()
+    assert len(out) == 0
