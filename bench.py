@@ -72,7 +72,7 @@ def run_bench() -> dict:
             N_DOCS, n_tok=N_TOK, skew=0.3, docs_per_block=2500
         ).write_parquet(corpus_dir)
     ray.data.read_parquet(corpus_dir).count()  # warm page cache
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "1"))
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     trials = []
     for trial in range(repeats):
         root = "/tmp/grassray_bench_tiers"
