@@ -545,6 +545,48 @@ def _q_join_documents(sf_dir: str) -> pa.Table:
     return _rename(t, {"count": "cnt", "sum": "sum_tok"})
 
 
+def _q_events_median(sf_dir: str) -> pa.Table:
+    """Holistic grouped rollup over the event stream: per-(type, hour)
+    median via the raw-point shuffle path (exact cents arithmetic)."""
+    from grass_ray.stages.grouped import rollup_points_holistic
+
+    ds = _events_cents(sf_dir)
+
+    def add_pos(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        secs = pc.cast(
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000),
+            pa.int64(),
+        )
+        return batch.append_column("pos", secs)
+
+    pts = ds.map_batches(add_pos, batch_format="pyarrow")
+    out = rollup_points_holistic(
+        pts,
+        key_cols=("event_type",),
+        pos_col="pos",
+        val_col="value",
+        gran=3600,
+        methods=("count", "median"),
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    import pyarrow.compute as pc
+
+    t = _rename(t, {"count": "cnt", "median": "med_v"})
+    t = t.set_column(
+        t.column_names.index("cnt"),
+        "cnt",
+        pc.cast(t.column("cnt"), pa.int64()),
+    )
+    x = t.column("med_v").to_numpy(zero_copy_only=False) / 100.0
+    return t.set_column(
+        t.column_names.index("med_v"),
+        "med_v",
+        pa.array(x, type=pa.float64(), mask=np.isnan(x)),
+    )
+
+
 def _q_events_asof(sf_dir: str) -> pa.Table:
     """As-of join: every event matched to the latest prior 'click'-type
     event of the same user (distributed bucketed merge_asof; oracle is
@@ -857,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_monthly": _q_events_monthly,
         "events_sessions": _q_sessions,
         "events_asof": _q_events_asof,
+        "events_median": _q_events_median,
         "neighbors_avg3": _q_neighbors,
         "interp_positions": _q_interp,
         "what_lookup": _q_what,
@@ -1105,6 +1148,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
             FROM g GROUP BY 1, 2
+        """,
+        "events_median": """
+            WITH c AS (
+                SELECT event_type,
+                       epoch_us(ts) // 1000000 // 3600 AS "window",
+                       CAST(round(value * 100.0) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_type, "window",
+                   CAST(count(cents) AS BIGINT) AS cnt,
+                   median(cents) / 100.0 AS med_v
+            FROM c GROUP BY 1, 2
         """,
         "events_asof": """
             SELECT a.user_id, a.ts, a.event_type, a.value,
