@@ -115,6 +115,18 @@ def _q_rollup_weighted(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_rollup_argminmax(sf_dir: str) -> pa.Table:
+    """Order-sensitive reducers with an exact oracle: window-local index
+    of the first minimum / maximum (c_minx.c / c_maxx.c semantics)."""
+    from grass_ray.stages.rollup import rollup
+
+    out = rollup(_corpus(sf_dir), 60, ("min_raster", "max_raster"))
+    return _rename(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+        {"min_raster": "minx", "max_raster": "maxx"},
+    )
+
+
 def _q_cascade_1h(sf_dir: str) -> pa.Table:
     from grass_ray.stages.cascade import cascade, explode_nested
     from grass_ray.stages.rollup import rollup
@@ -887,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_propagate_nulls": _q_rollup_propagate,
         "rollup_range_filter": _q_rollup_range,
         "rollup_weighted": _q_rollup_weighted,
+        "rollup_argminmax": _q_rollup_argminmax,
         "cascade_1h": _q_cascade_1h,
         "series_stats": _q_series,
         "series_enriched": _q_series_enriched,
@@ -984,6 +997,26 @@ def oracle_sql() -> dict[str, str]:
                                        THEN (pos % 60) + 1 END) AS DOUBLE)
                        AS avg_w
             FROM tok GROUP BY 1, 2, 3
+        """,
+        "rollup_argminmax": f"""
+            WITH tok AS ({tok}),
+            t2 AS (
+                SELECT source, doc_id, pos // 60 AS w, pos % 60 AS x, token
+                FROM tok
+            ),
+            m AS (
+                SELECT source, doc_id, w,
+                       min(token) AS mnt, max(token) AS mxt
+                FROM t2 WHERE token IS NOT NULL GROUP BY 1, 2, 3
+            )
+            SELECT t2.source, t2.doc_id, t2.w AS "window",
+                   CAST(min(CASE WHEN token = mnt THEN x END) AS BIGINT)
+                       AS minx,
+                   CAST(min(CASE WHEN token = mxt THEN x END) AS BIGINT)
+                       AS maxx
+            FROM t2 JOIN m
+              ON t2.source = m.source AND t2.doc_id = m.doc_id AND t2.w = m.w
+            GROUP BY 1, 2, 3
         """,
         "cascade_1h": rollup_sql(3600),
         "series_stats": f"""
