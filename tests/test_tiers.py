@@ -385,3 +385,34 @@ def test_read_tier_unknown_is_empty(ray_session, tier_root):
     store = TierStore(tier_root)
     out = read_tier(store, "nope").to_pandas()
     assert len(out) == 0
+
+
+def test_chained_strategy_matches_onepass(ray_session, tier_root):
+    """strategy='chained' (tier k read back + decoded from tier k-1)
+    produces identical tiers to the one-pass build."""
+    import ray.data
+
+    t = synth_corpus_table(30, seed=21, n_tok=2880)
+    build_tiers(ray.data.from_arrow(t), tier_root + "_one")
+    build_tiers(
+        ray.data.from_arrow(t), tier_root + "_ch", strategy="chained",
+        num_partitions=4,
+    )
+    for tier in ("1m", "1h", "1d"):
+        a = (
+            read_tier(TierStore(tier_root + "_one"), tier)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            read_tier(TierStore(tier_root + "_ch"), tier)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(a["doc_id"]) == list(b["doc_id"]), tier
+        for col in ("windows", "count", "sum", "minimum", "maximum", "average"):
+            assert [list(x) for x in a[col]] == [list(x) for x in b[col]], (tier, col)
+    shutil.rmtree(tier_root + "_one", ignore_errors=True)
+    shutil.rmtree(tier_root + "_ch", ignore_errors=True)
