@@ -137,7 +137,7 @@ def test_explode_chunking_guard(monkeypatch):
     assert nested_full == nested_ref
 
 
-@pytest.mark.parametrize("seed,g0,f1,f2", [(101, 7, 4, 3), (202, 13, 5, 2), (303, 60, 60, 24)])
+@pytest.mark.parametrize("seed,g0,f1,f2", [(101, 7, 4, 3), (202, 13, 5, 2), (303, 60, 60, 24), (404, 1, 4, 3)])
 def test_fuzz_build_vs_bruteforce(ray_session, tmp_path, seed, g0, f1, f2):
     """Differential fuzz: full encoded tier build (one-pass, manifests,
     codec) vs a brute-force per-doc recompute in plain numpy."""
