@@ -165,3 +165,31 @@ def test_export_archive_and_copy(ray_session, tmp_path):
     assert store.info("minute_copy")["n_rows"] == info["n_rows"]
     with pytest.raises(ValueError):
         store.copy_tier("1m", "minute_copy")
+
+
+def test_reference_disaggregation_during():
+    """test_aggregation_absolute's '2 days' granularity case: windows
+    SMALLER than the 14-day maps -> each window samples the map it lies
+    inside (relation `during`), replicating the map's value — 49
+    two-day windows over 7 maps from the aligned start."""
+    import numpy as np
+
+    from grass_ray.functions.topology import select_by_relations
+
+    # 7 maps of 14 days starting at day 14 (aligned origin 14)
+    starts = np.array([14 + 14 * k for k in range(7)])
+    ends = starts + 14
+    values = [100, 200, 300, 400, 500, 600, None]
+    out = {}
+    for w0 in range(14, 14 + 14 * 7, 2):  # two-day windows
+        idx = select_by_relations(
+            w0, w0 + 2, starts, ends,
+            ("during", "equal", "starts", "started", "finishes", "finished"),
+        )
+        # a window lying inside exactly one map gets that value
+        assert len(idx) == 1, (w0, idx)
+        out[w0] = values[int(idx[0])]
+    assert len(out) == 49
+    assert out[14] == 100 and out[26] == 100
+    assert out[28] == 200
+    assert out[14 + 14 * 6] is None  # NULL map replicates NULL
