@@ -210,7 +210,7 @@ def _write_and_commit(
             concurrency=(1, 4),
         )
     staging = store.staging_dir(tier)
-    ds.write_parquet(staging, partition_cols=["part"])
+    ds.write_parquet(staging, partition_cols=["part"], compression="zstd")
     committed = []
     if os.path.isdir(staging):
         for d in sorted(os.listdir(staging)):
@@ -330,7 +330,7 @@ def build_tiers_onepass(
         # already partition-contiguous.
         out = out.sort(["tier", "part"])
     staging = os.path.join(out_root, f".staging-onepass-{__import__('uuid').uuid4().hex[:8]}")
-    out.write_parquet(staging, partition_cols=["tier", "part"])
+    out.write_parquet(staging, partition_cols=["tier", "part"], compression="zstd")
     results: dict[str, list[int]] = {name: [] for name in tier_names}
     if os.path.isdir(staging):
         for tdir in sorted(os.listdir(staging)):
