@@ -18,6 +18,9 @@ the engine needs the classic distributed plan the reference never had
 * **skew**: optional salting — hot keys fan out to ``salt`` sub-shards
   in stage 1 and re-merge in stage 2 (north rule requires explicit
   salting; FIXTURES F5 asserts salted == unsalted == row-local).
+  Holistic methods cannot salt (the group must see every point);
+  for skewed holistic workloads use :func:`approx_quantiles` — the
+  mergeable-sketch plan bounds every exchange row.
 
 NULL semantics match §2.1: count never NULL (0 allowed), sum of an
 all-NULL window is NULL (not 0).
