@@ -17,6 +17,30 @@ import numpy as np
 import pyarrow as pa
 
 
+def _bucket_ids(batch: pa.Table, keys, buckets: int) -> np.ndarray:
+    """Deterministic bucket per row: vectorized Knuth-multiplicative hash
+    for a single integer key (the common case); crc32 of the joined
+    string otherwise."""
+    if len(keys) == 1 and pa.types.is_integer(batch.schema.field(keys[0]).type):
+        k = (
+            batch.column(keys[0])
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            h = k * np.uint64(0x9E3779B97F4A7C15)
+        return (h % np.uint64(buckets)).astype(np.int32)
+    cols = [batch.column(k).to_pylist() for k in keys]
+    return np.array(
+        [
+            zlib.crc32("|".join(str(v) for v in row).encode()) % buckets
+            for row in zip(*cols)
+        ],
+        dtype=np.int32,
+    )
+
+
 def bucket_join(
     ds_left,
     ds_right,
@@ -54,15 +78,7 @@ def bucket_join(
                     cols[name] = batch.column(src)
                 else:
                     cols[name] = pa.nulls(n, type=typ)
-            key_vals = [batch.column(k).to_pylist() for k in keys]
-            b = np.array(
-                [
-                    zlib.crc32("|".join(str(v) for v in row).encode()) % buckets
-                    for row in zip(*key_vals)
-                ],
-                dtype=np.int32,
-            )
-            cols["_bucket"] = pa.array(b)
+            cols["_bucket"] = pa.array(_bucket_ids(batch, keys, buckets))
             cols["_side"] = pa.array([side] * n)
             return pa.table(cols)
 
@@ -154,15 +170,7 @@ def asof_join(
                     cols[name] = batch.column(src)
                 else:
                     cols[name] = pa.nulls(n, type=typ)
-            key_vals = [batch.column(k).to_pylist() for k in keys]
-            b = np.array(
-                [
-                    zlib.crc32("|".join(str(v) for v in row).encode()) % buckets
-                    for row in zip(*key_vals)
-                ],
-                dtype=np.int32,
-            )
-            cols["_bucket"] = pa.array(b)
+            cols["_bucket"] = pa.array(_bucket_ids(batch, keys, buckets))
             cols["_side"] = pa.array([side] * n)
             return pa.table(cols)
 
