@@ -36,12 +36,20 @@ def list_tier(
     `where`: fn(pa.Table) -> BooleanArray predicate over the scalar
     columns; `fmt`: table | csv | json.
     """
+    import os
+
     import ray.data
 
     from grass_ray.pipelines.tiers import _keep_partitions
 
+    committed = store.committed_partitions(tier)
+    if not committed or not os.path.isdir(store.tier_dir(tier)):
+        import pandas as pd
+
+        empty = pa.Table.from_pandas(pd.DataFrame(), preserve_index=False)
+        return empty if fmt == "table" else ("" if fmt == "csv" else "[]")
     ds = ray.data.read_parquet(store.tier_dir(tier))
-    ds = _keep_partitions(ds, store.committed_partitions(tier))
+    ds = _keep_partitions(ds, committed)
 
     def project(batch: pa.Table) -> pa.Table:
         if where is not None:

@@ -416,3 +416,25 @@ def test_chained_strategy_matches_onepass(ray_session, tier_root):
             assert [list(x) for x in a[col]] == [list(x) for x in b[col]], (tier, col)
     shutil.rmtree(tier_root + "_one", ignore_errors=True)
     shutil.rmtree(tier_root + "_ch", ignore_errors=True)
+
+
+def test_retention_policy_sweep(ray_session, tier_root):
+    import ray.data
+
+    from grass_ray.pipelines.retention import apply_retention_policy
+
+    t = synth_corpus_table(10, seed=4, n_tok=2880)
+    build_tiers(ray.data.from_arrow(t), tier_root)
+    store = TierStore(tier_root)
+    res = apply_retention_policy(store, {"1m": 24, "1h": 0, "1d": 0})
+    assert res["1m"]["trimmed"] or res["1m"]["dropped"]
+    assert store.info("1m")["window_start"] == 24
+    assert store.info("1h")["window_start"] == 0  # untouched
+
+
+def test_list_tier_unknown_empty(ray_session, tier_root):
+    from grass_ray.pipelines.catalog import list_tier
+
+    store = TierStore(tier_root)
+    assert list_tier(store, "ghost").num_rows == 0
+    assert list_tier(store, "ghost", fmt="json") == "[]"
