@@ -159,3 +159,14 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_windows_batched_empty_rows():
+    from grass_ray.functions.codec import encode_windows_batched
+
+    blobs = encode_windows_batched(
+        np.array([3, 9], dtype=np.int64), np.array([0, 2, 0])
+    )
+    assert np.array_equal(decode_windows(blobs[0]), np.empty(0, dtype=np.int64))
+    assert np.array_equal(decode_windows(blobs[1]), np.array([3, 9]))
+    assert np.array_equal(decode_windows(blobs[2]), np.empty(0, dtype=np.int64))

@@ -312,3 +312,9 @@ def test_minhash_dedup_components(ray_session):
     # chain a~b~c collapses to one representative (smallest id)
     assert 1 in set(kdf["doc_id"]) and 4 in set(kdf["doc_id"])
     assert {2, 3} & set(kdf["doc_id"]) == set() or len(kdf) <= 3
+
+
+def test_bpe_contractions():
+    # GPT-2-style pre-tokenizer splits contractions
+    assert count_tokens_bpe("don't stop") >= 3  # don / 't / stop
+    assert count_tokens_bpe("a,b") == 3
