@@ -140,18 +140,55 @@ def _stable_hash64(s: str) -> int:
     )
 
 
+_WORD_HASH_CACHE: dict = {}
+
+
+def _word_ids(words) -> np.ndarray:
+    """Process-stable hash per word, memoized (vocabulary is small
+    relative to the token stream)."""
+    cache = _WORD_HASH_CACHE
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = np.uint64(_stable_hash64(w))
+            if len(cache) < 1 << 20:
+                cache[w] = h
+        out[i] = h
+    return out
+
+
 def shingles(text: str, k: int = 5) -> np.ndarray:
-    """Word k-gram shingle hashes (sorted unique int64, process-stable)."""
+    """Word k-gram shingle hashes (unique int64, process-stable).
+
+    Vectorized: per-word stable hashes (memoized) combined with a
+    polynomial rolling scheme over each k-window (uint64 wraparound),
+    so the per-shingle cost is one fused numpy pass instead of a
+    cryptographic hash per shingle.
+    """
     words = [w.lower() for w in WORD_RE.findall(text)]
     if not words:
         return np.empty(0, dtype=np.int64)
+    ids = _word_ids(words)
     if len(words) < k:
-        return np.array([_stable_hash64(" ".join(words))], dtype=np.int64)
-    vals = {
-        _stable_hash64(" ".join(words[i : i + k]))
-        for i in range(len(words) - k + 1)
-    }
-    return np.fromiter(vals, dtype=np.int64, count=len(vals))
+        with np.errstate(over="ignore"):
+            powers = np.empty(len(ids), dtype=np.uint64)
+            powers[0] = 1
+            if len(ids) > 1:
+                np.cumprod(
+                    np.full(len(ids) - 1, _RK_BASE, dtype=np.uint64),
+                    out=powers[1:],
+                )
+            h = np.uint64(np.sum(ids * powers, dtype=np.uint64))
+        return np.array([int(h >> np.uint64(1))], dtype=np.int64)
+    with np.errstate(over="ignore"):
+        win = np.lib.stride_tricks.sliding_window_view(ids, k)
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = 1
+        if k > 1:
+            np.cumprod(np.full(k - 1, _RK_BASE, dtype=np.uint64), out=powers[1:])
+        vals = (win * powers).sum(axis=1, dtype=np.uint64)
+    return np.unique((vals >> np.uint64(1)).astype(np.int64))
 
 
 def jaccard(a, b) -> float:
