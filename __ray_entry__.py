@@ -127,6 +127,106 @@ def _q_rollup_argminmax(sf_dir: str) -> pa.Table:
     )
 
 
+def _mask_nonfinite(t: pa.Table, cols) -> pa.Table:
+    """inf/nan -> NULL: matches DuckDB's NULL-on-float-division-by-zero
+    semantics (engine keeps IEEE inf, e.g. tvalue on a perfect fit)."""
+    for c in cols:
+        x = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        bad = ~np.isfinite(x)
+        t = t.set_column(
+            t.column_names.index(c),
+            c,
+            pa.array(np.where(bad, np.nan, x), type=pa.float64(), mask=bad),
+        )
+    return t
+
+
+def _q_rollup_regression(sf_dir: str) -> pa.Table:
+    """Per-window OLS vs x = window-local index (lib/stats/c_reg.c):
+    exact integer power sums -> formula-identical float derivation on
+    both sides -> bit-equal without rounding (see module docstring)."""
+    from grass_ray.stages.rollup import rollup
+
+    out = rollup(_corpus(sf_dir), 60, ("slope", "offset", "detcoeff", "tvalue"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _rename(t, {"offset": "icept", "detcoeff": "r2", "tvalue": "tval"})
+    return _mask_nonfinite(t, ("slope", "icept", "r2", "tval"))
+
+
+def _q_rollup_moments(sf_dir: str) -> pa.Table:
+    """Two-pass centered moments per window (c_skew.c / c_kurt.c /
+    c_var.c).  Values reduced to x % 97 first (mapcalc) so the centered
+    sums stay small; round6 absorbs the <= ~1e-11 order dependence of
+    the two-pass sums (error << grid, verified at sf0.01 and sf0.1)."""
+    from grass_ray.stages.extract import extract
+    from grass_ray.stages.rollup import rollup
+
+    sel = extract(_corpus(sf_dir), expr="x % 97")
+    out = rollup(
+        sel, 60, ("variance", "stddev", "coeff_var", "skewness", "kurtosis")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _rename(
+        t,
+        {
+            "variance": "var_tok",
+            "stddev": "sd_tok",
+            "coeff_var": "cv_tok",
+            "skewness": "skew_tok",
+            "kurtosis": "kurt_tok",
+        },
+    )
+    for c in ("var_tok", "sd_tok", "cv_tok", "skew_tok", "kurt_tok"):
+        t = _round6_col(t, c)
+    return t
+
+
+def _q_rollup_mode(sf_dir: str) -> pa.Table:
+    """mode (smallest value among max-count ties, c_mode.c) + diversity
+    per window, over x % 16 so windows actually have repeated values."""
+    from grass_ray.stages.extract import extract
+    from grass_ray.stages.rollup import rollup
+
+    sel = extract(_corpus(sf_dir), expr="x % 16")
+    out = rollup(sel, 60, ("mode", "diversity"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _rename(t, {"mode": "mode_tok", "diversity": "n_distinct"})
+
+
+def _q_window_holistic(sf_dir: str) -> pa.Table:
+    """Per-window holistic reducers: median / quart1 / perc90 (HF-7,
+    lib/stats/c_median.c & c_percentile.c) + first/last valid value."""
+    from grass_ray.stages.rollup import rollup
+
+    out = rollup(
+        _corpus(sf_dir), 60, ("median", "quart1", "perc90", "first", "last")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _rename(
+        t,
+        {
+            "median": "med_tok",
+            "quart1": "q1_tok",
+            "perc90": "p90_tok",
+            "first": "first_tok",
+            "last": "last_tok",
+        },
+    )
+    for c in ("q1_tok", "p90_tok"):
+        t = _round6_col(t, c)
+    return t
+
+
+def _q_rollup_extras(sf_dir: str) -> pa.Table:
+    """range (c_range.c), interspersion (c_intr.c) and threshold index
+    (c_thresh.c, epsilon 10, 1-based) per window."""
+    from grass_ray.stages.rollup import rollup
+
+    out = rollup(_corpus(sf_dir), 60, ("range", "intr", "thresh"), thresh=500.0)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _rename(t, {"range": "range_tok", "intr": "intr_pct", "thresh": "thresh_idx"})
+
+
 def _q_cascade_1h(sf_dir: str) -> pa.Table:
     from grass_ray.stages.cascade import cascade, explode_nested
     from grass_ray.stages.rollup import rollup
@@ -900,6 +1000,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_range_filter": _q_rollup_range,
         "rollup_weighted": _q_rollup_weighted,
         "rollup_argminmax": _q_rollup_argminmax,
+        "rollup_regression": _q_rollup_regression,
+        "rollup_moments": _q_rollup_moments,
+        "rollup_mode": _q_rollup_mode,
+        "window_holistic": _q_window_holistic,
+        "rollup_extras": _q_rollup_extras,
         "cascade_1h": _q_cascade_1h,
         "series_stats": _q_series,
         "series_enriched": _q_series_enriched,
@@ -1017,6 +1122,169 @@ def oracle_sql() -> dict[str, str]:
             FROM t2 JOIN m
               ON t2.source = m.source AND t2.doc_id = m.doc_id AND t2.w = m.w
             GROUP BY 1, 2, 3
+        """,
+        "rollup_regression": f"""
+            WITH tok AS ({tok}),
+            b AS (
+                SELECT source, doc_id, pos // 60 AS w, pos % 60 AS x, token AS v
+                FROM tok
+            ),
+            s AS (
+                SELECT source, doc_id, w,
+                       CAST(count(v) AS DOUBLE) AS n,
+                       CAST(sum(CASE WHEN v IS NOT NULL THEN x END) AS DOUBLE) AS sx,
+                       CAST(sum(v) AS DOUBLE) AS sy,
+                       CAST(sum(x * v) AS DOUBLE) AS sxy,
+                       CAST(sum(CASE WHEN v IS NOT NULL THEN x * x END) AS DOUBLE) AS sxx,
+                       CAST(sum(v * v) AS DOUBLE) AS syy
+                FROM b GROUP BY 1, 2, 3
+            ),
+            f AS (
+                SELECT source, doc_id, w, n,
+                       sx / n AS xbar, sy / n AS ybar,
+                       sxy - n * (sx / n) * (sy / n) AS numer,
+                       sxx - n * (sx / n) * (sx / n) AS denom,
+                       syy - n * (sy / n) * (sy / n) AS denom2
+                FROM s
+            ),
+            g AS (
+                SELECT source, doc_id, w, n,
+                       CASE WHEN n < 2 THEN NULL ELSE numer / denom END AS slope,
+                       CASE WHEN n < 2 THEN NULL
+                            ELSE ybar - xbar * numer / denom END AS icept,
+                       CASE WHEN n < 2 THEN NULL
+                            ELSE (numer * numer) / (denom * denom2) END AS r2
+                FROM f
+            )
+            SELECT source, doc_id, w AS "window", slope, icept, r2,
+                   CASE WHEN r2 IS NULL OR r2 >= 1 THEN NULL
+                        ELSE sqrt(r2 * (n - 2) / (1 - r2)) END AS tval
+            FROM g
+        """,
+        "rollup_moments": f"""
+            WITH tok AS ({tok}),
+            v AS (
+                SELECT source, doc_id, pos // 60 AS w,
+                       CAST(token % 97 AS DOUBLE) AS x
+                FROM tok
+            ),
+            m AS (
+                SELECT source, doc_id, w,
+                       CAST(count(x) AS DOUBLE) AS n, avg(x) AS mean
+                FROM v GROUP BY 1, 2, 3
+            ),
+            d AS (
+                SELECT v.source, v.doc_id, v.w, any_value(m.n) AS n,
+                       any_value(m.mean) AS mean,
+                       sum((v.x - m.mean) * (v.x - m.mean)) AS m2,
+                       sum((v.x - m.mean) * (v.x - m.mean) * (v.x - m.mean)) AS m3,
+                       sum((v.x - m.mean) * (v.x - m.mean)
+                           * (v.x - m.mean) * (v.x - m.mean)) AS m4
+                FROM v JOIN m
+                  ON v.source = m.source AND v.doc_id = m.doc_id AND v.w = m.w
+                GROUP BY 1, 2, 3
+            )
+            SELECT source, doc_id, w AS "window",
+                   {r6.format("m2 / n")} AS var_tok,
+                   {r6.format("sqrt(m2 / n)")} AS sd_tok,
+                   {r6.format("100.0 * sqrt(m2 / n) / mean")} AS cv_tok,
+                   {r6.format("m3 / (n * sqrt(m2 / n) * sqrt(m2 / n) * sqrt(m2 / n))")} AS skew_tok,
+                   {r6.format("m4 / (n * (m2 / n) * (m2 / n)) - 3.0")} AS kurt_tok
+            FROM d
+        """,
+        "rollup_mode": f"""
+            WITH tok AS ({tok}),
+            v AS (
+                SELECT source, doc_id, pos // 60 AS w, token % 16 AS x
+                FROM tok
+            ),
+            allw AS (SELECT source, doc_id, w FROM v GROUP BY 1, 2, 3),
+            c AS (
+                SELECT source, doc_id, w, x, count(*) AS c
+                FROM v WHERE x IS NOT NULL GROUP BY 1, 2, 3, 4
+            ),
+            md AS (
+                SELECT source, doc_id, w,
+                       CAST(min(CASE WHEN c = mc THEN x END) AS DOUBLE) AS mode_tok,
+                       CAST(count(*) AS BIGINT) AS n_distinct
+                FROM (
+                    SELECT *, max(c) OVER (PARTITION BY source, doc_id, w) AS mc
+                    FROM c
+                ) GROUP BY 1, 2, 3
+            )
+            SELECT a.source, a.doc_id, a.w AS "window",
+                   md.mode_tok,
+                   COALESCE(md.n_distinct, 0) AS n_distinct
+            FROM allw a LEFT JOIN md
+              ON a.source = md.source AND a.doc_id = md.doc_id AND a.w = md.w
+        """,
+        "window_holistic": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos // 60 AS "window",
+                   median(token) AS med_tok,
+                   {r6.format("quantile_cont(token, 0.25)")} AS q1_tok,
+                   {r6.format("quantile_cont(token, 0.90)")} AS p90_tok,
+                   CAST(min_by(token, pos) FILTER (token IS NOT NULL)
+                        AS DOUBLE) AS first_tok,
+                   CAST(max_by(token, pos) FILTER (token IS NOT NULL)
+                        AS DOUBLE) AS last_tok
+            FROM tok GROUP BY 1, 2, 3
+        """,
+        "rollup_extras": f"""
+            WITH tok AS ({tok}),
+            b AS (
+                SELECT source, doc_id, pos // 60 AS w, pos % 60 AS li, token
+                FROM tok
+            ),
+            g AS (
+                SELECT source, doc_id, w,
+                       CAST(count(*) AS BIGINT) AS len,
+                       CAST(count(token) AS DOUBLE) AS nv,
+                       CAST(max(token) - min(token) AS DOUBLE) AS range_tok,
+                       CAST(min(CASE WHEN abs(500 - token) < 10
+                                     THEN li + 1 END) AS DOUBLE) AS thresh_idx
+                FROM b GROUP BY 1, 2, 3
+            ),
+            ctr AS (
+                SELECT b.source, b.doc_id, b.w, b.token AS center
+                FROM b JOIN g
+                  ON b.source = g.source AND b.doc_id = g.doc_id AND b.w = g.w
+                WHERE b.li = g.len // 2
+            ),
+            df AS (
+                SELECT b.source, b.doc_id, b.w,
+                       CAST(sum(CASE WHEN b.token IS NOT NULL
+                                      AND b.token != ctr.center
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS d,
+                       any_value(ctr.center) IS NULL AS center_null
+                FROM b JOIN ctr
+                  ON b.source = ctr.source AND b.doc_id = ctr.doc_id
+                 AND b.w = ctr.w
+                GROUP BY 1, 2, 3
+            )
+            SELECT g.source, g.doc_id, g.w AS "window", g.range_tok,
+                   CASE WHEN df.center_null THEN NULL
+                        WHEN g.nv - 1 <= 0 THEN 0.0
+                        ELSE (df.d * 100.0 + floor((g.nv - 1) / 2))
+                             / (g.nv - 1) + 1 END AS intr_pct,
+                   g.thresh_idx
+            FROM g JOIN df
+              ON g.source = df.source AND g.doc_id = df.doc_id AND g.w = df.w
+        """,
+        "interp_positions": f"""
+            WITH tok AS ({tok}),
+            r AS (
+                SELECT source, doc_id, pos // 60 AS w, avg(token) AS a
+                FROM tok GROUP BY 1, 2, 3
+            ),
+            p AS (SELECT unnest([0.5, 1.5, 2.5]) AS pos)
+            SELECT r1.source, r1.doc_id, p.pos,
+                   (1.0 - (p.pos - r1.w)) * r1.a + (p.pos - r1.w) * r2.a
+                       AS value
+            FROM p
+            JOIN r r1 ON r1.w = CAST(floor(p.pos) AS BIGINT)
+            JOIN r r2 ON r2.source = r1.source AND r2.doc_id = r1.doc_id
+                     AND r2.w = r1.w + 1
         """,
         "cascade_1h": rollup_sql(3600),
         "series_stats": f"""

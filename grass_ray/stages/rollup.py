@@ -85,6 +85,7 @@ def rollup_batch(
     hi: float | None = None,
     propagate_nulls: bool = False,
     quantiles: dict | None = None,
+    thresh: float | None = None,
     weights=None,
     nested: bool = False,
     register_null: bool = True,
@@ -133,6 +134,7 @@ def rollup_batch(
                     hi=hi,
                     propagate_nulls=propagate_nulls,
                     quantiles=quantiles,
+                    thresh=thresh,
                     weights=weights,
                     nested=nested,
                     register_null=register_null,
@@ -152,6 +154,7 @@ def rollup_batch(
         and hi is None
         and not propagate_nulls
         and not quantiles
+        and thresh is None
         and set(methods) <= {"count", "sum", "minimum", "maximum", "average", "range"}
         and pa.types.is_integer(batch.column(tokens_col).type.value_type)
     )
@@ -192,6 +195,7 @@ def rollup_batch(
         hi=hi,
         propagate_nulls=propagate_nulls,
         quantiles=quantiles,
+        thresh=thresh,
     )
     if not register_null:
         seg_row, seg_window, nwin, results = _drop_null_windows(
