@@ -83,7 +83,9 @@ def apply_retention(
     """
     m = store.manifest(tier).to_pydict()
     dropped, trimmed, kept = [], [], 0
-    for p, ws, we in zip(m["partition"], m["window_start"], m["window_end"]):
+    for p, ws, we, p_agg in zip(
+        m["partition"], m["window_start"], m["window_end"], m["agg_type"]
+    ):
         if we is not None and we < min_window:
             store.unregister_partition(tier, p)
             dropped.append(p)
@@ -96,7 +98,19 @@ def apply_retention(
                 t = t.append_column(
                     "part", pa.array([p] * t.num_rows, type=pa.int32())
                 )
-            new = _trim_partition_table(t, min_window, value_cols)
+            # derive the partition's actual encoded columns so a trim
+            # never silently drops extras (e.g. range_enc / holistic
+            # tier-0 columns) its sibling partitions keep
+            found = [
+                c[: -len("_enc")]
+                for c in t.column_names
+                if c.endswith("_enc")
+                and c != "windows_enc"
+                # all-null enc columns are cross-tier concat padding,
+                # not data this partition ever carried
+                and t.column(c).null_count < t.num_rows
+            ]
+            new = _trim_partition_table(t, min_window, found or value_cols)
             if new.num_rows == 0:
                 store.unregister_partition(tier, p)
                 dropped.append(p)
@@ -115,7 +129,7 @@ def apply_retention(
                 tier,
                 p,
                 staged,
-                agg_type=m["agg_type"][0] if m["agg_type"] else "retention",
+                agg_type=p_agg or "retention",
                 lineage=json.dumps(
                     {"op": "retention", "min_window": min_window, "partition": p}
                 ),

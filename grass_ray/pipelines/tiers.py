@@ -81,23 +81,33 @@ def assign_partition_range(ds, docs_per_partition: int, key_col: str = "doc_id")
     partitions and forces a sort before the write)."""
 
     def kernel(batch: pa.Table) -> pa.Table:
-        ids = batch.column(key_col).to_pylist()
-
-        def idx(s):
-            # canonical ids are 'd<number>'; any other id falls back to a
-            # stable hash so foreign corpora still partition fine (they
-            # just lose the contiguous-range no-shuffle property)
-            tail = s[1:] if isinstance(s, str) and len(s) > 1 else ""
-            if tail.isdigit():
-                return int(tail)
-            return zlib.crc32(str(s).encode())
-
-        part = np.array(
-            [idx(s) // docs_per_partition for s in ids], dtype=np.int32
-        )
+        part = (
+            _doc_index_array(batch.column(key_col)) // docs_per_partition
+        ).astype(np.int32)
         return batch.append_column("part", pa.array(part))
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _doc_index_array(col) -> np.ndarray:
+    """Vectorized canonical-id index: 'd0000042' -> 42 via Arrow slice +
+    cast (no per-row Python on the flagship hot path).  Any batch with a
+    non-canonical id falls back to a per-row stable crc32, so foreign
+    corpora degrade to hash partitioning instead of crashing (they just
+    lose the contiguous-range no-shuffle property)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        tail = pc.utf8_slice_codeunits(col, 1)
+        return pc.cast(tail, pa.int64()).to_numpy(zero_copy_only=False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        out = np.empty(len(col), dtype=np.int64)
+        for i, s in enumerate(col.to_pylist()):
+            t = s[1:] if isinstance(s, str) and len(s) > 1 else ""
+            out[i] = int(t) if t.isdigit() else zlib.crc32(str(s).encode())
+        return out
 
 
 def filter_partitions(ds, skip: set[int]):
@@ -564,11 +574,20 @@ def build_tiers_waves(
                 mn, mx = mn.decode(), mx.decode()
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
-        if lo is None:
-            # no stats: file belongs to every wave
-            ranges.append((f, 0, 1 << 62))
-        else:
-            ranges.append((f, int(lo[1:]), int(hi[1:])))
+        if lo is not None:
+            try:
+                ranges.append((f, int(lo[1:]), int(hi[1:])))
+                continue
+            except (ValueError, IndexError):
+                lo = None  # non-canonical ids: derive the range below
+        # no usable footer stats: one bounded single-column read of this
+        # file yields its true index range (foreign id spaces degrade to
+        # crc32 hash indexes via _doc_index_array instead of crashing,
+        # and max_doc stays finite so the wave loop stays bounded)
+        ids = _doc_index_array(pq.read_table(f, columns=["doc_id"]).column("doc_id"))
+        if len(ids) == 0:
+            continue
+        ranges.append((f, int(ids.min()), int(ids.max())))
     if not ranges:
         return {name: [] for name, _ in tier_specs}
     max_doc = max(hi for _, _, hi in ranges)
@@ -586,11 +605,8 @@ def build_tiers_waves(
             ds = ray.data.read_parquet(wave_files)
 
             def clip(batch, _lo=doc_lo, _hi=doc_hi):
-                ids = batch.column("doc_id").to_pylist()
-                keep = pa.array(
-                    [(_lo <= int(s[1:]) < _hi) for s in ids]
-                )
-                return batch.filter(keep)
+                di = _doc_index_array(batch.column("doc_id"))
+                return batch.filter(pa.array((di >= _lo) & (di < _hi)))
 
             ds = ds.map_batches(clip, batch_format="pyarrow")
             wave_res = build_tiers_onepass(

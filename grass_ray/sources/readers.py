@@ -79,8 +79,20 @@ class HashTokenizer:
         )
 
 
+def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Drop parquet-borne schema metadata (the 'pandas' key makes the
+    schema unhashable, which trips Ray Data's block-schema dedup into a
+    per-batch warning).  Zero-copy."""
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
 def tokenize_text(ds, vocab_size: int = 50257, concurrency=(1, 8), **kw):
     """documents-with-text -> corpus via the actor-pool tokenizer."""
+    ds = ds.map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", batch_size=None
+    )
     return ds.map_batches(
         HashTokenizer,
         fn_constructor_kwargs={"vocab_size": vocab_size, **kw},

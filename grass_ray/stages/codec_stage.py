@@ -98,8 +98,17 @@ class DecodeTier:
         )
         for vc in self.value_cols:
             blobs = batch.column(f"{vc}_enc").to_pylist()
+            # a null blob means this row never carried the column (e.g.
+            # cross-tier concat padding): decode to all-NULL values
             vals = (
-                np.concatenate([decode_floats(b) for b in blobs])
+                np.concatenate(
+                    [
+                        decode_floats(b)
+                        if b is not None
+                        else np.full(l, np.nan)
+                        for b, l in zip(blobs, lens)
+                    ]
+                )
                 if n
                 else np.empty(0)
             )

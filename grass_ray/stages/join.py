@@ -17,6 +17,20 @@ import numpy as np
 import pyarrow as pa
 
 
+def _as_arrow_type(t) -> pa.DataType:
+    """Normalize a Ray schema type (Arrow, numpy dtype, or Python class
+    for pandas-backed datasets) to an Arrow DataType so the fixed wire
+    schema can be declared up front."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        if np.dtype(t) == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+    except Exception:
+        return pa.string()
+
+
 def _bucket_ids(batch: pa.Table, keys, buckets: int) -> np.ndarray:
     """Deterministic bucket per row: vectorized Knuth-multiplicative hash
     for a single integer key (the common case); crc32 of the joined
@@ -57,8 +71,8 @@ def bucket_join(
     """
     keys = list(key_cols)
     lschema, rschema = ds_left.schema(), ds_right.schema()
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = {n: _as_arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _as_arrow_type(t) for n, t in zip(rschema.names, rschema.types)}
     lpay = [c for c in lschema.names if c not in keys]
     rpay_src = [c for c in rschema.names if c not in keys]
     rpay = [c + suffix if c in ltypes else c for c in rpay_src]
@@ -90,7 +104,12 @@ def bucket_join(
     right = ds_right.map_batches(pad("r", right_rename), batch_format="pyarrow")
     both = left.union(right)
 
-    wire_types = dict(wire)
+    # fixed, bucket-independent output schema: every bucket casts to it,
+    # so a bucket that happens to produce join nulls in an int column
+    # cannot emit a different dtype than its siblings (Arrow ints carry
+    # validity, so nullable ints stay ints — pandas' float64 upcast is
+    # undone on the way out)
+    out_schema = pa.schema(wire)
 
     def per_bucket(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -98,23 +117,13 @@ def bucket_join(
         r = df[df["_side"] == "r"][keys + rpay]
         merged = l.merge(r, on=keys, how=how)
         tbl = pa.Table.from_pandas(merged, preserve_index=False)
-        # the null padding upcast ints to float64 through pandas; restore
-        # the wire types where the join produced no nulls
-        for name in tbl.column_names:
-            typ = wire_types.get(name)
-            if (
-                typ is None
-                or not isinstance(typ, pa.DataType)
-                or tbl.schema.field(name).type == typ
-            ):
-                continue
+        cols = []
+        for name, typ in wire:
             col = tbl.column(name)
-            if pa.types.is_integer(typ) and col.null_count > 0:
-                continue  # outer-join nulls: stay float64
-            tbl = tbl.set_column(
-                tbl.column_names.index(name), name, col.cast(typ)
-            )
-        return tbl
+            if col.type != typ:
+                col = col.cast(typ)
+            cols.append(col)
+        return pa.Table.from_arrays(cols, schema=out_schema)
 
     return both.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
@@ -143,8 +152,8 @@ def asof_join(
 
     keys = list(key_cols)
     lschema, rschema = ds_left.schema(), ds_right.schema()
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = {n: _as_arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _as_arrow_type(t) for n, t in zip(rschema.names, rschema.types)}
     lnames = set(lschema.names)
     rpay_src = [c for c in rschema.names if c not in keys and c != ts_col]
     rename = {c: (c + suffix if c in lnames else c) for c in rpay_src}

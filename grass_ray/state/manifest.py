@@ -47,6 +47,11 @@ MANIFEST_SCHEMA = pa.schema(
         ("vmax", pa.float64()),
         ("lineage", pa.string()),
         ("done", pa.bool_()),
+        # monotonic commit ordering: duplicate partition rows are
+        # resolved by the highest commit_seq, not by filename (a later
+        # per-partition commit must beat an earlier bulk-run row even
+        # though 'part=N' sorts before 'run-*')
+        ("commit_seq", pa.int64()),
     ]
 )
 
@@ -106,13 +111,30 @@ class TierStore:
         return out
 
     def manifest(self, tier: str) -> pa.Table:
-        """All committed manifest rows for a tier (latest commit of a
-        partition wins; empty table if none)."""
+        """All committed manifest rows for a tier (the commit with the
+        highest ``commit_seq`` per partition wins; empty table if none).
+        Legacy rows without the column inherit their file's mtime so
+        pre-seq manifests still order correctly."""
         files = self._manifest_files(tier)
         if not files:
             return MANIFEST_SCHEMA.empty_table()
-        t = pa.concat_tables([pq.read_table(f) for f in files])
-        df = t.to_pandas().drop_duplicates("partition", keep="last")
+        parts = []
+        for f in files:
+            t = pq.read_table(f)
+            if "commit_seq" not in t.column_names:
+                seq = os.stat(f).st_mtime_ns
+                t = t.append_column(
+                    "commit_seq",
+                    pa.array([seq] * t.num_rows, type=pa.int64()),
+                )
+            parts.append(t.select(MANIFEST_SCHEMA.names))
+        t = pa.concat_tables(parts)
+        df = (
+            t.to_pandas()
+            .sort_values("commit_seq", kind="stable")
+            .drop_duplicates("partition", keep="last")
+            .sort_index()
+        )
         return pa.Table.from_pandas(df, schema=MANIFEST_SCHEMA, preserve_index=False)
 
     def info(self, tier: str) -> dict:
@@ -179,6 +201,7 @@ class TierStore:
                     lineage if isinstance(lineage, str) else json.dumps(lineage)
                 ],
                 "done": [True],
+                "commit_seq": [_time_ns()],
             },
             schema=MANIFEST_SCHEMA,
         )
@@ -206,6 +229,7 @@ class TierStore:
         """
         import time as _time
 
+        seq = _time_ns()
         rows = []
         for p, staged, stats in jobs:
             final = self.partition_dir(tier, p)
@@ -227,6 +251,7 @@ class TierStore:
                     "vmax": stats.get("vmax"),
                     "lineage": lineage_fn(p),
                     "done": True,
+                    "commit_seq": seq,
                 }
             )
         if not rows:
@@ -346,6 +371,12 @@ class TierStore:
         for d in os.listdir(td):
             if d.startswith(".staging-"):
                 shutil.rmtree(os.path.join(td, d), ignore_errors=True)
+
+
+def _time_ns() -> int:
+    import time
+
+    return time.time_ns()
 
 
 def _parquet_files(d: str) -> list[str]:
