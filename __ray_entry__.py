@@ -227,6 +227,25 @@ def _q_rollup_extras(sf_dir: str) -> pa.Table:
     return _rename(t, {"range": "range_tok", "intr": "intr_pct", "thresh": "thresh_idx"})
 
 
+def _q_algebra_if(sf_dir: str) -> pa.Table:
+    """t.rast.algebra conditional: C = if(A > 500, A, B) over two value
+    columns of the 1m tier (full-grammar evaluator, bucket-grouped —
+    `temporal_raster_base_algebra.py` if-conditional semantics)."""
+    from grass_ray.stages.algebra import tier_expr
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.stages.rollup import rollup
+
+    nested = rollup(_corpus(sf_dir), 60, ("average", "sum"), nested=True)
+    out = tier_expr(
+        "if(A > 500, A, B)",
+        {"A": (nested, "average"), "B": (nested, "sum")},
+        out_col="v",
+    )
+    pts = explode_nested(out, value_cols=("v",))
+    t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    return t.drop_columns([c for c in ("gran",) if c in t.column_names])
+
+
 def _q_cascade_1h(sf_dir: str) -> pa.Table:
     from grass_ray.stages.cascade import cascade, explode_nested
     from grass_ray.stages.rollup import rollup
@@ -727,8 +746,10 @@ def _q_dedup_exact(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    out = exact_dedup(ds)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source", "n_chars"]
+    )
+    out = exact_dedup(ds, keep_columns=("source", "n_chars"))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.select(["doc_id", "source", "n_chars"])
 
@@ -1005,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_mode": _q_rollup_mode,
         "window_holistic": _q_window_holistic,
         "rollup_extras": _q_rollup_extras,
+        "algebra_if": _q_algebra_if,
         "cascade_1h": _q_cascade_1h,
         "series_stats": _q_series,
         "series_enriched": _q_series_enriched,
@@ -1270,6 +1292,19 @@ def oracle_sql() -> dict[str, str]:
                    g.thresh_idx
             FROM g JOIN df
               ON g.source = df.source AND g.doc_id = df.doc_id AND g.w = df.w
+        """,
+        "algebra_if": f"""
+            WITH tok AS ({tok}),
+            r AS (
+                SELECT source, doc_id, pos // 60 AS w,
+                       avg(token) AS a,
+                       CAST(sum(token) AS DOUBLE) AS s
+                FROM tok GROUP BY 1, 2, 3
+            )
+            SELECT source, doc_id, w AS "window",
+                   CASE WHEN a IS NULL THEN NULL
+                        WHEN a > 500 THEN a ELSE s END AS v
+            FROM r
         """,
         "interp_positions": f"""
             WITH tok AS ({tok}),

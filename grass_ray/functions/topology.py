@@ -136,6 +136,136 @@ def infer_granularity(starts: np.ndarray, ends: np.ndarray | None = None) -> int
     return g if g else 1
 
 
+_DELTA_UNITS = ("second", "minute", "hour", "max_days", "day", "month", "year")
+
+
+def compute_datetime_delta(start, end) -> dict:
+    """Accumulated calendar delta between two datetimes.
+
+    Faithful re-derivation of the reference's decomposition
+    (``datetime_math.py:507-709``): each unit holds the TOTAL delta
+    expressed in that unit when the unit's own component differs (or a
+    larger unit carries it), 0 when both endpoints sit on the unit's
+    origin; ``max_days`` is the plain day span."""
+    day_diff = (end - start).days
+    comp = {
+        "year": end.year - start.year,
+        "month": 0,
+        "day": 0,
+        "hour": 0,
+        "minute": 0,
+        "second": 0,
+        "max_days": day_diff,
+    }
+    if start.month == 1 and end.month == 1:
+        comp["month"] = 0
+    elif start.day == 1 and end.day == 1:
+        d = end.month - start.month
+        if d < 0:
+            d += 12 * comp["year"]
+        elif d == 0:
+            d = 12 * comp["year"]
+        comp["month"] = d
+    comp["day"] = 0 if start.day == 1 and end.day == 1 else day_diff
+    if not (start.hour == 0 and end.hour == 0):
+        d = end.hour - start.hour
+        d += 24 + 24 * day_diff if d < 0 else 24 * day_diff
+        comp["hour"] = d
+    if not (start.minute == 0 and end.minute == 0):
+        d = end.minute - start.minute
+        if d != 0:
+            d += 60 * comp["hour"] if comp["hour"] else 24 * 60 * day_diff
+        else:
+            d = 60 * comp["hour"] if comp["hour"] else 24 * 60 * day_diff
+        comp["minute"] = d
+    if not (start.second == 0 and end.second == 0):
+        d = end.second - start.second
+        if d != 0:
+            if comp["minute"]:
+                d += 60 * comp["minute"]
+            elif comp["hour"]:
+                d += 3600 * comp["hour"]
+            else:
+                d += 24 * 60 * 60 * day_diff
+        elif comp["minute"]:
+            d = 60 * comp["minute"]
+        elif comp["hour"]:
+            d = 3600 * comp["hour"]
+        else:
+            d = 24 * 60 * 60 * day_diff
+        comp["second"] = d
+    return comp
+
+
+_ABS_MULTIPLIERS = {
+    "second": {"minute": 60, "hour": 3600, "day": 24 * 3600, "max_days": 24 * 3600},
+    "minute": {"hour": 60, "day": 24 * 60, "max_days": 24 * 60},
+    "hour": {"day": 24, "max_days": 24},
+    "day": {"max_days": 1},
+    "month": {"year": 12},
+}
+
+
+def infer_granularity_absolute(starts, ends=None) -> str | None:
+    """Mixed-unit absolute granularity — the
+    ``compute_absolute_time_granularity`` algorithm
+    (``temporal_granularity.py:339-529``): per interval/gap, record the
+    smallest non-zero unit of its calendar delta (month/year kept
+    separate from day-based units — a month is not a fixed number of
+    days); the answer is the GCD over the smallest recorded unit, with
+    larger uniform units converted in.
+
+    ``starts``/``ends`` are sequences of ``datetime`` (ends entries may
+    be None for instances).  Returns e.g. ``'6 hours'`` / ``'1 month'``
+    or None for a single instant.
+    """
+    starts = list(starts)
+    ends = list(ends) if ends is not None else [None] * len(starts)
+    order = sorted(range(len(starts)), key=lambda i: starts[i])
+    units: dict[str, set] = {u: set() for u in _DELTA_UNITS}
+
+    def record(delta: dict):
+        for u in _DELTA_UNITS:
+            if delta.get(u, 0) > 0:
+                units[u].add(delta[u])
+                if u != "max_days":
+                    break
+
+    prev_start = starts[order[0]]
+    prev_end = ends[order[0]]
+    for i in order:
+        s, e = starts[i], ends[i]
+        if e is not None:
+            record(compute_datetime_delta(s, e))
+        after_prev = s > (prev_end if prev_end is not None else prev_start)
+        if after_prev:
+            record(
+                compute_datetime_delta(
+                    prev_end if prev_end is not None else prev_start, s
+                )
+            )
+        prev_start, prev_end = s, e
+
+    assigned = None
+    for u in _DELTA_UNITS:
+        if units[u] and u != "max_days":
+            assigned = u
+            break
+    if assigned is None:
+        return None
+    dlist = set(units[assigned])
+    for unit, factor in _ABS_MULTIPLIERS.get(assigned, {}).items():
+        if units[unit]:
+            dlist.update(v * factor for v in units[unit])
+    if not dlist:
+        return None
+    g = 0
+    for v in dlist:
+        g = math.gcd(g, int(v))
+    plural = "s" if g > 1 else ""
+    return f"{g} {assigned}{plural}"
+
+
 def shift_windows(windows: np.ndarray, gran: int) -> np.ndarray:
     """`t.shift`: add one granule to every window id
     (``abstract_space_time_dataset.py:1953-2096`` relative branch)."""

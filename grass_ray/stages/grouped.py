@@ -36,7 +36,7 @@ from grass_ray.functions.reducers import reduce_segments
 DECOMPOSABLE = ("count", "sum", "minimum", "maximum", "average")
 
 
-def _partial_kernel(keys, window_expr, val_col, salt):
+def _partial_kernel(keys, window_expr, val_col, salt, weight_col=None):
     def kernel(batch: pa.Table) -> pa.Table:
         batch = window_expr(batch)
         gcols = list(keys) + ["window"]
@@ -55,12 +55,31 @@ def _partial_kernel(keys, window_expr, val_col, salt):
         v = batch.column(val_col)
         t = batch.select([c for c in gcols if c in batch.column_names])
         t = t.append_column("_v", v)
-        agg = t.group_by(gcols).aggregate(
-            [("_v", "count"), ("_v", "sum"), ("_v", "min"), ("_v", "max")]
-        )
-        return agg.rename_columns(
-            gcols + ["p_count", "p_sum", "p_min", "p_max"]
-        )
+        aggs = [("_v", "count"), ("_v", "sum"), ("_v", "min"), ("_v", "max")]
+        names = ["p_count", "p_sum", "p_min", "p_max"]
+        if weight_col is not None:
+            # weighted partials (w_* reference variants,
+            # r.series/main.c:442-460): Σw over valid values and Σv·w —
+            # both decomposable, so the shuffle still moves partials
+            vf = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            w = (
+                batch.column(weight_col)
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+            )
+            with np.errstate(invalid="ignore"):
+                vw = vf * w
+                wv = np.where(np.isnan(vf), np.nan, w)
+            t = t.append_column(
+                "_vw", pa.array(vw, type=pa.float64(), mask=np.isnan(vw))
+            )
+            t = t.append_column(
+                "_wv", pa.array(wv, type=pa.float64(), mask=np.isnan(wv))
+            )
+            aggs += [("_vw", "sum"), ("_wv", "sum")]
+            names += ["p_vw", "p_wv"]
+        agg = t.group_by(gcols).aggregate(aggs)
+        return agg.rename_columns(gcols + names)
 
     return kernel
 
@@ -91,10 +110,14 @@ def rollup_points(
     methods=DECOMPOSABLE,
     salt: int = 0,
     origin: int = 0,
+    weight_col: str | None = None,
 ):
     """Windowed rollup over a point stream; returns per-(key, window) rows.
 
     Decomposable methods only (for holistic use :func:`rollup_points_holistic`).
+    ``weight_col`` switches count/sum/average to the reference's ``w_*``
+    semantics (count = Σw over valid, sum = Σv·w, average = Σv·w / Σw)
+    while staying fully decomposable — the shuffle still moves partials.
     """
     bad = [m for m in methods if m not in DECOMPOSABLE]
     if bad:
@@ -103,13 +126,24 @@ def rollup_points(
             "raw points, not partials)"
         )
     keys = list(key_cols)
+    weighted = weight_col is not None
     partials = ds.map_batches(
-        _partial_kernel(keys, _window_col(pos_col, gran, origin), val_col, salt),
+        _partial_kernel(
+            keys, _window_col(pos_col, gran, origin), val_col, salt, weight_col
+        ),
         batch_format="pyarrow",
     )
     from ray.data.aggregate import Max, Min, Sum
 
     gcols = keys + ["window"]
+    wsums = (
+        [
+            Sum("p_vw", alias_name="p_vw"),
+            Sum("p_wv", alias_name="p_wv"),
+        ]
+        if weighted
+        else []
+    )
     if salt and salt > 1:
         # stage 1: merge within (key, window, salt); stage 2 below re-merges.
         stage1 = partials.groupby(gcols + ["_salt"]).aggregate(
@@ -117,6 +151,7 @@ def rollup_points(
             Sum("p_sum", alias_name="p_sum"),
             Min("p_min", alias_name="p_min"),
             Max("p_max", alias_name="p_max"),
+            *wsums,
         )
         partials = stage1
     merged = partials.groupby(gcols).aggregate(
@@ -124,6 +159,11 @@ def rollup_points(
         Sum("p_sum", alias_name="s"),
         Min("p_min", alias_name="mn"),
         Max("p_max", alias_name="mx"),
+        *(
+            [Sum("p_vw", alias_name="vw"), Sum("p_wv", alias_name="wv")]
+            if weighted
+            else []
+        ),
     )
 
     want = list(methods)
@@ -136,15 +176,25 @@ def rollup_points(
         mx = batch.column("mx").cast(pa.float64()).to_numpy(zero_copy_only=False)
         empty = n == 0
         s = np.where(empty, np.nan, s)
+        if weighted:
+            vw = batch.column("vw").cast(pa.float64()).to_numpy(zero_copy_only=False)
+            wv = batch.column("wv").cast(pa.float64()).to_numpy(zero_copy_only=False)
+            wv = np.where(empty, 0.0, np.nan_to_num(wv, nan=0.0))
+            vw = np.where(empty, np.nan, vw)
+            n_eff, s_eff = wv, vw
+        else:
+            n_eff, s_eff = n, s
         cols = {k: batch.column(k) for k in gcols if k != "_salt"}
+        # count is int64 on both paths (matches _result_array's CELL
+        # cast, including the truncation of a fractional Σw)
         out = {
-            "count": pa.array(n.astype(np.int64)),
-            "sum": pa.array(s, type=pa.float64(), mask=np.isnan(s)),
+            "count": pa.array(n_eff.astype(np.int64)),
+            "sum": pa.array(s_eff, type=pa.float64(), mask=np.isnan(s_eff)),
             "minimum": pa.array(mn, type=pa.float64(), mask=np.isnan(mn)),
             "maximum": pa.array(mx, type=pa.float64(), mask=np.isnan(mx)),
         }
         with np.errstate(invalid="ignore", divide="ignore"):
-            avg = s / n
+            avg = s_eff / n_eff
         out["average"] = pa.array(avg, type=pa.float64(), mask=np.isnan(avg))
         for m in want:
             cols[m] = out[m]
@@ -163,10 +213,14 @@ def rollup_points_holistic(
     methods,
     origin: int = 0,
     quantiles: dict | None = None,
+    weight_col: str | None = None,
 ):
     """Holistic windowed rollup: raw points shuffle to their (key, window)
     group; positions sort inside the group (ordering contract for
-    min_raster/slope etc., SURVEY §4 "Ordering assumptions")."""
+    min_raster/slope etc., SURVEY §4 "Ordering assumptions").
+    ``weight_col`` feeds per-point weights to the segmented reducers —
+    the ``w_median`` / ``w_percentile`` / ``w_mode`` reference variants
+    (``lib/stats`` ``w_*``; ``c_percentile.c:54-84``)."""
     keys = list(key_cols)
     with_w = ds.map_batches(
         _window_col(pos_col, gran, origin), batch_format="pyarrow"
@@ -184,11 +238,20 @@ def rollup_points_holistic(
             .cast(pa.float64())
             .to_numpy(zero_copy_only=False)
         )
+        weights = None
+        if weight_col is not None:
+            weights = (
+                batch.column(weight_col)
+                .take(order)
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+            )
         res = reduce_segments(
             vals,
             np.array([len(vals)], dtype=np.int64),
             methods,
             quantiles=quantiles,
+            weights=weights,
         )
         cols = {k: batch.column(k).slice(0, 1) for k in keys + ["window"]}
         for m, arr in res.items():

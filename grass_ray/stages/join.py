@@ -63,11 +63,23 @@ def bucket_join(
     buckets: int = 64,
     how: str = "inner",
     suffix: str = "_r",
+    broadcast_threshold: int = 500_000,
 ):
-    """Join two large Datasets on `key_cols` via explicit hash buckets.
+    """Join two Datasets on `key_cols`.
+
+    Two regimes, chosen by the measured right-side row count (standard
+    size-based join planning):
+
+    * **broadcast** (inner/left joins with ≤ ``broadcast_threshold``
+      right rows): the right table ships once via ``ray.put`` and the
+      join is a zero-shuffle map-side merge per left batch;
+    * **exchange** (larger right sides, or right/outer joins): both
+      sides move through explicit hash buckets
+      (``groupby(hash(key) % B)`` + per-bucket merge).
 
     Right-side payload columns that collide with left names come back
-    with `suffix` appended.
+    with `suffix` appended.  The output schema is fixed and
+    bucket-independent in both regimes.
     """
     keys = list(key_cols)
     lschema, rschema = ds_left.schema(), ds_right.schema()
@@ -98,6 +110,18 @@ def bucket_join(
 
         return kernel
 
+    # fixed, bucket-independent output schema (see per-regime casts)
+    out_schema_fields = wire
+
+    if how in ("inner", "left"):
+        right_mat = ds_right.materialize()
+        if right_mat.count() <= broadcast_threshold:
+            return _broadcast_join(
+                right_mat, ds_left, keys, lpay, rpay_src, rpay, how,
+                out_schema_fields,
+            )
+        ds_right = right_mat
+
     # left reads its own names; right reads src names for renamed payload
     right_rename = {dst: src for src, dst in zip(rpay_src, rpay)}
     left = ds_left.map_batches(pad("l", {}), batch_format="pyarrow")
@@ -126,6 +150,164 @@ def bucket_join(
         return pa.Table.from_arrays(cols, schema=out_schema)
 
     return both.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _broadcast_join(right_mat, ds_left, keys, lpay, rpay_src, rpay, how, wire):
+    """Map-side regime of :func:`bucket_join`: the (small) right table
+    ships once via ``ray.put``; each left batch merges locally — no
+    shuffle of either side."""
+    import ray
+
+    rt = pa.Table.from_pandas(right_mat.to_pandas(), preserve_index=False)
+    cols = {}
+    for k in keys:
+        cols[k] = rt.column(k) if k in rt.column_names else pa.nulls(rt.num_rows)
+    for src, dst in zip(rpay_src, rpay):
+        cols[dst] = rt.column(src)
+    rdf = pa.table(cols).to_pandas() if rt.num_rows else None
+    import pandas as pd
+
+    if rdf is None:
+        rdf = pd.DataFrame({name: pd.Series(dtype=object) for name in keys + rpay})
+    ref = ray.put(rdf)
+    out_schema = pa.schema(wire)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[keys + lpay]
+        merged = df.merge(ray.get(ref), on=keys, how=how)
+        tbl = pa.Table.from_pandas(merged, preserve_index=False)
+        out = []
+        for name, typ in wire:
+            col = tbl.column(name)
+            if col.type != typ:
+                col = col.cast(typ)
+            out.append(col)
+        return pa.Table.from_arrays(out, schema=out_schema)
+
+    return ds_left.map_batches(kernel, batch_format="pyarrow")
+
+
+def distinct_keys(ds, key_cols):
+    """Distributed DISTINCT over key columns: a pre-combined Count
+    aggregate (partials per block, one row per key on the wire) — never
+    a per-group Python dispatch or a driver-side drop_duplicates."""
+    from ray.data.aggregate import Count
+
+    keys = list(key_cols)
+    out = ds.groupby(keys).aggregate(Count(alias_name="_n"))
+    return out.drop_columns(["_n"])
+
+
+def semi_join(
+    ds,
+    keys_ds,
+    *,
+    key_cols,
+    buckets: int = 64,
+    anti: bool = False,
+    broadcast_threshold: int = 2_000_000,
+    keys_distinct: bool = False,
+):
+    """Distributed semi-join (anti=True -> anti-join): keep rows of `ds`
+    whose key (does not) appear in `keys_ds`.  The keys side is made
+    distinct first, so duplicate keys never fan out rows.
+
+    Two regimes, chosen by the measured distinct-key count (the standard
+    size-based join strategy):
+
+    * **broadcast** (≤ ``broadcast_threshold`` keys): the key set ships
+      once via ``ray.put`` and a single zero-shuffle ``map_batches``
+      filter runs over `ds` — no exchange of the big side at all;
+    * **exchange** (larger): both sides move through the bucket
+      machinery — the drop set that grows with the corpus never lands
+      on the driver.
+    """
+    import pyarrow.compute as pc
+
+    keys = list(key_cols)
+    if keys_ds.schema() is None or keys_ds.count() == 0:
+        # empty keys side: semi-join keeps nothing, anti-join everything
+        return ds if anti else ds.limit(0)
+    # keys_distinct=True skips the dedup exchange — callers whose keys
+    # side is already one row per key (an aggregate output) must not pay
+    # a second groupby, nor a lazy re-execution of their pipeline
+    distinct = (
+        keys_ds.select_columns(keys)
+        if keys_distinct
+        else distinct_keys(keys_ds.select_columns(keys), keys)
+    ).materialize()
+    if distinct.count() <= broadcast_threshold:
+        return _semi_join_broadcast(ds, distinct, keys, anti)
+    marked = distinct.map_batches(
+        lambda b: b.append_column("_kj", pa.array(np.ones(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    j = bucket_join(ds, marked, key_cols=keys, buckets=buckets, how="left")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_valid(batch.column("_kj"))
+        if anti:
+            m = pc.invert(m)
+        return batch.filter(m).drop_columns(["_kj"])
+
+    return j.map_batches(keep, batch_format="pyarrow")
+
+
+def _semi_join_broadcast(ds, distinct, keys, anti):
+    import ray
+
+    single = len(keys) == 1
+    single_int = single and pa.types.is_integer(
+        distinct.schema().base_schema.field(keys[0]).type
+    )
+    if single_int:
+        vals = []
+        for b in distinct.iter_batches(batch_format="pyarrow"):
+            vals.append(
+                b.column(keys[0]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+        side = np.sort(np.concatenate(vals)) if vals else np.empty(0, np.int64)
+    else:
+        side = set()
+        for b in distinct.iter_batches(batch_format="pyarrow"):
+            if single:
+                side.update(b.column(keys[0]).to_pylist())
+            else:
+                side.update(zip(*(b.column(k).to_pylist() for k in keys)))
+    ref = ray.put(side)
+
+    def keep(batch: pa.Table, _anti=anti) -> pa.Table:
+        s = ray.get(ref)
+        if single_int:
+            k = batch.column(keys[0]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            mask = np.isin(k, s)
+        elif single:
+            mask = np.fromiter(
+                (v in s for v in batch.column(keys[0]).to_pylist()),
+                dtype=bool,
+                count=batch.num_rows,
+            )
+        else:
+            rows = zip(*(batch.column(k).to_pylist() for k in keys))
+            mask = np.fromiter(
+                (r in s for r in rows), dtype=bool, count=batch.num_rows
+            )
+        if _anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def anti_join(ds, keys_ds, *, key_cols, buckets: int = 64, keys_distinct: bool = False):
+    return semi_join(
+        ds,
+        keys_ds,
+        key_cols=key_cols,
+        buckets=buckets,
+        anti=True,
+        keys_distinct=keys_distinct,
+    )
 
 
 def asof_join(

@@ -46,19 +46,60 @@ def synth_media(n: int, media_type: str = "image", payload_bytes: int = 4096, se
 
 
 class DecodeMedia:
-    """payload -> decoded array (STUB).
+    """payload -> decoded array.
 
     fake=True: deterministic pseudo-decode (bytes -> uint8 array of the
     declared shape, repeated/truncated) so downstream stages are
-    testable.  fake=False: raises NotImplementedError — wire a real
-    decoder (PIL / libsndfile / pyav) here when the libs exist.
+    testable without media libraries.  fake=False: a REAL image decode
+    via PIL when it is importable (soft dependency, loaded once per
+    actor — grayscale uint8, actual width/height written back);
+    raises NotImplementedError when no decoder library exists in the
+    environment.
     """
 
     def __init__(self, fake: bool = True):
         self.fake = fake
+        self._pil = None
+        if not fake:
+            try:
+                from PIL import Image  # soft dep: not in every container
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
+
+    def _real_decode(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        Image = self._pil
+        payloads = batch.column("payload").to_pylist()
+        out, widths, heights = [], [], []
+        for p in payloads:
+            img = Image.open(io.BytesIO(p)).convert("L")
+            arr = np.asarray(img, dtype=np.uint8)
+            heights.append(arr.shape[0])
+            widths.append(arr.shape[1])
+            out.append(arr.ravel())
+        flat = np.concatenate(out) if out else np.empty(0, dtype=np.uint8)
+        lens = np.array([len(o) for o in out], dtype=np.int64)
+        offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+        pixels = pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.uint8()))
+        t = batch.set_column(
+            batch.column_names.index("width"),
+            "width",
+            pa.array(widths, type=pa.int32()),
+        )
+        t = t.set_column(
+            t.column_names.index("height"),
+            "height",
+            pa.array(heights, type=pa.int32()),
+        )
+        return t.append_column("pixels", pixels)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
+            if self._pil is not None:
+                return self._real_decode(batch)
             raise NotImplementedError(
                 "media decode requires PIL/soundfile/pyav — not available "
                 "in this container; run with fake=True for the plumbing"

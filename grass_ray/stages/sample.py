@@ -161,3 +161,42 @@ def topology_report(nested_ds) -> dict:
         "window_end": wmax,
         "granularity": min(grans) if grans else None,
     }
+
+
+def events_time_report(ds, *, ts_col: str = "ts", max_distinct: int = 100_000) -> dict:
+    """`t.topology`-style summary for a wall-clock event stream:
+    span, event count, and the mixed-unit absolute granularity
+    (``compute_absolute_time_granularity`` semantics — month/year kept
+    separate from day-based units, ``temporal_granularity.py:339-529``).
+
+    Distinct timestamps are reduced distributedly (pre-combined Count
+    aggregate) before the driver-side GCD; ``max_distinct`` bounds the
+    driver set for degenerate streams (every event its own microsecond)
+    — hitting the cap is reported, never silent."""
+    import pandas as pd
+
+    from grass_ray.functions.topology import infer_granularity_absolute
+    from grass_ray.stages.join import distinct_keys
+
+    distinct = distinct_keys(
+        ds.map_batches(
+            lambda b: pa.table({ts_col: b.column(ts_col)}),
+            batch_format="pyarrow",
+        ),
+        (ts_col,),
+    )
+    n_events = ds.count()
+    ts = distinct.limit(max_distinct + 1).to_pandas()[ts_col]
+    capped = len(ts) > max_distinct
+    if capped:
+        ts = ts.iloc[:max_distinct]
+    times = sorted(t.to_pydatetime() for t in pd.to_datetime(ts))
+    gran = infer_granularity_absolute(times) if len(times) > 1 else None
+    return {
+        "events": n_events,
+        "distinct_times": len(times),
+        "distinct_capped": capped,
+        "time_start": times[0].isoformat() if times else None,
+        "time_end": times[-1].isoformat() if times else None,
+        "granularity": gran,
+    }

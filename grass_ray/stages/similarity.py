@@ -4,10 +4,16 @@
   broadcast once (``ray.put``); each batch does one normalized matmul
   and emits its local top-k; a tiny driver-side merge keeps the global
   top-k.  Exact baseline.
-* :func:`ivf_topk` — the scale path: k-means-lite centroids fitted on a
-  sample, every vector assigned to its nearest centroid in a
-  ``map_batches`` pass, queries probe only the ``nprobe`` nearest
-  centroids' partitions.  Approximate, ~centroids/nprobe× less compute.
+* :func:`ivf_build` / :func:`ivf_search` — the real scale path:
+  vectors are written **partitioned by nearest centroid** (hive layout)
+  so a query reads ONLY the ``nprobe`` probed partitions — the read is
+  pruned, not just the matmul.  :func:`ivf_topk` wraps build+search for
+  the one-shot API.
+* :func:`embedding_dedup` — cosine near-dup with **size-capped
+  buckets**: centroid assignment plus extra random-projection sign bits
+  keeps the expected bucket size fixed as the corpus grows, so the
+  within-bucket all-pairs block is O(cap²) regardless of N; any
+  residual oversized bucket is truncated with a log (no silent cap).
 """
 
 from __future__ import annotations
@@ -29,6 +35,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _merge_topk(cand, k: int, id_col: str) -> pa.Table:
+    """Driver merge of per-batch local top-k (bounded to nq*k rows per
+    block)."""
+    rows = []
+    for qi, grp in cand.groupby("query_id"):
+        top = grp.nlargest(k, "score").reset_index(drop=True)
+        for rank, r in top.iterrows():
+            rows.append((qi, r[id_col], float(r["score"]), rank + 1))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            id_col: pa.array([r[1] for r in rows]),
+            "score": pa.array([r[2] for r in rows], type=pa.float64()),
+            "rank": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
 
 
 def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col="vec_id", vec_col="embedding"):
@@ -64,19 +88,7 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col="vec_id", vec_col="
         )
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qi, grp in cand.groupby("query_id"):
-        top = grp.nlargest(k, "score").reset_index(drop=True)
-        for rank, r in top.iterrows():
-            rows.append((qi, r[id_col], float(r["score"]), rank + 1))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            id_col: pa.array([r[1] for r in rows]),
-            "score": pa.array([r[2] for r in rows], type=pa.float64()),
-            "rank": pa.array([r[3] for r in rows], type=pa.int64()),
-        }
-    )
+    return _merge_topk(cand, k, id_col)
 
 
 def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 42):
@@ -94,36 +106,112 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int =
     return cent
 
 
-def ivf_topk(
+def _fit_centroids(ds, n_clusters, sample_size, seed, vec_col):
+    sample = ds.limit(sample_size).to_pandas()
+    X = np.stack(sample[vec_col].to_numpy())
+    return kmeans_lite(X, n_clusters, seed=seed)
+
+
+def _assign_stage(ds, cent, vec_col, out_col="centroid"):
+    import ray
+
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent_ = ray.get(cref)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        a = np.argmax(m @ cent_.T, axis=1).astype(np.int32)
+        return batch.append_column(out_col, pa.array(a))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_build(
     ds,
+    index_dir: str,
+    *,
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+    vec_col="embedding",
+):
+    """Build a centroid-partitioned IVF index on disk.
+
+    Layout: ``index_dir/centroids.npy`` + ``index_dir/vectors/
+    centroid=<c>/*.parquet`` (hive).  Search reads only the probed
+    ``centroid=`` directories — the scale property a flat scan lacks.
+    Returns the (n_clusters, dim) centroid matrix."""
+    import os
+
+    cent = _fit_centroids(ds, n_clusters, sample_size, seed, vec_col)
+    assigned = _assign_stage(ds, cent, vec_col)
+    os.makedirs(index_dir, exist_ok=True)
+    assigned.write_parquet(
+        os.path.join(index_dir, "vectors"), partition_cols=["centroid"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_search(
+    index_dir: str,
     queries: np.ndarray,
     k: int = 10,
     *,
-    n_clusters: int = 16,
     nprobe: int = 4,
-    sample_size: int = 2048,
     id_col="vec_id",
     vec_col="embedding",
-    seed: int = 42,
 ):
-    """IVF-style approximate top-k: probe only nprobe nearest centroids."""
-    import ray
+    """Search a built IVF index: per query, read ONLY the ``nprobe``
+    nearest centroids' partitions (pruned read), brute-force within."""
+    import glob
+    import os
 
-    sample = ds.limit(sample_size).to_pandas()
-    X = np.stack(sample[vec_col].to_numpy())
-    cent = kmeans_lite(X, n_clusters, seed=seed)
+    import ray
+    import ray.data
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    cref = ray.put((cent, q, probe))
+    needed = sorted(set(probe.reshape(-1).tolist()))
+    files = []
+    for c in needed:
+        files.extend(
+            sorted(
+                glob.glob(
+                    os.path.join(index_dir, "vectors", f"centroid={c}", "*.parquet")
+                )
+            )
+        )
+    if not files:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+    # hive partition value comes back via the directory; re-derive it
+    # from the file path per block instead (read_parquet on a file list
+    # drops the hive column)
+    ds = ray.data.read_parquet(files, include_paths=True)
+    qref = ray.put((q, probe))
 
     def local(batch: pa.Table) -> pa.Table:
-        cent_, q_, probe_ = ray.get(cref)
+        import re
+
+        q_, probe_ = ray.get(qref)
+        paths = batch.column("path").to_pylist()
+        cents = np.array(
+            [int(re.search(r"centroid=(\d+)", p).group(1)) for p in paths],
+            dtype=np.int64,
+        )
         ids = np.asarray(batch.column(id_col).to_pylist())
         m = _normalize(_to_matrix(batch.column(vec_col)))
-        assign = np.argmax(m @ cent_.T, axis=1)
         out_q, out_v, out_s = [], [], []
         for qi in range(q_.shape[0]):
-            mask = np.isin(assign, probe_[qi])
+            mask = np.isin(cents, probe_[qi])
             if not mask.any():
                 continue
             sub = m[mask]
@@ -142,40 +230,107 @@ def ivf_topk(
         )
 
     cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qi, grp in cand.groupby("query_id"):
-        top = grp.nlargest(k, "score").reset_index(drop=True)
-        for rank, r in top.iterrows():
-            rows.append((qi, r[id_col], float(r["score"]), rank + 1))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            id_col: pa.array([r[1] for r in rows]),
-            "score": pa.array([r[2] for r in rows], type=pa.float64()),
-            "rank": pa.array([r[3] for r in rows], type=pa.int64()),
-        }
+    return _merge_topk(cand, k, id_col)
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    id_col="vec_id",
+    vec_col="embedding",
+    seed: int = 42,
+    index_dir: str | None = None,
+):
+    """IVF approximate top-k: build (or reuse) a centroid-partitioned
+    index, then search with a pruned read.  One-shot convenience over
+    :func:`ivf_build` + :func:`ivf_search`."""
+    import os
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="grassray_ivf_")
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        ivf_build(
+            ds,
+            index_dir,
+            n_clusters=n_clusters,
+            sample_size=sample_size,
+            seed=seed,
+            vec_col=vec_col,
+        )
+    return ivf_search(
+        index_dir, queries, k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     )
 
 
-def embedding_dedup(ds, *, threshold=0.95, id_col="vec_id", vec_col="embedding", n_clusters=16, seed=42):
-    """Embedding-cosine near-dup: bucket by nearest centroid, compare
-    within buckets, drop the larger id of any pair above threshold."""
+def embedding_dedup(
+    ds,
+    *,
+    threshold=0.95,
+    id_col="vec_id",
+    vec_col="embedding",
+    n_clusters=16,
+    seed=42,
+    target_bucket: int = 1024,
+    hard_cap: int = 8192,
+):
+    """Embedding-cosine near-dup with bounded buckets.
+
+    Bucket key = nearest centroid × random-projection sign bits: the
+    number of projection bits grows with the corpus
+    (``ceil(log2(N / (n_clusters·target_bucket)))``), keeping the
+    expected bucket size ≈ ``target_bucket`` regardless of N, so the
+    within-bucket ``m @ m.T`` stays O(target_bucket²).  Near-identical
+    vectors (the ones above ``threshold``) agree on projection signs
+    w.h.p., so recall loss is small and bounded per bit.  A residual
+    bucket above ``hard_cap`` (adversarial skew) is truncated with a
+    log — never a silent cap.  The keep step is a distributed
+    anti-join, not a broadcast Python set."""
     import ray
 
-    sample = ds.limit(2048).to_pandas()
-    X = np.stack(sample[vec_col].to_numpy())
-    cent = kmeans_lite(X, n_clusters, seed=seed)
-    cref = ray.put(cent)
+    from grass_ray.stages.join import anti_join, distinct_keys
+
+    n_total = ds.count()
+    cent = _fit_centroids(ds, n_clusters, 2048, seed, vec_col)
+    n_bits = 0
+    if n_total and n_total > n_clusters * target_bucket:
+        n_bits = int(
+            np.ceil(np.log2(n_total / (n_clusters * target_bucket)))
+        )
+    dim = cent.shape[1]
+    rng = np.random.default_rng(seed + 1)
+    R = rng.standard_normal((n_bits, dim)).astype(np.float32) if n_bits else None
+    cref = ray.put((cent, R))
 
     def assign(batch: pa.Table) -> pa.Table:
-        cent_ = ray.get(cref)
+        cent_, R_ = ray.get(cref)
         m = _normalize(_to_matrix(batch.column(vec_col)))
-        a = np.argmax(m @ cent_.T, axis=1).astype(np.int32)
-        return batch.append_column("cluster", pa.array(a))
+        a = np.argmax(m @ cent_.T, axis=1).astype(np.int64)
+        if R_ is not None and len(m):
+            signs = (m @ R_.T) > 0  # (n, bits)
+            sub = (
+                signs.astype(np.int64)
+                * (1 << np.arange(R_.shape[0], dtype=np.int64))
+            ).sum(axis=1)
+            a = a * (1 << R_.shape[0]) + sub
+        return batch.append_column("cluster", pa.array(a.astype(np.int32)))
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col).to_pylist())
         m = _normalize(_to_matrix(batch.column(vec_col)))
+        if len(ids) > hard_cap:
+            print(
+                f"embedding_dedup: bucket of {len(ids)} vectors capped to "
+                f"{hard_cap} ({len(ids) - hard_cap} vectors' pairs dropped "
+                f"in this bucket)"
+            )
+            ids = ids[:hard_cap]
+            m = m[:hard_cap]
         s = m @ m.T
         iu = np.triu_indices(len(ids), k=1)
         hit = s[iu] >= threshold
@@ -187,17 +342,21 @@ def embedding_dedup(ds, *, threshold=0.95, id_col="vec_id", vec_col="embedding",
             }
         )
 
-    dup_pairs = (
+    dup_pairs_ds = (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("cluster")
         .map_groups(pairs, batch_format="pyarrow")
-    ).to_pandas()
-    drop = set(dup_pairs["id_b"]) if len(dup_pairs) else set()
-    dref = ray.put(drop)
+    ).materialize()
+    if dup_pairs_ds.count() == 0:
+        import pandas as pd
 
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(dref)
-        mask = pa.array([i not in d for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow"), dup_pairs
+        return ds, pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+    drops = distinct_keys(
+        dup_pairs_ds.map_batches(
+            lambda b: pa.table({id_col: b.column("id_b")}),
+            batch_format="pyarrow",
+        ),
+        (id_col,),
+    )
+    kept = anti_join(ds, drops, key_cols=(id_col,), keys_distinct=True)
+    return kept, dup_pairs_ds.to_pandas()

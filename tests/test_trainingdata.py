@@ -243,11 +243,47 @@ def test_multimodal_decode_features(ray_session):
 
 
 def test_multimodal_real_decode_raises(ray_session):
-    import ray.data
+    # without PIL the real path raises loudly; with PIL it decodes (see
+    # test_multimodal_real_decode_pil)
     from grass_ray.stages.multimodal import DecodeMedia
 
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: real decode path active")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         DecodeMedia(fake=False)(synth_media(1))
+
+
+def test_multimodal_real_decode_pil(ray_session):
+    """Real PIL decode (soft dep): skipped when the lib is absent,
+    never stubbed when it is present."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from grass_ray.stages.multimodal import DecodeMedia
+
+    img = Image.fromarray(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    t = pa.table(
+        {
+            "media_id": pa.array(["m0"]),
+            "payload": pa.array([buf.getvalue()], type=pa.binary()),
+            "media_type": pa.array(["image"]),
+            "width": pa.array([0], type=pa.int32()),
+            "height": pa.array([0], type=pa.int32()),
+            "sample_rate": pa.array([0], type=pa.int32()),
+            "n_frames": pa.array([1], type=pa.int32()),
+        }
+    )
+    out = DecodeMedia(fake=False)(t)
+    assert out.column("width")[0].as_py() == 8
+    assert list(out.column("pixels")[0].as_py()) == list(range(64))
 
 
 def test_frame_sample(ray_session):
