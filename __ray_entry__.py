@@ -340,7 +340,10 @@ def _events_cents(sf_dir: str):
         v = batch.column("value").to_numpy(zero_copy_only=False)
         cents = np.round(v * 100.0).astype(np.int64)
         idx = batch.column_names.index("value")
-        return batch.set_column(idx, "value", pa.array(cents))
+        out = batch.set_column(idx, "value", pa.array(cents))
+        # parquet 'pandas' metadata makes schemas unhashable -> noisy
+        # Ray block-dedup warnings downstream; strip it here once
+        return out.replace_schema_metadata(None)
 
     return ds.map_batches(to_cents, batch_format="pyarrow")
 
@@ -741,6 +744,146 @@ def _q_events_asof(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_events_topk(sf_dir: str) -> pa.Table:
+    """Heavy hitters: top-3 events per type by value — decomposable
+    per-batch local top-k + bounded final trim (grouped.topk_per_group)."""
+    from grass_ray.stages.grouped import topk_per_group
+
+    out = topk_per_group(
+        _events_cents(sf_dir),
+        key_cols=("event_type",),
+        val_col="value",
+        k=3,
+        tie_cols=("event_id",),
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = t.select(["event_type", "event_id", "value"])
+    x = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+    return t.set_column(
+        t.column_names.index("value"), "v", pa.array(x, type=pa.float64())
+    ).rename_columns(["event_type", "event_id", "v"])
+
+
+def _q_events_hopping(sf_dir: str) -> pa.Table:
+    """Sliding-window aggregate: 2h windows every 1h over the event
+    stream (each point fans out to size/hop windows, then the standard
+    partial-aggregate shuffle)."""
+    from grass_ray.stages.grouped import hop_windows
+
+    ds = _events_cents(sf_dir)
+
+    def add_pos(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        secs = pc.cast(
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000),
+            pa.int64(),
+        )
+        return batch.append_column("pos", secs)
+
+    out = hop_windows(
+        ds.map_batches(add_pos, batch_format="pyarrow"),
+        key_cols=("event_type",),
+        pos_col="pos",
+        val_col="value",
+        size=7200,
+        hop=3600,
+        methods=("count", "sum"),
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _rename(t, {"count": "cnt", "sum": "sum_v"})
+    x = t.column("sum_v").to_numpy(zero_copy_only=False) / 100.0
+    return t.set_column(
+        t.column_names.index("sum_v"),
+        "sum_v",
+        pa.array(x, type=pa.float64(), mask=np.isnan(x)),
+    )
+
+
+def _q_vocab_top100(sf_dir: str) -> pa.Table:
+    """Corpus vocabulary stats: global top-100 words by frequency
+    (partial counts per batch -> pre-combined Sum -> bounded trim)."""
+    import ray.data
+
+    from grass_ray.stages.vocab import vocab_topn
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = vocab_topn(ds, 100)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: drop training docs (source != src0)
+    sharing any word 3-gram with the benchmark set (source == src0)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from grass_ray.stages.vocab import decontaminate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    bench = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("source"), "src0")),
+        batch_format="pyarrow",
+    )
+    train = ds.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b.column("source"), "src0"))),
+        batch_format="pyarrow",
+    )
+    kept, _ids = decontaminate(train, bench, k=3)
+    t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "source"])
+
+
+def _q_interval_sessions(sf_dir: str) -> pa.Table:
+    """Interval topology join: coarse sessions (gap 30 min) x fine
+    sessions (gap 5 min) per user, pairs that overlap in time — the
+    distributed R-tree-analog range join on real intervals."""
+    from grass_ray.stages.grouped import sessionize
+    from grass_ray.stages.join import interval_join
+
+    ev = _events_cents(sf_dir)
+
+    def intervals(gap: int, sid_name: str):
+        s = sessionize(ev, key_cols=("user_id",), gap_seconds=gap)
+
+        def to_iv(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            st = pc.cast(
+                pc.divide(pc.cast(batch.column("session_start"), pa.int64()), 1_000_000),
+                pa.int64(),
+            )
+            en = pc.cast(
+                pc.divide(pc.cast(batch.column("session_end"), pa.int64()), 1_000_000),
+                pa.int64(),
+            )
+            import numpy as _np
+
+            return pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    sid_name: batch.column("session_id"),
+                    "start": st,
+                    "end": pa.array(
+                        en.to_numpy(zero_copy_only=False) + 1, type=pa.int64()
+                    ),
+                }
+            )
+
+        return s.map_batches(to_iv, batch_format="pyarrow")
+
+    a = intervals(1800, "sid_a")
+    b = intervals(600, "sid_b")
+    out = interval_join(
+        a, b, key_cols=("user_id",), start_col="start", end_col="end",
+        bucket_span=8192,
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["user_id", "sid_a", "sid_b", "start", "end", "start_r", "end_r"])
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1040,6 +1183,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_sessions,
         "events_asof": _q_events_asof,
         "events_median": _q_events_median,
+        "events_topk": _q_events_topk,
+        "events_hopping": _q_events_hopping,
+        "vocab_top100": _q_vocab_top100,
+        "decontaminate": _q_decontaminate,
+        "interval_sessions": _q_interval_sessions,
         "neighbors_avg3": _q_neighbors,
         "interp_positions": _q_interp,
         "what_lookup": _q_what,
@@ -1496,6 +1644,122 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(cents) AS BIGINT) AS cnt,
                    median(cents) / 100.0 AS med_v
             FROM c GROUP BY 1, 2
+        """,
+        "events_topk": """
+            WITH c AS (
+                SELECT event_type, event_id,
+                       CAST(round(value * 100.0) AS BIGINT) AS cents
+                FROM events
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY cents DESC, event_id
+                ) AS rn FROM c
+            )
+            SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+                   CAST(cents AS DOUBLE) / 100.0 AS v
+            FROM r WHERE rn <= 3
+        """,
+        "events_hopping": """
+            WITH c AS (
+                SELECT event_type,
+                       epoch_us(ts) // 1000000 AS pos,
+                       CAST(round(value * 100.0) AS BIGINT) AS cents
+                FROM events
+            ),
+            e AS (
+                SELECT event_type, pos, cents,
+                       (pos // 3600 - j) * 3600 AS ws
+                FROM c CROSS JOIN UNNEST(range(0, 2)) AS u(j)
+                WHERE pos >= (pos // 3600 - j) * 3600
+                  AND pos < (pos // 3600 - j) * 3600 + 7200
+            )
+            SELECT event_type, ws AS window_start,
+                   CAST(count(cents) AS BIGINT) AS cnt,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_v
+            FROM e GROUP BY 1, 2
+        """,
+        "vocab_top100": """
+            WITH words AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9_'']+')) AS word
+                FROM documents
+            ),
+            g AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS cnt
+                FROM words GROUP BY 1
+            )
+            SELECT word, cnt FROM g ORDER BY cnt DESC, word LIMIT 100
+        """,
+        "decontaminate": """
+            WITH b AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w
+                FROM documents WHERE source = 'src0'
+            ),
+            bg AS (
+                SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS g
+                FROM b CROSS JOIN UNNEST(range(1, len(w) - 1)) AS u(i)
+            ),
+            t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w
+                FROM documents WHERE source <> 'src0'
+            ),
+            tg AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+                FROM t CROSS JOIN UNNEST(range(1, len(w) - 1)) AS u(i)
+            ),
+            bad AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (g))
+            SELECT doc_id, source FROM documents
+            WHERE source <> 'src0'
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "interval_sessions": """
+            WITH e AS (SELECT user_id, ts FROM events),
+            o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM e
+            ),
+            mk AS (
+                -- engine sessionize compares floor-second timestamps
+                SELECT user_id, ts, prev,
+                    CASE WHEN prev IS NULL
+                           OR epoch_us(ts) // 1000000
+                              - epoch_us(prev) // 1000000 > 1800
+                         THEN 1 ELSE 0 END AS na,
+                    CASE WHEN prev IS NULL
+                           OR epoch_us(ts) // 1000000
+                              - epoch_us(prev) // 1000000 > 600
+                         THEN 1 ELSE 0 END AS nb
+                FROM o
+            ),
+            g AS (
+                SELECT user_id, ts,
+                    CAST(sum(na) OVER (PARTITION BY user_id ORDER BY ts) - 1
+                         AS BIGINT) AS sid_a,
+                    CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts) - 1
+                         AS BIGINT) AS sid_b
+                FROM mk
+            ),
+            sa AS (
+                SELECT user_id, sid_a,
+                       min(epoch_us(ts)) // 1000000 AS "start",
+                       max(epoch_us(ts)) // 1000000 + 1 AS "end"
+                FROM g GROUP BY 1, 2
+            ),
+            sb AS (
+                SELECT user_id, sid_b,
+                       min(epoch_us(ts)) // 1000000 AS start_r,
+                       max(epoch_us(ts)) // 1000000 + 1 AS end_r
+                FROM g GROUP BY 1, 2
+            )
+            SELECT sa.user_id, sa.sid_a, sb.sid_b,
+                   sa."start", sa."end", sb.start_r, sb.end_r
+            FROM sa JOIN sb
+              ON sa.user_id = sb.user_id
+             AND sa."start" < sb.end_r AND sb.start_r < sa."end"
         """,
         "events_asof": """
             SELECT a.user_id, a.ts, a.event_type, a.value,

@@ -26,22 +26,42 @@ from grass_ray.stages.gapfill import find_gaps, gapfill
 from grass_ray.stages.grouped import rollup_events, rollup_points, rollup_points_holistic
 from grass_ray.stages.rollup import explode_tokens, rollup, series_collapse
 from grass_ray.stages.accumulate import accdetect, accumulate
-from grass_ray.stages.algebra import algebra
+from grass_ray.stages.algebra import algebra, tier_expr, tier_hash
 from grass_ray.stages.dedup import (
     connected_components,
     exact_dedup,
     minhash_dedup,
+    minhash_verified_pairs,
     simhash_candidates,
 )
 from grass_ray.stages.extract import apply_mapcalc, extract, tier_arith, tier_select
-from grass_ray.stages.grouped import sessionize
+from grass_ray.stages.grouped import hop_windows, sessionize, topk_per_group
 from grass_ray.stages.interp import interp_positions
-from grass_ray.stages.join import asof_join, bucket_join, interval_join
+from grass_ray.stages.join import (
+    anti_join,
+    asof_join,
+    bucket_join,
+    distinct_keys,
+    interval_join,
+    semi_join,
+)
 from grass_ray.stages.curate import curate, pack_sequences, sample_stratified
 from grass_ray.functions.sketch import KLLSketch
+from grass_ray.functions.topology import (
+    compute_datetime_delta,
+    infer_granularity_absolute,
+)
 from grass_ray.stages.grouped import approx_quantiles
 from grass_ray.stages.neighbors import neighbors
-from grass_ray.stages.similarity import ann_topk, embedding_dedup, ivf_topk
+from grass_ray.stages.sample import events_time_report
+from grass_ray.stages.similarity import (
+    ann_topk,
+    embedding_dedup,
+    ivf_build,
+    ivf_search,
+    ivf_topk,
+)
+from grass_ray.stages.vocab import decontaminate, vocab_topn, word_counts
 from grass_ray.stages.text_stage import analyze_text
 from grass_ray.stages.univar import univar
 from grass_ray.stages.what import what
@@ -62,9 +82,25 @@ __all__ = [
     "approx_quantiles",
     "asof_join",
     "bucket_join",
+    "anti_join",
+    "compute_datetime_delta",
     "connected_components",
     "curate",
+    "decontaminate",
+    "distinct_keys",
+    "events_time_report",
+    "hop_windows",
+    "infer_granularity_absolute",
     "interval_join",
+    "ivf_build",
+    "ivf_search",
+    "minhash_verified_pairs",
+    "semi_join",
+    "tier_expr",
+    "tier_hash",
+    "topk_per_group",
+    "vocab_topn",
+    "word_counts",
     "KLLSketch",
     "pack_sequences",
     "sample_stratified",

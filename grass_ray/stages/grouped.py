@@ -365,6 +365,113 @@ def sessionize(
     return ds.groupby(keys).map_groups(per_key, batch_format="pyarrow")
 
 
+def topk_per_group(
+    ds,
+    *,
+    key_cols,
+    val_col: str,
+    k: int = 3,
+    tie_cols=(),
+):
+    """Top-k rows per key by ``val_col`` (descending; ties broken by
+    ``tie_cols`` ascending for determinism).
+
+    Decomposable plan: every batch emits its LOCAL per-key top-k
+    (vectorized pandas groupby-head), so the shuffle moves at most
+    k rows per key per batch; the final per-key trim runs in
+    ``map_groups`` over ≤ k·n_batches rows per key — never the raw
+    stream.  The classic heavy-hitters shape for training-data stats."""
+    keys = list(key_cols)
+    ties = list(tie_cols)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            [*keys, val_col, *ties],
+            ascending=[True] * len(keys) + [False] + [True] * len(ties),
+            kind="mergesort",
+        )
+        out = df.groupby(keys, sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            [val_col, *ties],
+            ascending=[False] + [True] * len(ties),
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    return partials.groupby(keys).map_groups(final_topk, batch_format="pyarrow")
+
+
+def hop_windows(
+    ds,
+    *,
+    key_cols,
+    pos_col: str,
+    val_col: str,
+    size: int,
+    hop: int,
+    methods=("count", "sum"),
+    salt: int = 0,
+):
+    """Sliding (hopping) window aggregate: windows of length ``size``
+    every ``hop`` positions (``size % hop == 0``; size == hop degrades
+    to the tumbling :func:`rollup_points`).
+
+    Plan: each point replicates to its ``size // hop`` covering windows
+    in a vectorized ``map_batches`` (bounded fan-out — the streaming
+    window shape), then the standard two-stage partial-aggregate
+    shuffle.  Output window id w covers positions
+    ``[w*hop, w*hop + size)``."""
+    if size % hop != 0:
+        raise ValueError("size must be a multiple of hop")
+    fan = size // hop
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pos = (
+            pc.cast(batch.column(pos_col), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(pos)
+        take = pa.array(np.tile(np.arange(n, dtype=np.int64), fan))
+        j = np.repeat(np.arange(fan, dtype=np.int64), n)
+        w = np.floor_divide(np.tile(pos, fan), hop) - j
+        t = pa.table(
+            {c: batch.column(c).take(take) for c in batch.column_names}
+        )
+        t = t.append_column("_hopw", pa.array(w * hop))
+        # keep only windows that really cover the position (exact when
+        # size % hop == 0, but the guard also handles negative starts)
+        keep = (np.tile(pos, fan) >= w * hop) & (np.tile(pos, fan) < w * hop + size)
+        return t.filter(pa.array(keep))
+
+    pts = ds.map_batches(replicate, batch_format="pyarrow")
+    out = rollup_points(
+        pts,
+        key_cols=key_cols,
+        pos_col="_hopw",
+        val_col=val_col,
+        gran=1,
+        methods=methods,
+        salt=salt,
+    )
+
+    def name_window(batch: pa.Table) -> pa.Table:
+        # rollup_points emitted window = _hopw // 1 = window start
+        return batch.rename_columns(
+            ["window_start" if c == "window" else c for c in batch.column_names]
+        )
+
+    return out.map_batches(name_window, batch_format="pyarrow")
+
+
 def approx_quantiles(
     ds,
     *,

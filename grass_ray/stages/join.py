@@ -494,10 +494,14 @@ def interval_join(
     both = left.union(right)
     rstart = rename.get(start_col, start_col)
     rend = rename.get(end_col, end_col)
+    # fixed, bucket-independent output schema (pandas upcasts nullable
+    # ints to float64 — cast every bucket back, same as bucket_join)
+    ltypes_a = {n: _as_arrow_type(t) for n, t in ltypes.items()}
+    rtypes_a = {n: _as_arrow_type(t) for n, t in rtypes.items()}
+    out_fields = [(c, ltypes_a.get(c) or rtypes_a.get(c)) for c in all_cols]
+    out_schema = pa.schema(out_fields)
 
     def per_bucket(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = batch.to_pandas()
         bucket = int(df["_bucket"].iloc[0])
         l = df[df["_side"] == "l"]
@@ -510,13 +514,18 @@ def interval_join(
             merged = l.merge(r, on=keys, how="inner")
         else:
             merged = l.assign(_x=1).merge(r.assign(_x=1), on="_x").drop(columns=["_x"])
-        if len(merged) == 0:
-            return pa.Table.from_pandas(merged, preserve_index=False)
-        ov = (merged[start_col] < merged[rend]) & (merged[rstart] < merged[end_col])
-        anchor = np.maximum(merged[start_col].to_numpy(), merged[rstart].to_numpy())
-        own = np.floor_divide(anchor, bucket_span) == bucket
-        return pa.Table.from_pandas(
-            merged[ov & own].reset_index(drop=True), preserve_index=False
-        )
+        if len(merged):
+            ov = (merged[start_col] < merged[rend]) & (merged[rstart] < merged[end_col])
+            anchor = np.maximum(merged[start_col].to_numpy(), merged[rstart].to_numpy())
+            own = np.floor_divide(anchor, bucket_span) == bucket
+            merged = merged[ov & own].reset_index(drop=True)
+        tbl = pa.Table.from_pandas(merged, preserve_index=False)
+        cols = []
+        for name, typ in out_fields:
+            col = tbl.column(name)
+            if col.type != typ:
+                col = col.cast(typ)
+            cols.append(col)
+        return pa.Table.from_arrays(cols, schema=out_schema)
 
     return both.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")

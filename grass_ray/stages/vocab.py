@@ -1,0 +1,164 @@
+"""Corpus vocabulary statistics + benchmark decontamination.
+
+Two training-data staples the reference has no analog for (engine
+extensions at the SURVEY §2.13 altitude):
+
+* :func:`word_counts` / :func:`vocab_topn` — corpus-wide word
+  frequencies: per-batch vectorized partial counts (one Arrow
+  ``group_by`` per batch, so the shuffle moves one row per distinct
+  word per batch, not one per token) → pre-combined ``Sum`` exchange →
+  deterministic global top-N (count desc, word asc).
+* :func:`decontaminate` — drop training documents sharing any word
+  k-gram with a benchmark set (the standard eval-contamination guard):
+  benchmark k-gram hashes are reduced to a distinct set, training
+  (doc, gram) pairs semi-join against it (two-regime: broadcast set
+  under threshold, bucket exchange above), contaminated doc ids fold to
+  a distinct set, and the keep step is an anti-join.  Documents shorter
+  than k words emit no grams (cannot be k-gram contaminated).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from grass_ray.functions.textstats import _RK_BASE, _word_ids
+
+#: ASCII word class — identical to the DuckDB oracle's regex so both
+#: sides tokenize bit-identically (python \w adds unicode classes RE2
+#: lacks)
+ASCII_WORD = r"[a-z0-9_']+"
+
+
+def _words(text: str, pattern) -> list[str]:
+    return pattern.findall((text or "").lower())
+
+
+def word_counts(ds, *, text_col: str = "text", pattern: str = ASCII_WORD):
+    """(word, cnt) over the corpus — partial counts per batch, then one
+    pre-combined Sum exchange."""
+    from ray.data.aggregate import Sum
+
+    rx = re.compile(pattern)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(_words(t, rx))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def vocab_topn(ds, n: int = 100, *, text_col: str = "text", pattern: str = ASCII_WORD):
+    """Global top-N words by (count desc, word asc) — deterministic
+    under ties.  The trim is distributed (local top-N per block, one
+    bounded final group)."""
+    counts = word_counts(ds, text_col=text_col, pattern=pattern)
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["cnt", "word"], ascending=[False, True], kind="mergesort"
+        )
+        out = df.head(n)
+        out = out.assign(_g=0)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = counts.map_batches(local, batch_format="pyarrow")
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["cnt", "word"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(
+            df.head(n).drop(columns=["_g"]), preserve_index=False
+        )
+
+    return partials.groupby("_g").map_groups(final, batch_format="pyarrow")
+
+
+def _gram_hashes(text: str, k: int, rx) -> np.ndarray:
+    """Unique polynomial hashes of the word k-grams; < k words -> empty
+    (short docs cannot be k-gram contaminated — matches the oracle)."""
+    words = _words(text, rx)
+    if len(words) < k:
+        return np.empty(0, dtype=np.int64)
+    ids = _word_ids(words)
+    with np.errstate(over="ignore"):
+        win = np.lib.stride_tricks.sliding_window_view(ids, k)
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = 1
+        if k > 1:
+            np.cumprod(np.full(k - 1, _RK_BASE, dtype=np.uint64), out=powers[1:])
+        vals = (win * powers).sum(axis=1, dtype=np.uint64)
+    return np.unique((vals >> np.uint64(1)).astype(np.int64))
+
+
+def _gram_table(ds, *, k, id_col, text_col, rx, with_id: bool):
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        grams = [_gram_hashes(t, k, rx) for t in texts]
+        lens = np.array([len(g) for g in grams], dtype=np.int64)
+        flat = (
+            np.concatenate(grams) if len(grams) else np.empty(0, np.int64)
+        )
+        cols = {}
+        if with_id:
+            take = pa.array(
+                np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+            )
+            cols[id_col] = batch.column(id_col).take(take)
+        cols["gram"] = pa.array(flat, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def decontaminate(
+    train_ds,
+    bench_ds,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = ASCII_WORD,
+):
+    """Drop training docs sharing any word k-gram with the benchmark.
+
+    Returns (kept_train_ds, contaminated_ids_ds).  Every stage is a
+    bounded distributed exchange; the benchmark gram set and the
+    contaminated id set go through the two-regime semi/anti-join
+    machinery (broadcast under threshold, bucket exchange above)."""
+    from grass_ray.stages.join import anti_join, distinct_keys, semi_join
+
+    rx = re.compile(pattern)
+    bench_grams = distinct_keys(
+        _gram_table(bench_ds, k=k, id_col=id_col, text_col=text_col, rx=rx, with_id=False),
+        ("gram",),
+    )
+    train_grams = _gram_table(
+        train_ds, k=k, id_col=id_col, text_col=text_col, rx=rx, with_id=True
+    )
+    hits = semi_join(
+        train_grams, bench_grams, key_cols=("gram",), keys_distinct=True
+    )
+    contaminated = distinct_keys(
+        hits.map_batches(
+            lambda b: pa.table({id_col: b.column(id_col)}), batch_format="pyarrow"
+        ),
+        (id_col,),
+    ).materialize()
+    kept = anti_join(
+        train_ds, contaminated, key_cols=(id_col,), keys_distinct=True
+    )
+    return kept, contaminated

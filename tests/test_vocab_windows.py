@@ -1,0 +1,143 @@
+"""Round-2 extension operators: per-group top-k, hopping windows,
+vocabulary stats, benchmark decontamination."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_topk_per_group(ray_session):
+    import ray.data
+
+    from grass_ray.stages.grouped import topk_per_group
+
+    rng = np.random.default_rng(5)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "g": [f"g{i % 4}" for i in range(n)],
+            "id": np.arange(n),
+            "v": rng.integers(0, 1000, size=n),
+        }
+    )
+    out = (
+        topk_per_group(
+            ray.data.from_pandas(df), key_cols=("g",), val_col="v", k=5,
+            tie_cols=("id",),
+        )
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(5)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 20
+    assert (out["id"].to_numpy() == want["id"].to_numpy()).all()
+
+
+def test_hop_windows_vs_pandas(ray_session):
+    import ray.data
+
+    from grass_ray.stages.grouped import hop_windows
+
+    rng = np.random.default_rng(6)
+    n = 2000
+    pos = np.sort(rng.integers(0, 10_000, size=n))
+    df = pd.DataFrame(
+        {
+            "k": [f"k{i % 3}" for i in range(n)],
+            "pos": pos,
+            "v": rng.integers(1, 100, size=n).astype(np.int64),
+        }
+    )
+    size, hop = 400, 100
+    out = (
+        hop_windows(
+            ray.data.from_pandas(df), key_cols=("k",), pos_col="pos",
+            val_col="v", size=size, hop=hop, methods=("count", "sum"),
+        )
+        .to_pandas()
+        .set_index(["k", "window_start"])
+        .sort_index()
+    )
+    # literal oracle: every (k, window) with window covering the point
+    rows = []
+    for j in range(size // hop):
+        d = df.copy()
+        d["window_start"] = (d["pos"] // hop - j) * hop
+        d = d[(d["pos"] >= d["window_start"]) & (d["pos"] < d["window_start"] + size)]
+        rows.append(d)
+    full = pd.concat(rows)
+    want = (
+        full.groupby(["k", "window_start"])
+        .agg(count=("v", "size"), sum=("v", "sum"))
+        .sort_index()
+    )
+    assert len(out) == len(want)
+    assert (out["count"].to_numpy() == want["count"].to_numpy()).all()
+    assert np.allclose(out["sum"].to_numpy(dtype=float), want["sum"].to_numpy(dtype=float))
+
+
+def test_vocab_topn(ray_session):
+    import ray.data
+
+    from grass_ray.stages.vocab import vocab_topn
+
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "apple banana apple",
+                "banana cherry BANANA",
+                "apple date",
+            ]
+        }
+    )
+    out = vocab_topn(ray.data.from_pandas(docs), 3).to_pandas()
+    assert list(out["word"]) == ["apple", "banana", "cherry"]
+    assert list(out["cnt"]) == [3, 3, 1]  # tie apple/banana -> word asc
+
+
+def test_decontaminate(ray_session):
+    import ray.data
+
+    from grass_ray.stages.vocab import decontaminate
+
+    bench = pd.DataFrame(
+        {"doc_id": [100], "text": ["the quick brown fox jumps over lazy dogs"]}
+    )
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "we saw the quick brown fox yesterday",  # shares 3-gram
+                "completely clean text with no overlap here",
+                "to short",  # < k words -> never contaminated
+            ],
+        }
+    )
+    kept, bad = decontaminate(
+        ray.data.from_pandas(train), ray.data.from_pandas(bench), k=3
+    )
+    assert sorted(kept.to_pandas()["doc_id"]) == [2, 3]
+    assert sorted(bad.to_pandas()["doc_id"]) == [1]
+
+
+def test_decontaminate_no_overlap(ray_session):
+    import ray.data
+
+    from grass_ray.stages.vocab import decontaminate
+
+    bench = pd.DataFrame({"doc_id": [9], "text": ["alpha beta gamma delta"]})
+    train = pd.DataFrame({"doc_id": [1], "text": ["one two three four five"]})
+    kept, bad = decontaminate(
+        ray.data.from_pandas(train), ray.data.from_pandas(bench), k=3
+    )
+    assert sorted(kept.to_pandas()["doc_id"]) == [1]
+    assert bad.count() == 0
