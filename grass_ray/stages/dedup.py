@@ -160,6 +160,27 @@ class MinHasher:
         )
 
 
+_MINHASHERS: dict = {}
+
+
+def _minhash_kernel(batch: pa.Table, key) -> pa.Table:
+    """Task-pool kernel: per-worker-process memoized MinHasher (perm
+    matrices built once per process; Ray workers persist across tasks,
+    so this gets actor-style setup amortization without the actor
+    pool's spin-up latency or its concurrency cap)."""
+    mh = _MINHASHERS.get(key)
+    if mh is None:
+        num_perm, bands, k_shingle, id_col, text_col = key
+        mh = _MINHASHERS.setdefault(
+            key,
+            MinHasher(
+                num_perm=num_perm, bands=bands, k_shingle=k_shingle,
+                id_col=id_col, text_col=text_col,
+            ),
+        )
+    return mh(batch)
+
+
 def minhash_candidates(
     ds,
     *,
@@ -179,15 +200,11 @@ def minhash_candidates(
     truncation — no silent cap."""
     from grass_ray.stages.join import distinct_keys
 
+    key = (num_perm, bands, k_shingle, id_col, text_col)
     band_rows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, k_shingle=k_shingle,
-            id_col=id_col, text_col=text_col,
-        ),
+        lambda b, _k=key: _minhash_kernel(b, _k),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(1, 8),
     )
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -471,11 +488,9 @@ def simhash_candidates(ds, *, max_hamming=3, id_col="doc_id", text_col="text", m
     from grass_ray.stages.join import distinct_keys
 
     hashed = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        lambda b, _k=(id_col, text_col): SimHasher(*_k)(b),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(1, 8),
     )
     nbands = max_hamming + 1
     width = 64 // nbands

@@ -57,11 +57,26 @@ class TextAnalyzer:
         return pa.table(out)
 
 
-def analyze_text(ds, features=("lang", "tokens", "quality", "fingerprint"), concurrency=(1, 8)):
+_ANALYZERS: dict = {}
+
+
+def _analyze_kernel(batch: pa.Table, features) -> pa.Table:
+    """Task-pool kernel: per-worker-process memoized TextAnalyzer (the
+    compiled-regex state lives at module scope and Ray worker processes
+    persist across tasks, so setup happens once per process without the
+    actor-pool's spin-up cost or its concurrency cap)."""
+    key = tuple(sorted(features))
+    a = _ANALYZERS.get(key)
+    if a is None:
+        a = _ANALYZERS.setdefault(key, TextAnalyzer(features))
+    return a(batch)
+
+
+def analyze_text(ds, features=("lang", "tokens", "quality", "fingerprint"), concurrency=None):
+    feats = tuple(features)
     return ds.map_batches(
-        TextAnalyzer,
-        fn_constructor_kwargs={"features": features},
+        lambda b: _analyze_kernel(b, feats),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=concurrency,
+        **({"concurrency": concurrency} if concurrency else {}),
     )
