@@ -554,6 +554,34 @@ def _q_accum(sf_dir: str) -> pa.Table:
     return _round6_col(t, "accum")
 
 
+def _q_accdetect(sf_dir: str) -> pa.Table:
+    """t.rast.accdetect: first window whose running mean-sum enters
+    [lo, hi] (occurrence_start) / exceeds hi (occurrence_end); -1 when
+    never reached (python/grass/temporal accumulation detection)."""
+    from grass_ray.stages.accumulate import accdetect, accumulate
+    from grass_ray.stages.rollup import rollup
+
+    nested = rollup(_corpus(sf_dir), 60, ("average",), nested=True)
+    acc = accumulate(nested, method="mean")
+    out = accdetect(acc, range_lo=100000.5, range_hi=300000.5)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["source", "doc_id", "occurrence_start", "occurrence_end"])
+
+
+def _q_algebra_shift(sf_dir: str) -> pa.Table:
+    """t.shift via the algebra front end: windows move by +5 granules."""
+    from grass_ray.stages.algebra import algebra
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.stages.rollup import rollup
+
+    nested = rollup(_corpus(sf_dir), 60, ("average",), nested=True)
+    _, shifted = algebra("R = tshift(A, 5)", {"A": nested})
+    pts = explode_nested(shifted, value_cols=("average",))
+    t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    t = t.drop_columns([c for c in ("gran",) if c in t.column_names])
+    return _rename(t, {"average": "avg_tok"})
+
+
 def _q_univar_zones(sf_dir: str) -> pa.Table:
     """r.univar zones= analog: stats per source over every doc's tokens
     — the cross-key shuffle plan (tokens leave their rows)."""
@@ -936,6 +964,49 @@ def _q_codec_roundtrip(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_catalog_list(sf_dir: str) -> pa.Table:
+    """t.create + t.register + t.rast.list driver evidence: build the 1m
+    tier and list its registered partitions (catalog CRUD surface)."""
+    import tempfile
+
+    from grass_ray.pipelines.catalog import list_tier
+    from grass_ray.pipelines.tiers import build_tiers
+    from grass_ray.state.manifest import TierStore
+
+    with tempfile.TemporaryDirectory(prefix="grassray_cat_") as root:
+        build_tiers(
+            _corpus(sf_dir), root, tier_specs=(("1m", 60),), num_partitions=8
+        )
+        t = list_tier(TierStore(root), "1m")
+        t = pa.Table.from_pandas(t.to_pandas(), preserve_index=False)
+    keep = [
+        c
+        for c in ("source", "doc_id", "gran", "wstart", "wend", "n_points")
+        if c in t.column_names
+    ]
+    return t.select(keep)
+
+
+def _q_time_report(sf_dir: str) -> pa.Table:
+    """Absolute-granularity topology report over the event stream
+    (compute_absolute_time_granularity semantics)."""
+    import ray.data
+
+    from grass_ray.stages.sample import events_time_report
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    rep = events_time_report(ds)
+    return pa.table(
+        {
+            "events": pa.array([rep["events"]], type=pa.int64()),
+            "distinct_times": pa.array([rep["distinct_times"]], type=pa.int64()),
+            "granularity": pa.array([rep["granularity"]], type=pa.string()),
+            "time_start": pa.array([rep["time_start"]], type=pa.string()),
+            "time_end": pa.array([rep["time_end"]], type=pa.string()),
+        }
+    )
+
+
 def _q_minhash(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1195,11 +1266,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_linear": _q_gapfill,
         "gap_list": _q_gaps,
         "accumulate_running": _q_accum,
+        "accdetect_ranges": _q_accdetect,
+        "algebra_shift": _q_algebra_shift,
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
+        "catalog_list": _q_catalog_list,
+        "events_time_report": _q_time_report,
         "pack_sequences": _q_pack_sequences,
         "curate_pipeline": _q_curate,
         "minhash_dedup": _q_minhash,
@@ -1864,6 +1939,39 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN was_null THEN NULL
                         ELSE {r6.format("acc")} END AS accum
             FROM c
+        """,
+        "accdetect_ranges": f"""
+            WITH tok AS ({tok}),
+            r AS (
+                SELECT source, doc_id, pos // 60 AS w, avg(token) AS a
+                FROM tok GROUP BY 1, 2, 3
+            ),
+            c AS (
+                SELECT source, doc_id, w,
+                       sum(COALESCE(a, 0)) OVER
+                           (PARTITION BY source, doc_id ORDER BY w) AS acc,
+                       a IS NULL AS was_null
+                FROM r
+            ),
+            s AS (
+                SELECT source, doc_id,
+                       min(CASE WHEN NOT was_null
+                                 AND acc >= 100000.5 AND acc <= 300000.5
+                                THEN w END) AS sw,
+                       min(CASE WHEN NOT was_null AND acc > 300000.5
+                                THEN w END) AS ew
+                FROM c GROUP BY 1, 2
+            )
+            SELECT source, doc_id,
+                   COALESCE(sw, -1) AS occurrence_start,
+                   COALESCE(ew, -1) AS occurrence_end
+            FROM s
+        """,
+        "algebra_shift": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos // 60 + 5 AS "window",
+                   avg(token) AS avg_tok
+            FROM tok GROUP BY 1, 2, 3
         """,
         "dedup_exact": """
             SELECT doc_id, source, n_chars FROM documents d

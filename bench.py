@@ -125,6 +125,16 @@ def run_bench() -> dict:
         "pack_sequences",
         "tokenize_rollup",
         "approx_quantiles",
+        # round-2 additions
+        "rollup_regression",
+        "window_holistic",
+        "algebra_if",
+        "events_topk",
+        "events_hopping",
+        "vocab_top100",
+        "decontaminate",
+        "interval_sessions",
+        "ivf_topk",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
