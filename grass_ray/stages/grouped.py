@@ -322,47 +322,84 @@ def sessionize(
     ts_col: str = "ts",
     val_col: str = "value",
     gap_seconds: int = 1800,
+    buckets: int = 64,
 ):
     """Session windows over an event stream (engine extension — the
     streaming-window shape TGRASS lacks): consecutive events of a key
-    closer than `gap_seconds` share a session.  Implemented as
-    ``groupby(key).map_groups`` with a timestamp sort inside the group
-    (partition-by-key + in-group order, the documented contract for
-    stream-shaped inputs).  Output: one row per session with
-    (key..., session_start, session_end, n_events, sum_value).
+    closer than `gap_seconds` share a session.
+
+    Partitioning: keys hash into ``buckets`` groups (a key's events land
+    in ONE bucket); the per-bucket kernel sorts by (keys..., ts) once
+    and segments EVERY key in the bucket vectorized (numpy flag +
+    reduceat) — group-call count is fixed at B, not one Python dispatch
+    per key.  Output: one row per session with
+    (key..., session_id, session_start, session_end, n_events,
+    sum_value); session ids are 0-based per key in time order.
     """
+    from grass_ray.stages.join import _bucket_ids
+
     keys = list(key_cols)
 
-    def per_key(batch: pa.Table) -> pa.Table:
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.schema.metadata:
+            batch = batch.replace_schema_metadata(None)
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_ids(batch, keys, buckets))
+        )
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        order = pc.sort_indices(batch, sort_keys=[(ts_col, "ascending")])
-        b = batch.take(order)
-        ts = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        secs = ts // 1_000_000
-        new = np.ones(len(secs), dtype=bool)
-        if len(secs) > 1:
-            new[1:] = (secs[1:] - secs[:-1]) > gap_seconds
-        sid = np.cumsum(new) - 1
-        starts = np.flatnonzero(new)
-        n_sessions = len(starts)
-        ends = np.append(starts[1:], len(secs)) - 1
-        v = (
-            b.column(val_col)
-            .cast(pa.float64())
-            .to_numpy(zero_copy_only=False)
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[(k, "ascending") for k in keys] + [(ts_col, "ascending")],
         )
-        vsum = np.add.reduceat(np.where(np.isnan(v), 0.0, v), starts)
-        counts = np.diff(np.append(starts, len(secs)))
-        cols = {k: b.column(k).take(pa.array(starts)) for k in keys}
-        cols["session_id"] = pa.array(np.arange(n_sessions, dtype=np.int64))
-        cols["session_start"] = b.column(ts_col).take(pa.array(starts))
-        cols["session_end"] = b.column(ts_col).take(pa.array(ends))
+        b = batch.take(order)
+        n = b.num_rows
+        secs = (
+            b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 1_000_000
+        )
+        kdf = b.select(keys).to_pandas()
+        changed = np.ones(n, dtype=bool)
+        if n > 1:
+            changed[1:] = (kdf.iloc[1:].reset_index(drop=True) != kdf.iloc[:-1].reset_index(drop=True)).any(axis=1).to_numpy()
+        new = changed.copy()
+        if n > 1:
+            new[1:] |= (secs[1:] - secs[:-1]) > gap_seconds
+        sess_starts = np.flatnonzero(new)
+        key_starts = np.flatnonzero(changed)
+        n_sessions = len(sess_starts)
+        sess_ends = np.append(sess_starts[1:], n) - 1
+        # per-key 0-based numbering: key starts are always session starts
+        first_sess_of_key = np.searchsorted(sess_starts, key_starts)
+        key_of_sess = (
+            np.searchsorted(key_starts, sess_starts, side="right") - 1
+        )
+        session_id = (
+            np.arange(n_sessions, dtype=np.int64)
+            - first_sess_of_key[key_of_sess]
+        )
+        v = b.column(val_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vsum = (
+            np.add.reduceat(np.where(np.isnan(v), 0.0, v), sess_starts)
+            if n_sessions
+            else np.empty(0)
+        )
+        counts = np.diff(np.append(sess_starts, n))
+        cols = {k: b.column(k).take(pa.array(sess_starts)) for k in keys}
+        cols["session_id"] = pa.array(session_id)
+        cols["session_start"] = b.column(ts_col).take(pa.array(sess_starts))
+        cols["session_end"] = b.column(ts_col).take(pa.array(sess_ends))
         cols["n_events"] = pa.array(counts.astype(np.int64))
         cols["sum_value"] = pa.array(vsum, type=pa.float64())
         return pa.table(cols)
 
-    return ds.groupby(keys).map_groups(per_key, batch_format="pyarrow")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def topk_per_group(
