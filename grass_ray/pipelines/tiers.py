@@ -598,17 +598,22 @@ def build_tiers_waves(
         wave_end = min(wave_start + partitions_per_wave, n_parts)
         doc_lo = wave_start * docs_per_partition
         doc_hi = wave_end * docs_per_partition  # exclusive
-        wave_files = [
-            f for f, lo, hi in ranges if hi >= doc_lo and lo < doc_hi
+        wave = [
+            (f, lo, hi) for f, lo, hi in ranges if hi >= doc_lo and lo < doc_hi
         ]
+        wave_files = [f for f, _, _ in wave]
         if wave_files:
             ds = ray.data.read_parquet(wave_files)
+            # clip only when a file actually straddles the wave boundary
+            # (with partition-aligned input files the clip pass — a full
+            # decode + filter of the wave — is a no-op and is skipped)
+            if any(lo < doc_lo or hi >= doc_hi for _, lo, hi in wave):
 
-            def clip(batch, _lo=doc_lo, _hi=doc_hi):
-                di = _doc_index_array(batch.column("doc_id"))
-                return batch.filter(pa.array((di >= _lo) & (di < _hi)))
+                def clip(batch, _lo=doc_lo, _hi=doc_hi):
+                    di = _doc_index_array(batch.column("doc_id"))
+                    return batch.filter(pa.array((di >= _lo) & (di < _hi)))
 
-            ds = ds.map_batches(clip, batch_format="pyarrow")
+                ds = ds.map_batches(clip, batch_format="pyarrow")
             wave_res = build_tiers_onepass(
                 ds,
                 out_root,
