@@ -772,6 +772,55 @@ def _q_events_asof(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_events_weighted(sf_dir: str) -> pa.Table:
+    """Weighted grouped rollup (w_* variants on the point-stream path):
+    per-(type, hour) weighted count/sum/average with per-event weight
+    w = event_id % 7 + 1 (deterministic, reproducible in SQL)."""
+    from grass_ray.stages.grouped import rollup_points
+
+    ds = _events_cents(sf_dir)
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        secs = pc.cast(
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000),
+            pa.int64(),
+        )
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (eid % 7 + 1).astype(np.float64)
+        t = batch.append_column("pos", secs)
+        return t.append_column("w", pa.array(w, type=pa.float64()))
+
+    pts = ds.map_batches(add_cols, batch_format="pyarrow")
+    out = rollup_points(
+        pts,
+        key_cols=("event_type",),
+        pos_col="pos",
+        val_col="value",
+        gran=3600,
+        methods=("count", "sum", "average"),
+        weight_col="w",
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = _rename(t, {"count": "cnt_w", "sum": "sum_w", "average": "avg_w"})
+    # cents -> value units with the identical ops the SQL applies
+    s = t.column("sum_w").to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+    n = t.column("cnt_w").to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg = s / n
+    t = t.set_column(
+        t.column_names.index("sum_w"),
+        "sum_w",
+        pa.array(s, type=pa.float64(), mask=np.isnan(s)),
+    )
+    return t.set_column(
+        t.column_names.index("avg_w"),
+        "avg_w",
+        pa.array(avg, type=pa.float64(), mask=np.isnan(avg)),
+    )
+
+
 def _q_events_topk(sf_dir: str) -> pa.Table:
     """Heavy hitters: top-3 events per type by value — decomposable
     per-batch local top-k + bounded final trim (grouped.topk_per_group)."""
@@ -1254,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_sessions,
         "events_asof": _q_events_asof,
         "events_median": _q_events_median,
+        "events_weighted": _q_events_weighted,
         "events_topk": _q_events_topk,
         "events_hopping": _q_events_hopping,
         "vocab_top100": _q_vocab_top100,
@@ -1718,6 +1768,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, "window",
                    CAST(count(cents) AS BIGINT) AS cnt,
                    median(cents) / 100.0 AS med_v
+            FROM c GROUP BY 1, 2
+        """,
+        "events_weighted": """
+            WITH c AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS "window",
+                       CAST(round(value * 100.0) AS BIGINT) AS cents,
+                       CAST(event_id % 7 + 1 AS BIGINT) AS w
+                FROM events
+            )
+            SELECT event_type, "window",
+                   CAST(sum(w) AS BIGINT) AS cnt_w,
+                   CAST(sum(cents * w) AS DOUBLE) / 100.0 AS sum_w,
+                   (CAST(sum(cents * w) AS DOUBLE) / 100.0)
+                       / CAST(sum(w) AS DOUBLE) AS avg_w
             FROM c GROUP BY 1, 2
         """,
         "events_topk": """
