@@ -961,6 +961,23 @@ def _q_interval_sessions(sf_dir: str) -> pa.Table:
     return t.select(["user_id", "sid_a", "sid_b", "start", "end", "start_r", "end_r"])
 
 
+def _q_allen_relations(sf_dir: str) -> pa.Table:
+    """Allen classification of the joined session pairs — the 13-relation
+    predicate set (temporal_extent.py:431-968) evaluated distributedly
+    and re-derived in SQL with the identical predicate order."""
+    from grass_ray.functions.topology import relations_vector
+
+    t = _q_interval_sessions(sf_dir)
+    rel = relations_vector(
+        t.column("start").to_numpy(zero_copy_only=False),
+        t.column("end").to_numpy(zero_copy_only=False),
+        t.column("start_r").to_numpy(zero_copy_only=False),
+        t.column("end_r").to_numpy(zero_copy_only=False),
+    )
+    t = t.append_column("relation", pa.array(list(rel), type=pa.string()))
+    return t.select(["user_id", "sid_a", "sid_b", "relation"])
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1309,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab_top100,
         "decontaminate": _q_decontaminate,
         "interval_sessions": _q_interval_sessions,
+        "allen_relations": _q_allen_relations,
         "neighbors_avg3": _q_neighbors,
         "interp_positions": _q_interp,
         "what_lookup": _q_what,
@@ -1338,6 +1356,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,
         "multimodal_features": _q_multimodal,
     }
+
+
+_INTERVAL_SQL = """
+            WITH e AS (SELECT user_id, ts FROM events),
+            o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM e
+            ),
+            mk AS (
+                -- engine sessionize compares floor-second timestamps
+                SELECT user_id, ts, prev,
+                    CASE WHEN prev IS NULL
+                           OR epoch_us(ts) // 1000000
+                              - epoch_us(prev) // 1000000 > 1800
+                         THEN 1 ELSE 0 END AS na,
+                    CASE WHEN prev IS NULL
+                           OR epoch_us(ts) // 1000000
+                              - epoch_us(prev) // 1000000 > 600
+                         THEN 1 ELSE 0 END AS nb
+                FROM o
+            ),
+            g AS (
+                SELECT user_id, ts,
+                    CAST(sum(na) OVER (PARTITION BY user_id ORDER BY ts) - 1
+                         AS BIGINT) AS sid_a,
+                    CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts) - 1
+                         AS BIGINT) AS sid_b
+                FROM mk
+            ),
+            sa AS (
+                SELECT user_id, sid_a,
+                       min(epoch_us(ts)) // 1000000 AS "start",
+                       max(epoch_us(ts)) // 1000000 + 1 AS "end"
+                FROM g GROUP BY 1, 2
+            ),
+            sb AS (
+                SELECT user_id, sid_b,
+                       min(epoch_us(ts)) // 1000000 AS start_r,
+                       max(epoch_us(ts)) // 1000000 + 1 AS end_r
+                FROM g GROUP BY 1, 2
+            )
+            SELECT sa.user_id, sa.sid_a, sb.sid_b,
+                   sa."start", sa."end", sb.start_r, sb.end_r
+            FROM sa JOIN sb
+              ON sa.user_id = sb.user_id
+             AND sa."start" < sb.end_r AND sb.start_r < sa."end"
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1855,51 +1921,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE source <> 'src0'
               AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
-        "interval_sessions": """
-            WITH e AS (SELECT user_id, ts FROM events),
-            o AS (
-                SELECT user_id, ts,
-                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-                FROM e
-            ),
-            mk AS (
-                -- engine sessionize compares floor-second timestamps
-                SELECT user_id, ts, prev,
-                    CASE WHEN prev IS NULL
-                           OR epoch_us(ts) // 1000000
-                              - epoch_us(prev) // 1000000 > 1800
-                         THEN 1 ELSE 0 END AS na,
-                    CASE WHEN prev IS NULL
-                           OR epoch_us(ts) // 1000000
-                              - epoch_us(prev) // 1000000 > 600
-                         THEN 1 ELSE 0 END AS nb
-                FROM o
-            ),
-            g AS (
-                SELECT user_id, ts,
-                    CAST(sum(na) OVER (PARTITION BY user_id ORDER BY ts) - 1
-                         AS BIGINT) AS sid_a,
-                    CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts) - 1
-                         AS BIGINT) AS sid_b
-                FROM mk
-            ),
-            sa AS (
-                SELECT user_id, sid_a,
-                       min(epoch_us(ts)) // 1000000 AS "start",
-                       max(epoch_us(ts)) // 1000000 + 1 AS "end"
-                FROM g GROUP BY 1, 2
-            ),
-            sb AS (
-                SELECT user_id, sid_b,
-                       min(epoch_us(ts)) // 1000000 AS start_r,
-                       max(epoch_us(ts)) // 1000000 + 1 AS end_r
-                FROM g GROUP BY 1, 2
-            )
-            SELECT sa.user_id, sa.sid_a, sb.sid_b,
-                   sa."start", sa."end", sb.start_r, sb.end_r
-            FROM sa JOIN sb
-              ON sa.user_id = sb.user_id
-             AND sa."start" < sb.end_r AND sb.start_r < sa."end"
+        "interval_sessions": _INTERVAL_SQL,
+        "allen_relations": f"""
+            WITH pairs AS ({_INTERVAL_SQL})
+            SELECT user_id, sid_a, sid_b,
+                CASE
+                    WHEN "start" = start_r AND "end" = end_r THEN 'equal'
+                    WHEN "start" > start_r AND "end" < end_r THEN 'during'
+                    WHEN "start" < start_r AND "end" > end_r THEN 'contains'
+                    WHEN "start" = start_r AND "end" < end_r THEN 'starts'
+                    WHEN "start" = start_r AND "end" > end_r THEN 'started'
+                    WHEN "end" = end_r AND "start" > start_r THEN 'finishes'
+                    WHEN "end" = end_r AND "start" < start_r THEN 'finished'
+                    WHEN "end" = start_r THEN 'precedes'
+                    WHEN end_r = "start" THEN 'follows'
+                    WHEN "start" < start_r AND "end" > start_r
+                         AND "end" < end_r THEN 'overlaps'
+                    WHEN "start" > start_r AND "start" < end_r
+                         AND "end" > end_r THEN 'overlapped'
+                    WHEN "end" < start_r THEN 'before'
+                    ELSE 'after'
+                END AS relation
+            FROM pairs
         """,
         "events_asof": """
             SELECT a.user_id, a.ts, a.event_type, a.value,
