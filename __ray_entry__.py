@@ -1053,6 +1053,35 @@ def _q_catalog_list(sf_dir: str) -> pa.Table:
     return t.select(keep)
 
 
+def _q_export_import(sf_dir: str) -> pa.Table:
+    """t.rast.export / import round trip through the driver: build 1m,
+    export (tar.gz), remove the tier, import from the archive, decode —
+    the returned points prove the packed data + manifest survive."""
+    import tempfile
+
+    from grass_ray.pipelines.catalog import export_tier, import_tier_archive
+    from grass_ray.pipelines.tiers import build_tiers, read_tier
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.state.manifest import TierStore
+
+    with tempfile.TemporaryDirectory(prefix="grassray_exp_") as root:
+        build_tiers(
+            _corpus(sf_dir), root, tier_specs=(("1m", 60),), num_partitions=8
+        )
+        store = TierStore(root)
+        exp = f"{root}/exported"
+        export_tier(store, "1m", exp, archive=True)
+        store.remove_tier("1m")
+        import_tier_archive(store, exp + ".tar.gz", "1m")
+        pts = explode_nested(read_tier(store, "1m"), value_cols=("count", "sum"))
+        t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    keep = ["source", "doc_id", "window", "count", "sum"]
+    return _rename(
+        t.select([c for c in keep if c in t.column_names]),
+        {"count": "cnt", "sum": "sum_tok"},
+    )
+
+
 def _q_time_report(sf_dir: str) -> pa.Table:
     """Absolute-granularity topology report over the event stream
     (compute_absolute_time_granularity semantics)."""
@@ -1342,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
         "catalog_list": _q_catalog_list,
+        "export_import_roundtrip": _q_export_import,
         "events_time_report": _q_time_report,
         "pack_sequences": _q_pack_sequences,
         "curate_pipeline": _q_curate,
@@ -2074,6 +2104,20 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(sw, -1) AS occurrence_start,
                    COALESCE(ew, -1) AS occurrence_end
             FROM s
+        """,
+        "export_import_roundtrip": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos // 60 AS "window",
+                   CAST(count(token) AS BIGINT) AS cnt,
+                   CAST(sum(token) AS DOUBLE) AS sum_tok
+            FROM tok GROUP BY 1, 2, 3
+        """,
+        "codec_roundtrip": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos // 60 AS "window",
+                   CAST(count(token) AS BIGINT) AS cnt,
+                   CAST(sum(token) AS DOUBLE) AS sum_tok
+            FROM tok GROUP BY 1, 2, 3
         """,
         "algebra_shift": f"""
             WITH tok AS ({tok})

@@ -159,6 +159,37 @@ def cmd_topology(args):
     ray.shutdown()
 
 
+def cmd_vocab(args):
+    ray = _ray()
+    import ray.data
+
+    from grass_ray.stages.vocab import vocab_topn
+
+    ds = ray.data.read_parquet(args.docs, columns=[args.text_col])
+    t = vocab_topn(ds, args.top, text_col=args.text_col).to_pandas()
+    print(t.to_csv(index=False))
+    ray.shutdown()
+
+
+def cmd_decontaminate(args):
+    ray = _ray()
+    import pyarrow.parquet as _pq
+
+    import ray.data
+
+    from grass_ray.stages.vocab import decontaminate
+
+    train = ray.data.read_parquet(args.train)
+    bench = ray.data.read_parquet(args.bench)
+    kept, bad = decontaminate(
+        train, bench, k=args.k, id_col=args.id_col, text_col=args.text_col
+    )
+    kept.write_parquet(args.out)
+    n_bad = bad.count()
+    print(json.dumps({"kept_dir": args.out, "contaminated": n_bad}))
+    ray.shutdown()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="grass_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -223,6 +254,23 @@ def main(argv=None):
     t.add_argument("--store", required=True)
     t.add_argument("--tier", required=True)
     t.set_defaults(fn=cmd_topology)
+
+    v = sub.add_parser("vocab", help="top-N corpus word frequencies")
+    v.add_argument("--docs", required=True, help="documents parquet path")
+    v.add_argument("--top", type=int, default=100)
+    v.add_argument("--text-col", default="text")
+    v.set_defaults(fn=cmd_vocab)
+
+    d = sub.add_parser(
+        "decontaminate", help="drop train docs sharing k-grams with a benchmark"
+    )
+    d.add_argument("--train", required=True)
+    d.add_argument("--bench", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--k", type=int, default=8)
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.set_defaults(fn=cmd_decontaminate)
 
     args = p.parse_args(argv)
     args.fn(args)
