@@ -1169,43 +1169,18 @@ def _q_embedding_dedup(sf_dir: str) -> pa.Table:
 
 def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     """n-gram Jaccard near-dup: SimHash band candidates verified with
-    exact word-3-gram Jaccard (pairs + scores)."""
-    import ray
-
+    exact word-3-gram Jaccard (pairs + scores) — the verify runs as the
+    same distributed bucket-join plan minhash uses (no driver loops)."""
     import ray.data
 
-    from grass_ray.functions.textstats import jaccard, shingles
-    from grass_ray.stages.dedup import simhash_candidates
+    from grass_ray.stages.dedup import simhash_candidates, verify_pairs_jaccard
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    cand = simhash_candidates(ds, max_hamming=8).to_pandas()
-    need = set(cand["id_a"]) | set(cand["id_b"]) if len(cand) else set()
-    nref = ray.put(need)
-
-    def collect(batch: pa.Table) -> pa.Table:
-        want = ray.get(nref)
-        keep = pa.array([i in want for i in batch.column("doc_id").to_pylist()])
-        return batch.filter(keep).select(["doc_id", "text"])
-
-    sh = {}
-    if need:
-        small = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
-        sh = {r["doc_id"]: shingles(r["text"], 3) for _, r in small.iterrows()}
-    rows = [
-        {
-            "id_a": int(r["id_a"]),
-            "id_b": int(r["id_b"]),
-            "jaccard": jaccard(sh.get(r["id_a"], []), sh.get(r["id_b"], [])),
-        }
-        for _, r in cand.iterrows()
-    ]
-    if not rows:
-        return pa.table(
-            {"id_a": pa.array([], type=pa.int64()),
-             "id_b": pa.array([], type=pa.int64()),
-             "jaccard": pa.array([], type=pa.float64())}
-        )
-    return pa.Table.from_pylist(rows)
+    cand = simhash_candidates(ds, max_hamming=8).map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    out = verify_pairs_jaccard(cand, ds, threshold=0.0, k_shingle=3)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
 def _q_langid_quality(sf_dir: str) -> pa.Table:

@@ -32,6 +32,7 @@ from grass_ray.stages.dedup import (
     exact_dedup,
     minhash_dedup,
     minhash_verified_pairs,
+    verify_pairs_jaccard,
     simhash_candidates,
 )
 from grass_ray.stages.extract import apply_mapcalc, extract, tier_arith, tier_select
@@ -99,6 +100,7 @@ __all__ = [
     "tier_expr",
     "tier_hash",
     "topk_per_group",
+    "verify_pairs_jaccard",
     "vocab_topn",
     "word_counts",
     "KLLSketch",

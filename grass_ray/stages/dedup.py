@@ -270,25 +270,43 @@ def minhash_verified_pairs(
     text_col="text",
     max_bucket: int = 512,
 ):
-    """Candidate pairs verified with exact Jaccard — fully distributed:
+    """MinHash-LSH candidate pairs verified with exact Jaccard — fully
+    distributed (see :func:`verify_pairs_jaccard` for the verify plan).
+    Returns a Dataset (id_a, id_b, jaccard >= threshold)."""
+    cand = minhash_candidates(
+        ds, num_perm=num_perm, bands=bands, k_shingle=k_shingle,
+        id_col=id_col, text_col=text_col, max_bucket=max_bucket,
+    )
+    return verify_pairs_jaccard(
+        cand, ds, threshold=threshold, k_shingle=k_shingle,
+        id_col=id_col, text_col=text_col,
+    )
 
-    1. LSH candidates (Dataset of distinct (id_a, id_b)).
-    2. Shingle sets for candidate ids only (semi-join + shingle map).
-    3. Two bucket joins attach each endpoint's shingle set to the pair.
-    4. A per-batch kernel computes exact Jaccard and filters.
+
+def verify_pairs_jaccard(
+    cand_ds,
+    ds,
+    *,
+    threshold=0.0,
+    k_shingle=5,
+    id_col="doc_id",
+    text_col="text",
+):
+    """Exact-Jaccard verification of candidate pairs, fully distributed:
+
+    1. candidate set (id_a, id_b) is materialized (it feeds three
+       consumers — Ray's lazy DAG would re-execute the producer per
+       consumer otherwise);
+    2. shingle sets computed for candidate ids only (semi-join + map);
+    3. two bucket joins attach each endpoint's shingle set to the pair;
+    4. a per-batch kernel computes exact Jaccard and filters
+       ``>= threshold`` (0 keeps every candidate with its score).
 
     Returns a Dataset (id_a, id_b, jaccard)."""
     from grass_ray.functions.textstats import jaccard  # noqa: F401 (doc xref)
     from grass_ray.stages.join import bucket_join, distinct_keys
 
-    # materialize() pins reused intermediates in the object store: the
-    # candidate set feeds three consumers and the shingle table two —
-    # without it Ray's lazy DAG re-executes the whole LSH pipeline per
-    # consumer
-    cand = minhash_candidates(
-        ds, num_perm=num_perm, bands=bands, k_shingle=k_shingle,
-        id_col=id_col, text_col=text_col, max_bucket=max_bucket,
-    ).materialize()
+    cand = cand_ds.materialize()
     if cand.count() == 0:
         import ray.data
 
