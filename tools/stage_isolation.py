@@ -1,0 +1,113 @@
+"""Stage-isolation evidence for the 8→32 single-box scaling plateau.
+
+Times three nested slices of the headline build in a fresh Ray session
+at a given num_cpus (run once per level in separate processes):
+
+  read    — parquet decode only (forced via a row-count map)
+  rollup  — read + the windowed-reduce kernel (nested tier, no codec)
+  build   — the full one-pass tier build (rollup + cascade + Gorilla
+            encode + partitioned write + manifests)
+
+Usage:  python tools/stage_isolation.py            # runs 8 and 32
+        python tools/stage_isolation.py --cpus 8   # one level (child)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+CORPUS = "/tmp/grassray_bench_corpus_300000x1440"
+
+
+def run_level(ncpu: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=ncpu, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import ray.data
+
+    from grass_ray.stages.rollup import rollup
+
+    out = {}
+
+    def timed(name, fn, repeats=2):
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+
+    def read_only():
+        ds = ray.data.read_parquet(CORPUS)
+        ds.map_batches(
+            lambda b: pa.table({"n": [b.num_rows]}), batch_format="pyarrow"
+        ).sum("n")
+
+    def rollup_only():
+        ds = ray.data.read_parquet(CORPUS)
+        rollup(ds, 60, ("count", "sum", "minimum", "maximum", "average"),
+               nested=True).map_batches(
+            lambda b: pa.table({"n": [b.num_rows]}), batch_format="pyarrow"
+        ).sum("n")
+
+    def full_build():
+        import shutil
+
+        from grass_ray.pipelines.tiers import build_tiers_onepass
+
+        dst = f"/tmp/grassray_iso_{ncpu}"
+        shutil.rmtree(dst, ignore_errors=True)
+        ds = ray.data.read_parquet(CORPUS)
+        build_tiers_onepass(ds, dst, partitioning="range", docs_per_partition=2500)
+        shutil.rmtree(dst, ignore_errors=True)
+
+    timed("read", read_only)
+    timed("rollup", rollup_only)
+    timed("build", full_build)
+    ray.shutdown()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+    if args.cpus:
+        print(json.dumps({"cpus": args.cpus, **run_level(args.cpus)}))
+        return
+    if not os.path.isdir(CORPUS):
+        print("stage the bench corpus first (run bench.py once)", file=sys.stderr)
+        sys.exit(1)
+    res = {}
+    for n in (8, 32):
+        o = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(n)],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout
+        res[n] = json.loads(o.strip().splitlines()[-1])
+    summary = {
+        "read_speedup_8_32": round(res[8]["read"] / res[32]["read"], 2),
+        "rollup_speedup_8_32": round(res[8]["rollup"] / res[32]["rollup"], 2),
+        "build_speedup_8_32": round(res[8]["build"] / res[32]["build"], 2),
+        "levels": res,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
