@@ -44,6 +44,15 @@ def _corpus(sf_dir: str):
     return corpus_from_documents(sf_dir)
 
 
+def _read(path: str, columns=None):
+    """Sized parquet read: block count from bytes, not the CPU floor —
+    tiny sf tables read as 1–2 blocks (downstream exchanges stop paying
+    64 empty-block constants), huge tables split at 64 MB/block."""
+    from grass_ray.sources.readers import read_parquet_sized
+
+    return read_parquet_sized(path, columns=columns)
+
+
 def _round6_np(x: np.ndarray) -> np.ndarray:
     with np.errstate(invalid="ignore"):
         return np.floor(x * 1e6 + 0.5) / 1e6
@@ -334,7 +343,7 @@ def _events_cents(sf_dir: str):
     driver's values are exact 2-decimal floats)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read(f"{sf_dir}/events.parquet")
 
     def to_cents(batch: pa.Table) -> pa.Table:
         v = batch.column("value").to_numpy(zero_copy_only=False)
@@ -689,7 +698,7 @@ def _q_join_documents(sf_dir: str) -> pa.Table:
 
     per_doc = series_collapse(_corpus(sf_dir), ("count", "sum"))
 
-    docs = ray.data.read_parquet(
+    docs = _read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
 
@@ -759,10 +768,10 @@ def _q_events_asof(sf_dir: str) -> pa.Table:
     from grass_ray.stages.join import asof_join
 
     path = f"{sf_dir}/events.parquet"
-    left = ray.data.read_parquet(
+    left = _read(
         path, columns=["user_id", "ts", "event_type", "value"]
     )
-    right = ray.data.read_parquet(path).map_batches(
+    right = _read(path).map_batches(
         lambda b: b.filter(pc.equal(b.column("event_type"), "click")).select(
             ["user_id", "ts", "value"]
         ),
@@ -884,7 +893,7 @@ def _q_vocab_top100(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.vocab import vocab_topn
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
     out = vocab_topn(ds, 100)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
@@ -897,7 +906,7 @@ def _q_decontaminate(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.vocab import decontaminate
 
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
     bench = ds.map_batches(
@@ -983,7 +992,7 @@ def _q_dedup_exact(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source", "n_chars"]
     )
     out = exact_dedup(ds, keep_columns=("source", "n_chars"))
@@ -996,7 +1005,7 @@ def _q_token_counts(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.text_stage import analyze_text
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read(f"{sf_dir}/documents.parquet")
     out = analyze_text(ds, features=("tokens",))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.select(["doc_id", "n_tok_ws"])
@@ -1089,7 +1098,7 @@ def _q_time_report(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.sample import events_time_report
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["ts"])
     rep = events_time_report(ds)
     return pa.table(
         {
@@ -1107,7 +1116,7 @@ def _q_minhash(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.dedup import minhash_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read(f"{sf_dir}/documents.parquet")
     kept, _pairs = minhash_dedup(ds, threshold=0.8)
     t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
     return t.select(["doc_id", "source"])
@@ -1118,7 +1127,7 @@ def _q_simhash(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.dedup import simhash_candidates
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read(f"{sf_dir}/documents.parquet")
     return pa.Table.from_pandas(
         simhash_candidates(ds, max_hamming=3).to_pandas(), preserve_index=False
     )
@@ -1135,7 +1144,7 @@ def _q_ann(sf_dir: str) -> pa.Table:
     q = np.stack(
         [np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()]
     )
-    ds = ray.data.read_parquet(path)
+    ds = _read(path)
     return ann_topk(ds, q, k=10)
 
 
@@ -1150,7 +1159,7 @@ def _q_ivf(sf_dir: str) -> pa.Table:
     q = np.stack(
         [np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()]
     )
-    ds = ray.data.read_parquet(path)
+    ds = _read(path)
     return ivf_topk(ds, q, k=10, n_clusters=16, nprobe=6)
 
 
@@ -1161,7 +1170,7 @@ def _q_embedding_dedup(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.similarity import embedding_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(f"{sf_dir}/embeddings.parquet")
     kept, _pairs = embedding_dedup(ds, threshold=0.999, n_clusters=8)
     t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
     return t.select(["vec_id", "label"])
@@ -1175,7 +1184,7 @@ def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.dedup import simhash_candidates, verify_pairs_jaccard
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read(f"{sf_dir}/documents.parquet")
     cand = simhash_candidates(ds, max_hamming=8).map_batches(
         lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
     )
@@ -1188,7 +1197,7 @@ def _q_langid_quality(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.text_stage import analyze_text
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read(f"{sf_dir}/documents.parquet")
     out = analyze_text(ds)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.select(
@@ -1204,7 +1213,7 @@ def _q_sample_stratified(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.curate import sample_stratified
 
-    ds = ray.data.read_parquet(
+    ds = _read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
     out = sample_stratified(ds, _STRATA, default_rate=0.1)
@@ -1224,7 +1233,7 @@ def _q_curate(sf_dir: str) -> pa.Table:
 
     from grass_ray.stages.curate import curate
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read(f"{sf_dir}/documents.parquet")
     packed, _report = curate(ds, min_quality=0.2, dedup_threshold=0.7, block_len=1024)
     t = pa.Table.from_pandas(packed.to_pandas(), preserve_index=False)
     return t.select(["block_id", "n_tok", "n_docs"])
@@ -1250,7 +1259,7 @@ def _q_tokenize_rollup(sf_dir: str) -> pa.Table:
     from grass_ray.sources.readers import tokenize_text
     from grass_ray.stages.rollup import rollup
 
-    docs = ray.data.read_parquet(
+    docs = _read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     corpus = tokenize_text(docs, vocab_size=32000)

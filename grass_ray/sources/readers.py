@@ -79,6 +79,74 @@ class HashTokenizer:
         )
 
 
+def sized_num_blocks(
+    total_bytes: int,
+    *,
+    cpus: int | None = None,
+    small_target: int = 4 << 20,
+    large_target: int = 64 << 20,
+) -> int:
+    """Bytes-driven block count for a read.
+
+    Ray's default parallelism heuristic has a CPU-count floor, which
+    splits tiny inputs into dozens of near-empty blocks — every
+    downstream exchange then pays per-block fixed costs that dwarf the
+    data (measured: a 5k-row groupby-aggregate drops 1.25s → 0.26s when
+    the read emits 1 block instead of 64).  Policy, smooth across 1000×
+    data growth:
+
+    * small inputs split at ``small_target`` (4 MB) per block, capped at
+      2×CPUs — enough parallelism for CPU-heavy kernels, no empty blocks;
+    * large inputs split at ``large_target`` (64 MB) per block — block
+      count grows with bytes, never with cluster size, so a 100 TB read
+      yields ~1.6M well-sized blocks regardless of node count.
+    """
+    if cpus is None:
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+    small = max(1, -(-total_bytes // small_target))
+    large = -(-total_bytes // large_target)
+    return max(large, min(small, 2 * cpus), 1)
+
+
+def _local_bytes(paths) -> int | None:
+    """Total size of local files/dirs; None if any path is unsized."""
+    import os
+
+    total = 0
+    for p in [paths] if isinstance(paths, str) else list(paths):
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        else:
+            return None
+    return total
+
+
+def read_parquet_sized(paths, *, columns=None, **kw):
+    """``ray.data.read_parquet`` with a bytes-driven block count (see
+    :func:`sized_num_blocks`) and parquet-borne schema metadata stripped
+    (the unhashable ``pandas`` key trips Ray's block-schema dedup into
+    per-batch warnings).  Falls back to Ray's default parallelism when
+    the input size can't be determined locally."""
+    import ray.data
+
+    if "override_num_blocks" not in kw:
+        nbytes = _local_bytes(paths)
+        if nbytes is not None:
+            kw["override_num_blocks"] = sized_num_blocks(nbytes)
+    ds = ray.data.read_parquet(paths, columns=columns, **kw)
+    return ds.map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
     """Drop parquet-borne schema metadata (the 'pandas' key makes the
     schema unhashable, which trips Ray Data's block-schema dedup into a

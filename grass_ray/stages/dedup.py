@@ -149,15 +149,91 @@ class MinHasher:
                 >> np.uint64(1)
             ).astype(np.int64)  # (n, bands)
         take = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands))
+        band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        bh_flat = bh.reshape(-1)
         return pa.table(
             {
                 self.id_col: ids.take(take),
-                "band": pa.array(
-                    np.tile(np.arange(self.bands, dtype=np.int32), n)
+                "band": pa.array(band),
+                "band_hash": pa.array(bh_flat),
+                "_bucket": pa.array(
+                    _mix_to_bucket(bh_flat, band, _N_EXCHANGE_BUCKETS)
                 ),
-                "band_hash": pa.array(bh.reshape(-1)),
             }
         )
+
+
+_N_EXCHANGE_BUCKETS = 64
+
+
+def _mix_to_bucket(key: np.ndarray, band: np.ndarray, buckets: int) -> np.ndarray:
+    """Exchange bucket per band row: splitmix-style mix of (band, key) so
+    the groupby exchange has a fixed group count (``buckets``) instead of
+    one Python group call per LSH bucket (~one per doc at 100 TB)."""
+    with np.errstate(over="ignore"):
+        h = (
+            key.astype(np.uint64)
+            + band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) * np.uint64(0xBF58476D1CE4E5B9)
+    return (h % np.uint64(buckets)).astype(np.int32)
+
+
+def _segmented_pairs(
+    band: np.ndarray,
+    key: np.ndarray,
+    ids: np.ndarray,
+    *,
+    max_bucket: int,
+    label: str,
+):
+    """Vectorized (id_a < id_b) pair generation across ALL (band, key)
+    segments of one exchange bucket in a single numpy pass — the batch
+    form of per-LSH-bucket ``itertools.combinations`` (one Python call
+    per exchange bucket instead of one per LSH bucket, which is ~one per
+    doc at corpus scale).
+
+    Returns ``(ia, ib, order)``: ``order`` sorts + dedupes the input
+    rows by (band, key, id); ``ia``/``ib`` index into that sorted row
+    set, so ``ids[order][ia] < ids[order][ib]`` element-wise and any
+    aligned payload follows via ``payload[order]``.  Segments larger
+    than ``max_bucket`` emit pairs only among their first
+    ``max_bucket`` sorted ids, with a logged truncation (no silent
+    cap)."""
+    z = np.empty(0, dtype=np.int64)
+    if len(ids) == 0:
+        return z, z, z
+    uniq, codes = np.unique(ids, return_inverse=True)
+    order = np.lexsort((codes, key, band))
+    b_s, k_s, c_s = band[order], key[order], codes[order]
+    new_seg = np.empty(len(order), dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = (b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])
+    # drop duplicate (segment, id) rows (defensive: same doc twice)
+    dup = np.zeros(len(order), dtype=bool)
+    dup[1:] = (~new_seg[1:]) & (c_s[1:] == c_s[:-1])
+    keep = ~dup
+    order, new_seg = order[keep], new_seg[keep]
+    n = len(order)
+    seg_start = np.flatnonzero(new_seg)
+    seg_of = np.cumsum(new_seg) - 1
+    pos = np.arange(n, dtype=np.int64) - seg_start[seg_of]
+    over = pos >= max_bucket
+    if over.any():
+        n_over_segs = len(np.unique(seg_of[over]))
+        print(
+            f"{label}: {n_over_segs} bucket(s) larger than {max_bucket} "
+            f"ids — {int(over.sum())} ids' pairs dropped (no silent cap)"
+        )
+    t_eff = np.where(over, 0, pos)
+    total = int(t_eff.sum())
+    if total == 0:
+        return z, z, order
+    ib = np.repeat(np.arange(n, dtype=np.int64), t_eff)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(t_eff[:-1], out=starts[1:])
+    delta = np.arange(total, dtype=np.int64) - np.repeat(starts, t_eff) + 1
+    ia = ib - delta
+    return ia, ib, order
 
 
 _MINHASHERS: dict = {}
@@ -208,21 +284,39 @@ def minhash_candidates(
     )
 
     def pairs(batch: pa.Table) -> pa.Table:
-        ids = sorted(set(batch.column(id_col).to_pylist()))
-        if len(ids) > max_bucket:
-            print(
-                f"minhash_candidates: bucket of {len(ids)} ids capped to "
-                f"{max_bucket} ({len(ids) - max_bucket} ids' pairs dropped "
-                f"in this bucket)"
+        """One call per exchange bucket: vectorized pair generation
+        across every (band, band_hash) segment in the bucket."""
+        id_arr = batch.column(id_col)
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(
+            np.asarray(id_arr.to_pylist(), dtype=object), return_inverse=True
+        )
+        ia, ib, order = _segmented_pairs(
+            band, key, codes, max_bucket=max_bucket, label="minhash_candidates"
+        )
+        if len(ia) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=id_arr.type),
+                    "id_b": pa.array([], type=id_arr.type),
+                }
             )
-            ids = ids[:max_bucket]
-        arr = np.array(ids)
-        iu = np.triu_indices(len(arr), k=1)
-        return pa.table({"id_a": pa.array(arr[iu[0]]), "id_b": pa.array(arr[iu[1]])})
+        c_s = codes[order]
+        # bucket-local pair distinct (bands colliding twice in one
+        # exchange bucket) before the global distinct exchange
+        pk = np.unique(c_s[ia] * np.int64(len(uniq)) + c_s[ib])
+        ca, cb = pk // len(uniq), pk % len(uniq)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[ca].tolist(), type=id_arr.type),
+                "id_b": pa.array(uniq[cb].tolist(), type=id_arr.type),
+            }
+        )
 
-    cand = band_rows.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow"
-    )
+    cand = band_rows.groupby("_bucket").map_groups(pairs, batch_format="pyarrow")
     # distributed pair-distinct: pre-combined count aggregate, one row
     # per pair on the wire (pairs produced by multiple buckets collapse)
     return distinct_keys(cand, ("id_a", "id_b"))
@@ -304,10 +398,11 @@ def verify_pairs_jaccard(
 
     Returns a Dataset (id_a, id_b, jaccard)."""
     from grass_ray.functions.textstats import jaccard  # noqa: F401 (doc xref)
-    from grass_ray.stages.join import bucket_join, distinct_keys
+    from grass_ray.stages.join import attach_column, distinct_keys
 
     cand = cand_ds.materialize()
-    if cand.count() == 0:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         import ray.data
 
         from grass_ray.stages.join import _as_arrow_type
@@ -332,17 +427,32 @@ def verify_pairs_jaccard(
     need = distinct_keys(ends_a.union(ends_b), (id_col,))
     sh = _shingle_table(
         ds, need, id_col=id_col, text_col=text_col, k_shingle=k_shingle
-    ).materialize()
-    sh_a = sh.map_batches(
-        lambda b: b.rename_columns(["id_a", "sh_a"]), batch_format="pyarrow"
+    ).materialize()  # consumed by BOTH attaches — never re-shingle
+    # Size verify parallelism by the MEASURED pair count: attaching two
+    # shingle sets expands each 16-byte pair row ~300×, so the narrow
+    # pair table is split to ~4k pairs/block BEFORE the attach — the
+    # verify kernel then runs one bounded lexsort per block in parallel
+    # instead of one huge sort in a single task.
+    nparts = max(1, min((n_pairs + 4095) // 4096, 512))
+    candr = cand.repartition(nparts)
+    # Arrow-native index joins: the list<int64> shingle payload rides
+    # along via Array.take — no pandas object round-trip per element
+    j1 = attach_column(
+        candr, sh, key_col="id_a", lookup_key=id_col, value_col="sh",
+        out_col="sh_a",
     )
-    sh_b = sh.map_batches(
-        lambda b: b.rename_columns(["id_b", "sh_b"]), batch_format="pyarrow"
+    j2 = attach_column(
+        j1, sh, key_col="id_b", lookup_key=id_col, value_col="sh",
+        out_col="sh_b",
     )
-    j1 = bucket_join(cand, sh_a, key_cols=("id_a",))
-    j2 = bucket_join(j1, sh_b, key_cols=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
+        """Batch Jaccard over shingle-set pairs, fully vectorized: the
+        per-pair |A ∪ B| is one lexsort + run-length count over the
+        flattened (pair, value) stream; |A ∩ B| = |A| + |B| − |A ∪ B|
+        (shingle lists are unique by construction)."""
+        import pyarrow.compute as pc
+
         a_col = batch.column("sh_a")
         b_col = batch.column("sh_b")
         if isinstance(a_col, pa.ChunkedArray):
@@ -350,25 +460,35 @@ def verify_pairs_jaccard(
         if isinstance(b_col, pa.ChunkedArray):
             b_col = b_col.combine_chunks()
         n = batch.num_rows
-        jac = np.zeros(n, dtype=np.float64)
-        a_lists = a_col.to_pylist()
-        b_lists = b_col.to_pylist()
-        for i in range(n):
-            sa = a_lists[i] or []
-            sb = b_lists[i] or []
-            if not sa and not sb:
-                jac[i] = 1.0
-                continue
-            if not sa or not sb:
-                continue
-            inter = len(
-                np.intersect1d(
-                    np.asarray(sa, dtype=np.int64),
-                    np.asarray(sb, dtype=np.int64),
-                    assume_unique=True,
-                )
-            )
-            jac[i] = inter / (len(sa) + len(sb) - inter)
+        la = (
+            pc.fill_null(pc.list_value_length(a_col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lb = (
+            pc.fill_null(pc.list_value_length(b_col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        av = a_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = b_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        pair_idx = np.concatenate(
+            [
+                np.repeat(np.arange(n, dtype=np.int64), la),
+                np.repeat(np.arange(n, dtype=np.int64), lb),
+            ]
+        )
+        vals = np.concatenate([av, bv])
+        order = np.lexsort((vals, pair_idx))
+        sp, sv = pair_idx[order], vals[order]
+        newu = np.empty(len(sp), dtype=bool)
+        if len(sp):
+            newu[0] = True
+            newu[1:] = (sp[1:] != sp[:-1]) | (sv[1:] != sv[:-1])
+        union = np.bincount(sp[newu], minlength=n) if len(sp) else np.zeros(n, dtype=np.int64)
+        inter = la + lb - union
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = jac >= threshold
         out = pa.table(
             {
@@ -379,7 +499,7 @@ def verify_pairs_jaccard(
         )
         return out.filter(pa.array(keep))
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
 def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_col="doc_id", text_col="text", components=False, max_bucket: int = 512):
@@ -534,53 +654,64 @@ def simhash_candidates(ds, *, max_hamming=3, id_col="doc_id", text_col="text", m
                 "simhash": pa.array(
                     np.tile(sims.astype(np.int64), nbands)
                 ),
+                "_bucket": pa.array(
+                    _mix_to_bucket(
+                        keys.astype(np.uint64), band, _N_EXCHANGE_BUCKETS
+                    )
+                ),
             }
         )
 
     rows = hashed.map_batches(explode, batch_format="pyarrow")
 
     def pairs(batch: pa.Table) -> pa.Table:
-        recs = sorted(
-            set(
-                zip(
-                    batch.column(id_col).to_pylist(),
-                    batch.column("simhash").to_pylist(),
-                )
-            )
+        """One call per exchange bucket: vectorized pair generation +
+        hamming filter across every (band, band_key) segment."""
+        id_arr = batch.column(id_col)
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = batch.column("band_key").to_numpy(zero_copy_only=False)
+        sims = (
+            batch.column("simhash")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
         )
-        if len(recs) > max_bucket:
-            print(
-                f"simhash_candidates: bucket of {len(recs)} ids capped to "
-                f"{max_bucket} ({len(recs) - max_bucket} ids' pairs dropped "
-                f"in this bucket)"
-            )
-            recs = recs[:max_bucket]
-        if len(recs) < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "hamming": pa.array([], type=pa.int32()),
-                }
-            )
-        ids_arr = np.array([r[0] for r in recs])
-        sims_arr = np.array([r[1] for r in recs], dtype=np.uint64)
-        iu = np.triu_indices(len(recs), k=1)
-        x = sims_arr[iu[0]] ^ sims_arr[iu[1]]
+        uniq, codes = np.unique(
+            np.asarray(id_arr.to_pylist(), dtype=object), return_inverse=True
+        )
+        ia, ib, order = _segmented_pairs(
+            band, key, codes, max_bucket=max_bucket, label="simhash_candidates"
+        )
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=id_arr.type),
+                "id_b": pa.array([], type=id_arr.type),
+                "hamming": pa.array([], type=pa.int32()),
+            }
+        )
+        if len(ia) == 0:
+            return empty
+        c_s, sim_s = codes[order], sims[order]
+        x = sim_s[ia] ^ sim_s[ib]
         # vectorized popcount via uint8 view + lookup table
         pop = _POPCOUNT[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
         hit = pop <= max_hamming
+        if not hit.any():
+            return empty
+        # bucket-local distinct (same pair from two bands in one bucket)
+        pk = c_s[ia][hit] * np.int64(len(uniq)) + c_s[ib][hit]
+        pku, first = np.unique(pk, return_index=True)
+        ca, cb = pku // len(uniq), pku % len(uniq)
         return pa.table(
             {
-                "id_a": pa.array(ids_arr[iu[0]][hit]),
-                "id_b": pa.array(ids_arr[iu[1]][hit]),
-                "hamming": pa.array(pop[hit].astype(np.int32)),
+                "id_a": pa.array(uniq[ca].tolist(), type=id_arr.type),
+                "id_b": pa.array(uniq[cb].tolist(), type=id_arr.type),
+                "hamming": pa.array(pop[hit][first].astype(np.int32)),
             }
         )
 
-    cand = rows.groupby(["band", "band_key"]).map_groups(
-        pairs, batch_format="pyarrow"
-    )
+    cand = rows.groupby("_bucket").map_groups(pairs, batch_format="pyarrow")
     return distinct_keys(cand, ("id_a", "id_b", "hamming"))
 
 

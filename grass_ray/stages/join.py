@@ -31,28 +31,89 @@ def _as_arrow_type(t) -> pa.DataType:
         return pa.string()
 
 
-def _bucket_ids(batch: pa.Table, keys, buckets: int) -> np.ndarray:
-    """Deterministic bucket per row: vectorized Knuth-multiplicative hash
-    for a single integer key (the common case); crc32 of the joined
-    string otherwise."""
-    if len(keys) == 1 and pa.types.is_integer(batch.schema.field(keys[0]).type):
-        k = (
-            batch.column(keys[0])
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.uint64)
-        )
+_PB = np.uint64(1099511628211)  # odd -> invertible mod 2^64
+_PB_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _hash_str_column(col) -> np.ndarray:
+    """Vectorized process-stable 64-bit hash of a string/binary column:
+    polynomial rolling hash via one prefix-sum over the flat byte buffer
+    (H(row) = (G[e]-G[s])·B^e with G[i]=Σ_{j<i} byte[j]·B^{-j}, uint64
+    wraparound as the modulus — same math as the shingle hasher)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as pc
+
+    arr = pc.cast(col, pa.large_binary())
+    n = len(arr)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    databuf = arr.buffers()[2]
+    total = int(offs[-1])
+    if databuf is None or total == 0:
+        lengths = (offs[1:] - offs[:-1]).astype(np.uint64)
+    else:
+        data = np.frombuffer(databuf, dtype=np.uint8)[:total].astype(np.uint64)
         with np.errstate(over="ignore"):
-            h = k * np.uint64(0x9E3779B97F4A7C15)
-        return (h % np.uint64(buckets)).astype(np.int32)
-    cols = [batch.column(k).to_pylist() for k in keys]
-    return np.array(
-        [
-            zlib.crc32("|".join(str(v) for v in row).encode()) % buckets
-            for row in zip(*cols)
-        ],
-        dtype=np.int32,
-    )
+            invpow = np.empty(total, dtype=np.uint64)
+            invpow[0] = 1
+            if total > 1:
+                np.cumprod(
+                    np.full(total - 1, _PB_INV, dtype=np.uint64), out=invpow[1:]
+                )
+            g = np.empty(total + 1, dtype=np.uint64)
+            g[0] = 0
+            np.cumsum(data * invpow, out=g[1:])
+            bpow = np.empty(total + 1, dtype=np.uint64)
+            bpow[0] = 1
+            np.cumprod(np.full(total, _PB, dtype=np.uint64), out=bpow[1:])
+            out = (g[offs[1:]] - g[offs[:-1]]) * bpow[offs[1:]]
+        lengths = (offs[1:] - offs[:-1]).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        out = (out ^ lengths) * np.uint64(0xBF58476D1CE4E5B9)
+    if arr.null_count:
+        out[np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))] = 0
+    return out
+
+
+def _hash_rows(batch: pa.Table, keys) -> np.ndarray:
+    """Vectorized combined 64-bit row hash over key columns (int and
+    string/binary columns natively; anything else via a crc32 fallback)."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for kname in keys:
+            f = batch.schema.field(kname)
+            col = batch.column(kname)
+            if pa.types.is_integer(f.type) or pa.types.is_boolean(f.type):
+                import pyarrow.compute as pc
+
+                k = (
+                    pc.fill_null(col.cast(pa.int64()), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                ck = k * np.uint64(0x9E3779B97F4A7C15)
+            elif pa.types.is_string(f.type) or pa.types.is_large_string(f.type) or pa.types.is_binary(f.type):
+                ck = _hash_str_column(col)
+            else:
+                ck = np.array(
+                    [zlib.crc32(str(v).encode()) for v in col.to_pylist()],
+                    dtype=np.uint64,
+                )
+            h = (h * np.uint64(0x100000001B3)) ^ ck
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+    return h
+
+
+def _bucket_ids(batch: pa.Table, keys, buckets: int) -> np.ndarray:
+    """Deterministic bucket per row: vectorized combined hash of the key
+    columns (int/string native, crc32 fallback for exotic types)."""
+    return (_hash_rows(batch, keys) % np.uint64(buckets)).astype(np.int32)
 
 
 def bucket_join(
@@ -187,15 +248,169 @@ def _broadcast_join(right_mat, ds_left, keys, lpay, rpay_src, rpay, how, wire):
     return ds_left.map_batches(kernel, batch_format="pyarrow")
 
 
-def distinct_keys(ds, key_cols):
-    """Distributed DISTINCT over key columns: a pre-combined Count
-    aggregate (partials per block, one row per key on the wire) — never
-    a per-group Python dispatch or a driver-side drop_duplicates."""
-    from ray.data.aggregate import Count
+_ATTACH_IDX_CACHE: dict = {}
 
+
+def _key_index_map(tbl: pa.Table, key_col: str, cache_key=None) -> dict:
+    """key value -> row index dict for a lookup table (memoized per
+    worker process when ``cache_key`` is stable, e.g. an ObjectRef hex)."""
+    if cache_key is not None:
+        m = _ATTACH_IDX_CACHE.get(cache_key)
+        if m is not None:
+            return m
+    keys = tbl.column(key_col).to_pylist()
+    m = {k: i for i, k in enumerate(keys)}
+    if cache_key is not None and len(_ATTACH_IDX_CACHE) < 64:
+        _ATTACH_IDX_CACHE[cache_key] = m
+    return m
+
+
+def attach_column(
+    ds,
+    lookup_ds,
+    *,
+    key_col: str,
+    lookup_key: str,
+    value_col: str,
+    out_col: str,
+    how: str = "inner",
+    buckets: int = 64,
+    broadcast_threshold: int = 500_000,
+):
+    """Attach one payload column from ``lookup_ds`` onto ``ds`` by key —
+    an Arrow-native index join (``dict`` + ``Array.take``), so payloads
+    of ANY type (including ``list<...>`` shingle sets, which neither
+    Acero joins nor a pandas merge handle without per-element Python
+    conversion) ride along zero-copy.
+
+    Regimes as in :func:`bucket_join`: broadcast the lookup when small
+    (``ray.put`` once, per-worker memoized index map), else a bucket
+    exchange where each bucket builds its local index map.  ``how`` =
+    'inner' drops unmatched rows, 'left' keeps them with nulls.
+    """
+    import ray
+
+    lookup_mat = lookup_ds.materialize()
+    lschema = lookup_mat.schema()
+    vtype = _as_arrow_type(dict(zip(lschema.names, lschema.types))[value_col])
+
+    def _attach(batch: pa.Table, lk_tbl: pa.Table, idx_map: dict) -> pa.Table:
+        if lk_tbl.num_rows == 0:
+            if how == "inner":
+                return batch.slice(0, 0).append_column(
+                    out_col, pa.array([], type=vtype)
+                )
+            return batch.append_column(
+                out_col, pa.nulls(batch.num_rows, type=vtype)
+            )
+        keys = batch.column(key_col).to_pylist()
+        idx = np.fromiter(
+            (idx_map.get(k, -1) for k in keys), dtype=np.int64, count=len(keys)
+        )
+        valid = idx >= 0
+        vals = lk_tbl.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if how == "inner":
+            batch = batch.filter(pa.array(valid))
+            taken = vals.take(pa.array(idx[valid]))
+            return batch.append_column(out_col, taken)
+        import pyarrow.compute as pc
+
+        taken = vals.take(pa.array(np.where(valid, idx, 0)))
+        taken = pc.if_else(pa.array(valid), taken, pa.nulls(len(keys), type=vtype))
+        return batch.append_column(out_col, taken)
+
+    if lookup_mat.count() <= broadcast_threshold:
+        lk_tbl = pa.concat_tables(
+            lookup_mat.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).combine_chunks()
+        ref = ray.put(lk_tbl)
+
+        def kernel(batch: pa.Table) -> pa.Table:
+            tbl = ray.get(ref)
+            return _attach(batch, tbl, _key_index_map(tbl, lookup_key, ref.hex()))
+
+        return ds.map_batches(kernel, batch_format="pyarrow")
+
+    # exchange regime: both sides through hash buckets, Arrow all the way
+    dschema = ds.schema()
+    dtypes = {n: _as_arrow_type(t) for n, t in zip(dschema.names, dschema.types)}
+    wire = [(c, dtypes[c]) for c in dschema.names] + [
+        ("_lk", _as_arrow_type(dict(zip(lschema.names, lschema.types))[lookup_key])),
+        ("_lv", vtype),
+    ]
+
+    def pad(side: str):
+        def kernel(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in wire:
+                if side == "l" and name in batch.column_names:
+                    cols[name] = batch.column(name)
+                elif side == "r" and name == "_lk":
+                    cols[name] = batch.column(lookup_key)
+                elif side == "r" and name == "_lv":
+                    cols[name] = batch.column(value_col)
+                else:
+                    cols[name] = pa.nulls(n, type=typ)
+            key_src = key_col if side == "l" else lookup_key
+            cols["_bucket"] = pa.array(_bucket_ids(batch, [key_src], buckets))
+            cols["_side"] = pa.array([side] * n)
+            return pa.table(cols)
+
+        return kernel
+
+    both = ds.map_batches(pad("l"), batch_format="pyarrow").union(
+        lookup_mat.map_batches(pad("r"), batch_format="pyarrow")
+    )
+    out_schema = pa.schema([(c, t) for c, t in wire[:-2]] + [(out_col, vtype)])
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = batch.column("_side")
+        is_l = pc.equal(side, "l")
+        l = batch.filter(is_l)
+        r = batch.filter(pc.invert(is_l))
+        lk_tbl = pa.table(
+            {lookup_key: r.column("_lk"), value_col: r.column("_lv")}
+        )
+        l = l.drop_columns(["_lk", "_lv", "_bucket", "_side"])
+        out = _attach(l, lk_tbl, _key_index_map(lk_tbl, lookup_key))
+        return out.cast(out_schema)
+
+    return both.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def distinct_keys(ds, key_cols, *, buckets: int = 64):
+    """Distributed DISTINCT over key columns: block-local Acero distinct
+    (C++ hash group-by per batch — the combiner), then a fixed-width
+    hash-bucket exchange and one Acero distinct per bucket.  Never a
+    per-group Python dispatch, a driver-side drop_duplicates, or a Ray
+    sort-aggregate over string keys (measured 15 s for a 390k-row
+    3-string-key distinct; this plan does it in well under a second)."""
     keys = list(key_cols)
-    out = ds.groupby(keys).aggregate(Count(alias_name="_n"))
-    return out.drop_columns(["_n"])
+    schema = ds.schema()
+    if schema is None:  # empty dataset: nothing to dedupe
+        return ds
+    types = {n: _as_arrow_type(t) for n, t in zip(schema.names, schema.types)}
+    out_schema = pa.schema([(k, types[k]) for k in keys])
+
+    def local(batch: pa.Table) -> pa.Table:
+        u = batch.select(keys).group_by(keys, use_threads=False).aggregate([])
+        u = u.select(keys).cast(out_schema)
+        return u.append_column("_bucket", pa.array(_bucket_ids(u, keys, buckets)))
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.select(keys).group_by(keys, use_threads=False).aggregate([])
+        return u.select(keys).cast(out_schema)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def semi_join(
