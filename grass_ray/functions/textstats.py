@@ -191,6 +191,309 @@ def shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique((vals >> np.uint64(1)).astype(np.int64))
 
 
+# ---------------------------------------------------------------------------
+# whole-batch vectorized kernels (the per-row functions above stay as the
+# reference semantics; these compute identical values one batch at a time)
+# ---------------------------------------------------------------------------
+
+# ASCII fast-path classification tables; non-ASCII code points fall back
+# to the exact Python predicates, memoized (vocabulary of non-ASCII chars
+# in a batch is tiny relative to the stream)
+_T_ALPHA = np.zeros(128, dtype=bool)
+_T_SPACE = np.zeros(128, dtype=bool)
+_T_WORD = np.zeros(128, dtype=bool)  # Python re \w for ASCII
+for _c in range(128):
+    _ch = chr(_c)
+    _T_ALPHA[_c] = _ch.isalpha()
+    _T_SPACE[_c] = _ch.isspace()
+    _T_WORD[_c] = _ch.isalnum() or _ch == "_"
+_NONASCII_CLASS: dict[int, tuple[bool, bool, bool]] = {}
+
+
+def _classify_codepoints(cp: np.ndarray):
+    """(is_alpha, is_space, is_word) boolean arrays for a uint32
+    code-point stream — table lookup for ASCII, exact memoized Python
+    predicates for the non-ASCII tail."""
+    ascii_mask = cp < 128
+    idx = np.where(ascii_mask, cp, 0)
+    alpha = _T_ALPHA[idx] & ascii_mask
+    space = _T_SPACE[idx] & ascii_mask
+    word = _T_WORD[idx] & ascii_mask
+    if not ascii_mask.all():
+        hi = np.flatnonzero(~ascii_mask)
+        for i in hi:
+            c = int(cp[i])
+            cls = _NONASCII_CLASS.get(c)
+            if cls is None:
+                ch = chr(c)
+                cls = (ch.isalpha(), ch.isspace(), ch.isalnum() or ch == "_")
+                if len(_NONASCII_CLASS) < 1 << 16:
+                    _NONASCII_CLASS[c] = cls
+            alpha[i], space[i], word[i] = cls
+    return alpha, space, word
+
+
+def _run_starts(active: np.ndarray, doc_starts: np.ndarray) -> np.ndarray:
+    """Start positions of maximal runs of ``active`` that do not cross
+    document boundaries."""
+    start = active.copy()
+    if len(active) > 1:
+        start[1:] &= ~active[:-1]
+    start[doc_starts] = active[doc_starts]
+    return np.flatnonzero(start)
+
+
+_PROFILE_ORDER = list(LANG_PROFILES)
+
+# cached universal power arrays of the rolling-hash base (and inverse):
+# they are data-independent, so one geometric-growth cache serves every
+# batch (rebuilding them was ~40% of the batch fingerprint cost)
+_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _powers(total: int):
+    """(invpow, bpow) with invpow[i]=B^-i, bpow[i]=B^i for i<=total."""
+    bp = _POW_CACHE.get("b")
+    if bp is None or len(bp) <= total:
+        size = max(total + 1, 1 << 16)
+        if bp is not None:
+            size = max(size, 2 * len(bp))
+        with np.errstate(over="ignore"):
+            b = np.empty(size, dtype=np.uint64)
+            b[0] = 1
+            np.cumprod(np.full(size - 1, _RK_BASE, dtype=np.uint64), out=b[1:])
+            inv_b = np.uint64(pow(int(_RK_BASE), -1, 1 << 64))
+            iv = np.empty(size, dtype=np.uint64)
+            iv[0] = 1
+            np.cumprod(np.full(size - 1, inv_b, dtype=np.uint64), out=iv[1:])
+        _POW_CACHE["b"], _POW_CACHE["inv"] = b, iv
+    return _POW_CACHE["inv"], _POW_CACHE["b"]
+
+
+# ASCII lowercase map for the word-identity hash; non-ASCII memoized
+# (single-codepoint lowering only — a multi-char expansion keeps its
+# original code point, so two spellings that only unify under full
+# string lowering hash apart; vanishingly rare and only affects
+# unique_word_ratio by the same token)
+_T_LOWER = np.arange(128, dtype=np.uint32)
+_T_LOWER[ord("A") : ord("Z") + 1] += 32
+_NONASCII_LOWER: dict[int, int] = {}
+
+
+def _lower_codepoints(cp: np.ndarray) -> np.ndarray:
+    ascii_mask = cp < 128
+    out = np.where(ascii_mask, _T_LOWER[np.where(ascii_mask, cp, 0)], cp)
+    if not ascii_mask.all():
+        for i in np.flatnonzero(~ascii_mask):
+            c = int(cp[i])
+            lc = _NONASCII_LOWER.get(c)
+            if lc is None:
+                l = chr(c).lower()
+                lc = ord(l) if len(l) == 1 else c
+                if len(_NONASCII_LOWER) < 1 << 16:
+                    _NONASCII_LOWER[c] = lc
+            out[i] = lc
+    return out
+
+
+def _span_hashes(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """64-bit polynomial hash of each [start, end) span of a uint32
+    value stream, in one prefix-sum pass (uint64 wraparound modulus)."""
+    total = len(values)
+    invpow, bpow = _powers(total)
+    with np.errstate(over="ignore"):
+        g = np.empty(total + 1, dtype=np.uint64)
+        g[0] = 0
+        np.cumsum(values.astype(np.uint64) * invpow[:total], out=g[1:])
+        h = (g[ends] - g[starts]) * bpow[ends]
+    return h ^ (ends - starts).astype(np.uint64)
+
+
+def analyze_batch(texts: list, features=("lang", "tokens", "quality", "fingerprint")) -> dict:
+    """Vectorized batch form of :func:`detect_language`,
+    :func:`quality_features`, :func:`count_tokens_ws`,
+    :func:`count_tokens_bpe` and :func:`fingerprint` — bit-identical
+    values (parity-tested), one numpy pass per feature family instead of
+    Python per row/word/char."""
+    feats = set(features)
+    n = len(texts)
+    out: dict = {}
+    if n == 0:
+        return out
+    big = "".join(texts)
+    cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter(map(len, texts), dtype=np.int64, count=n)
+    doc_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=doc_starts[1:])
+    bounds = np.concatenate([doc_starts, [len(cp)]])
+
+    def per_doc_count(positions: np.ndarray) -> np.ndarray:
+        return np.bincount(
+            np.searchsorted(bounds, positions, side="right") - 1, minlength=n
+        )
+
+    need_words = feats & {"lang", "quality"}
+    if need_words or "quality" in feats or "tokens" in feats:
+        alpha, space, word = _classify_codepoints(cp)
+
+    if need_words:
+        # word spans: runs of [\w'] within each doc (Python re [\w']+)
+        wchar = word | (cp == np.uint32(ord("'")))
+        wstarts = _run_starts(wchar, doc_starts)
+        # run ends: next position where wchar stops
+        nonw = np.flatnonzero(~wchar)
+        wends = np.searchsorted(nonw, wstarts)
+        wends = np.where(
+            wends < len(nonw), nonw[np.minimum(wends, len(nonw) - 1)], len(cp)
+        ) if len(nonw) else np.full(len(wstarts), len(cp), dtype=np.int64)
+        # clamp to doc end (a run can't cross docs by construction of
+        # _run_starts only for STARTS; ends must clamp explicitly)
+        doc_of_w = np.searchsorted(bounds, wstarts, side="right") - 1
+        wends = np.minimum(wends, bounds[doc_of_w + 1])
+        n_words = np.bincount(doc_of_w, minlength=n)
+        w_len = wends - wstarts
+        if len(wstarts):
+            # word identity = span hash over the LOWERED code-point
+            # stream (no substring materialization, no object sort);
+            # strings extracted once per UNIQUE word for the profile
+            # membership lookups
+            cp_low = _lower_codepoints(cp)
+            wh = _span_hashes(cp_low, wstarts, wends)
+            uniqh, first_idx, inv = np.unique(
+                wh, return_index=True, return_inverse=True
+            )
+            n_luniq = len(uniqh)
+            u_lcode = np.arange(n_luniq, dtype=np.int64)
+            reps = [
+                big[wstarts[i] : wends[i]].lower() for i in first_idx
+            ]
+            u_member = np.zeros((n_luniq, len(_PROFILE_ORDER)), dtype=np.int64)
+            for j, lang in enumerate(_PROFILE_ORDER):
+                prof = LANG_PROFILES[lang]
+                u_member[:, j] = [w in prof for w in reps]
+        else:
+            inv = np.empty(0, dtype=np.int64)
+            u_lcode, n_luniq = np.empty(0, dtype=np.int64), 0
+            u_member = np.zeros((0, len(_PROFILE_ORDER)), dtype=np.int64)
+
+    if "lang" in feats:
+        hits = np.zeros((n, len(_PROFILE_ORDER)), dtype=np.int64)
+        if len(inv):
+            for j in range(len(_PROFILE_ORDER)):
+                hits[:, j] = np.bincount(
+                    doc_of_w, weights=u_member[inv, j], minlength=n
+                ).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores = hits / np.maximum(n_words, 1)[:, None]
+        best_j = np.argmax(scores, axis=1)
+        best_s = scores[np.arange(n), best_j]
+        langs = np.array(_PROFILE_ORDER, dtype=object)[best_j]
+        und = (best_s <= 0.0) | (n_words == 0)
+        langs[und] = "und"
+        best_s = np.where(und, 0.0, best_s)
+        out["lang_pred"] = langs
+        out["lang_score"] = best_s.astype(np.float64)
+
+    if "quality" in feats:
+        n_chars = lens
+        sum_wl = np.zeros(n, dtype=np.int64)
+        stop_hits = np.zeros(n, dtype=np.int64)
+        if len(inv):
+            sum_wl = np.bincount(doc_of_w, weights=w_len, minlength=n).astype(
+                np.int64
+            )
+            en_j = _PROFILE_ORDER.index("en")
+            stop_hits = np.bincount(
+                doc_of_w, weights=u_member[inv, en_j], minlength=n
+            ).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_wl = np.where(n_words > 0, sum_wl / np.maximum(n_words, 1), 0.0)
+            stop_ratio = np.where(
+                n_words > 0, stop_hits / np.maximum(n_words, 1), 0.0
+            )
+        # distinct lowered words per doc
+        uniq_per_doc = np.zeros(n, dtype=np.int64)
+        if len(inv):
+            key = doc_of_w * np.int64(max(n_luniq, 1)) + u_lcode[inv]
+            uk = np.unique(key)
+            uniq_per_doc = np.bincount(
+                (uk // np.int64(max(n_luniq, 1))).astype(np.int64), minlength=n
+            )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            uniq_ratio = np.where(
+                n_words > 0, uniq_per_doc / np.maximum(n_words, 1), 0.0
+            )
+        # punct = [^\w\s] (the \w table already includes "_"),
+        # alpha = str.isalpha — per-doc codepoint counts
+        punct_pos = np.flatnonzero(~word & ~space)
+        n_punct = per_doc_count(punct_pos) if len(punct_pos) else np.zeros(n, dtype=np.int64)
+        alpha_pos = np.flatnonzero(alpha)
+        n_alpha = per_doc_count(alpha_pos) if len(alpha_pos) else np.zeros(n, dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+            alpha_ratio = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
+        score = np.clip(
+            0.25 * np.minimum(n_words / 50.0, 1.0)
+            + 0.25 * np.clip((mean_wl - 2.0) / 6.0, 0, 1)
+            + 0.25 * np.minimum(stop_ratio / 0.3, 1.0)
+            + 0.25 * alpha_ratio,
+            0.0,
+            1.0,
+        )
+        out["n_words"] = n_words.astype(np.int64)
+        out["mean_word_len"] = mean_wl.astype(np.float64)
+        out["punct_ratio"] = punct_ratio.astype(np.float64)
+        out["stopword_ratio"] = stop_ratio.astype(np.float64)
+        out["alpha_ratio"] = alpha_ratio.astype(np.float64)
+        out["unique_word_ratio"] = uniq_ratio.astype(np.float64)
+        out["quality_score"] = score.astype(np.float64)
+
+    if "tokens" in feats:
+        # n_tok_ws: runs of non-whitespace (str.split semantics)
+        ws_starts = _run_starts(~space, doc_starts)
+        out["n_tok_ws"] = (
+            per_doc_count(ws_starts) if len(ws_starts) else np.zeros(n, dtype=np.int64)
+        )
+        # BPE-ish count: the lookahead alternation isn't expressible as
+        # vectorized runs — per-doc C-regex count without building the
+        # match-string list
+        out["n_tok_bpe"] = np.fromiter(
+            (len(BPE_RE.findall(t)) for t in texts), dtype=np.int64, count=n
+        )
+
+    if "fingerprint" in feats:
+        out["fingerprint"] = fingerprint_batch_v(texts)
+    return out
+
+
+def fingerprint_batch_v(texts) -> np.ndarray:
+    """Vectorized :func:`fingerprint` over a batch: one prefix-sum over
+    the concatenated UTF-8 byte stream (H = B^{s+n-1}·(G[e]-G[s]) with
+    G[j] = Σ_{i<j} byte[i]·B^{-i}, uint64 wraparound) — bit-identical
+    to the per-row form."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    bufs = [t.encode("utf-8", "ignore") for t in texts]
+    blens = np.fromiter(map(len, bufs), dtype=np.int64, count=n)
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    total = len(data)
+    ends = np.cumsum(blens)
+    starts = ends - blens
+    nonempty = blens > 0
+    if total:
+        invpow, bpow = _powers(total)
+        with np.errstate(over="ignore"):
+            g = np.empty(total + 1, dtype=np.uint64)
+            g[0] = 0
+            np.cumsum(data * invpow[:total], out=g[1:])
+            h = (g[ends] - g[starts]) * bpow[np.maximum(ends - 1, 0)]
+        vals = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64) ^ blens
+        out[nonempty] = vals[nonempty]
+    return out
+
+
 def jaccard(a, b) -> float:
     """Jaccard similarity of two shingle id arrays/sets."""
     sa, sb = set(np.asarray(a).tolist()), set(np.asarray(b).tolist())

@@ -56,9 +56,63 @@ class HashTokenizer:
             out.append(t)
         return out
 
+    def _tok_batch(self, texts: list) -> pa.ListArray:
+        """Vectorized batch tokenizer, identical output to per-row
+        :meth:`_tok`: word/punct spans found by code-point runs over the
+        concatenated lowered stream, token ids resolved per UNIQUE span
+        hash (blake2b runs once per unique word, not once per word)."""
+        from grass_ray.functions.textstats import (
+            _classify_codepoints,
+            _span_hashes,
+        )
+
+        lowered = [(t or "").lower() for t in texts]
+        big = "".join(lowered)
+        cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+        lens = np.fromiter(map(len, lowered), dtype=np.int64, count=len(lowered))
+        doc_starts = np.zeros(len(lowered), dtype=np.int64)
+        np.cumsum(lens[:-1], out=doc_starts[1:])
+        bounds = np.concatenate([doc_starts, [len(cp)]])
+        if len(cp) == 0:
+            return pa.ListArray.from_arrays(
+                pa.array(np.zeros(len(texts) + 1, dtype=np.int32)),
+                pa.array([], type=pa.int32()),
+            )
+        _alpha, space, word = _classify_codepoints(cp)
+        # token spans in position order: \w+ runs and single [^\w\s] chars
+        wstart = word.copy()
+        wstart[1:] &= ~word[:-1]
+        wstart[doc_starts] = word[doc_starts]
+        starts = np.flatnonzero(wstart | (~word & ~space))
+        nonw = np.flatnonzero(~word)
+        at = np.searchsorted(nonw, starts)
+        run_end = np.where(
+            at < len(nonw), nonw[np.minimum(at, len(nonw) - 1)], len(cp)
+        ) if len(nonw) else np.full(len(starts), len(cp), dtype=np.int64)
+        doc_of = np.searchsorted(bounds, starts, side="right") - 1
+        is_word_tok = word[starts]
+        ends = np.where(is_word_tok, np.minimum(run_end, bounds[doc_of + 1]), starts + 1)
+        h = _span_hashes(cp, starts, ends)
+        uniqh, first_idx, inv = np.unique(h, return_index=True, return_inverse=True)
+        cache = self.cache
+        utok = np.empty(len(uniqh), dtype=np.int64)
+        for j, fi in enumerate(first_idx):
+            w = big[starts[fi] : ends[fi]]
+            t = cache.get(w)
+            if t is None:
+                t = self.hash(w) % self.vocab
+                if len(cache) < 262144:
+                    cache[w] = t
+            utok[j] = t
+        vals = utok[inv].astype(np.int32)
+        counts = np.bincount(doc_of, minlength=len(texts))
+        offsets = np.zeros(len(texts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        return pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        toks = [self._tok(t or "") for t in texts]
+        toks = self._tok_batch(texts)
         ids = batch.column(self.id_col).to_pylist() if self.id_col in batch.column_names else range(len(texts))
         srcs = (
             batch.column(self.source_col).to_pylist()
@@ -70,10 +124,8 @@ class HashTokenizer:
                 "doc_id": pa.array(
                     [i if isinstance(i, str) else f"d{int(i):07d}" for i in ids]
                 ),
-                "tokens": pa.array(toks, type=pa.list_(pa.int32())),
-                "n_tok": pa.array(
-                    [len(t) for t in toks], type=pa.int32()
-                ),
+                "tokens": toks.cast(pa.list_(pa.int32())),
+                "n_tok": toks.value_lengths().cast(pa.int32()),
                 "source": pa.array([str(s) for s in srcs]),
             }
         )

@@ -26,21 +26,38 @@ class TextAnalyzer:
         T = self.T
         texts = batch.column("text").to_pylist()
         out = dict(zip(batch.column_names, batch.columns))
+        if not texts:
+            feats = self.features
+            empty_cols = []
+            if "lang" in feats:
+                empty_cols += [("lang_pred", pa.string()), ("lang_score", pa.float64())]
+            if "tokens" in feats:
+                empty_cols += [("n_tok_ws", pa.int64()), ("n_tok_bpe", pa.int64())]
+            if "quality" in feats:
+                empty_cols += [("n_words", pa.int64())] + [
+                    (k, pa.float64())
+                    for k in (
+                        "mean_word_len", "punct_ratio", "stopword_ratio",
+                        "alpha_ratio", "unique_word_ratio", "quality_score",
+                    )
+                ]
+            if "fingerprint" in feats:
+                empty_cols += [("fingerprint", pa.int64())]
+            for k, typ in empty_cols:
+                out[k] = pa.array([], type=typ)
+            return pa.table(out)
+        # one vectorized pass over the batch (parity-tested against the
+        # per-row reference functions)
+        b = T.analyze_batch(texts, features=tuple(self.features))
         if "lang" in self.features:
-            langs, scores = zip(*(T.detect_language(t) for t in texts)) if texts else ((), ())
-            out["lang_pred"] = pa.array(list(langs), type=pa.string())
-            out["lang_score"] = pa.array(list(scores), type=pa.float64())
+            out["lang_pred"] = pa.array(b["lang_pred"].tolist(), type=pa.string())
+            out["lang_score"] = pa.array(b["lang_score"], type=pa.float64())
         if "tokens" in self.features:
-            out["n_tok_ws"] = pa.array(
-                [T.count_tokens_ws(t) for t in texts], type=pa.int64()
-            )
-            out["n_tok_bpe"] = pa.array(
-                [T.count_tokens_bpe(t) for t in texts], type=pa.int64()
-            )
+            out["n_tok_ws"] = pa.array(b["n_tok_ws"], type=pa.int64())
+            out["n_tok_bpe"] = pa.array(b["n_tok_bpe"], type=pa.int64())
         if "quality" in self.features:
-            feats = [T.quality_features(t) for t in texts]
+            out["n_words"] = pa.array(b["n_words"], type=pa.int64())
             for k in (
-                "n_words",
                 "mean_word_len",
                 "punct_ratio",
                 "stopword_ratio",
@@ -48,12 +65,9 @@ class TextAnalyzer:
                 "unique_word_ratio",
                 "quality_score",
             ):
-                typ = pa.int64() if k == "n_words" else pa.float64()
-                out[k] = pa.array([f[k] for f in feats], type=typ)
+                out[k] = pa.array(b[k], type=pa.float64())
         if "fingerprint" in self.features:
-            out["fingerprint"] = pa.array(
-                T.fingerprint_batch(texts), type=pa.int64()
-            )
+            out["fingerprint"] = pa.array(b["fingerprint"], type=pa.int64())
         return pa.table(out)
 
 
