@@ -255,6 +255,26 @@ def _q_algebra_if(sf_dir: str) -> pa.Table:
     return t.drop_columns([c for c in ("gran",) if c in t.column_names])
 
 
+def _q_algebra_topo(sf_dir: str) -> pa.Table:
+    """Topology-qualified algebra across granularities:
+    ``C = A {+, starts|during|finishes} B`` with A = 1m tier, B = 1h
+    tier — every minute window folds with its containing hour window
+    (`temporal_raster_base_algebra.py` topology-list semantics; the
+    engine's tier_topo one-exchange plan)."""
+    from grass_ray.stages.algebra import algebra
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.stages.rollup import rollup
+
+    corpus = _corpus(sf_dir)
+    a = rollup(corpus, 60, ("average",), nested=True)
+    b = rollup(_corpus(sf_dir), 3600, ("average",), nested=True)
+    _nm, out = algebra("C = A {+, starts|during|finishes} B", {"A": a, "B": b})
+    pts = explode_nested(out, value_cols=("average",))
+    t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    t = _rename(t, {"average": "v"})
+    return t.drop_columns([c for c in ("gran",) if c in t.column_names])
+
+
 def _q_cascade_1h(sf_dir: str) -> pa.Table:
     from grass_ray.stages.cascade import cascade, explode_nested
     from grass_ray.stages.rollup import rollup
@@ -1320,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_holistic": _q_window_holistic,
         "rollup_extras": _q_rollup_extras,
         "algebra_if": _q_algebra_if,
+        "algebra_topo": _q_algebra_topo,
         "cascade_1h": _q_cascade_1h,
         "series_stats": _q_series,
         "series_enriched": _q_series_enriched,
@@ -1658,6 +1679,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN a IS NULL THEN NULL
                         WHEN a > 500 THEN a ELSE s END AS v
             FROM r
+        """,
+        "algebra_topo": f"""
+            WITH tok AS ({tok}),
+            a AS (
+                SELECT source, doc_id, pos // 60 AS w, avg(token) AS av
+                FROM tok GROUP BY 1, 2, 3
+            ),
+            b AS (
+                SELECT source, doc_id, pos // 3600 AS wb, avg(token) AS bv
+                FROM tok GROUP BY 1, 2, 3
+            )
+            SELECT a.source, a.doc_id, a.w AS "window", a.av + b.bv AS v
+            FROM a JOIN b
+              ON a.source = b.source AND a.doc_id = b.doc_id
+             AND a.w // 60 = b.wb
         """,
         "interp_positions": f"""
             WITH tok AS ({tok}),

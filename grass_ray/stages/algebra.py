@@ -407,12 +407,43 @@ def _split_toplevel(s: str):
     return None
 
 
+_TOPO_Q = re.compile(
+    r"\{\s*([+\-*/%#]|&&|\|\||!?:)\s*,\s*([\w|]+)\s*(?:,\s*(\w+)\s*)?\}"
+)
+
+
+def _find_topo_split(rhs: str):
+    """Top-level ``LHS {op, relation[, side]} RHS`` with a non-equal
+    relation -> (lhs, op, relations, side, rhs); None otherwise."""
+    depth = 0
+    for i, ch in enumerate(rhs):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "{" and depth == 0:
+            m = _TOPO_Q.match(rhs, i)
+            if m:
+                rels = m.group(2).split("|")
+                if set(rels) - {"equal"}:
+                    return (
+                        rhs[: i],
+                        m.group(1),
+                        rels,
+                        m.group(3),
+                        rhs[m.end():],
+                    )
+    return None
+
+
 def algebra(statement: str, tiers: dict, value_col: str = "average"):
     """Evaluate one algebra statement over named nested tiers.
 
     Returns (bound_name | None, result_dataset).  Grammar: full
     arithmetic/conditional expressions (see :func:`tier_expr`), the
-    ``#`` hash operator, top-level ``:`` / ``!:`` selection, and the
+    ``#`` hash operator, top-level ``:`` / ``!:`` selection,
+    topology-qualified ``A {op, relation[, side]} B`` binops across
+    granularities (see :func:`tier_topo`), and the
     ``tshift``/``buff``/``map`` single-op forms.
     """
     m_bind = re.match(r"^\s*(\w+)\s*=(?!=)\s*(.*)$", statement, re.DOTALL)
@@ -420,6 +451,19 @@ def algebra(statement: str, tiers: dict, value_col: str = "average"):
         name, rhs = m_bind.group(1), m_bind.group(2)
     else:
         name, rhs = None, statement
+    topo = _find_topo_split(rhs.strip())
+    if topo is not None:
+        left, op, rels, side, right = topo
+        if side not in (None, "l"):
+            raise NotImplementedError(
+                f"topology side modifier {side!r}: only 'l' (result on the "
+                "left operand's granules) is implemented"
+            )
+        lds = _operand(left, tiers, value_col)
+        rds = _operand(right, tiers, value_col)
+        return name, tier_topo(
+            lds, rds, op, rels, value_col=value_col
+        )
     rhs = _reduce_qualifiers(rhs.strip())
 
     m = _TSHIFT.match(rhs)
@@ -521,6 +565,224 @@ def _map_expr(ds, expr: str, value_col: str = "average"):
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow", batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+# topology-qualified operators: A {op, relation[, side]} B
+# ---------------------------------------------------------------------------
+
+# A-perspective Allen predicates on half-open interval pair grids
+# (mirrors functions/topology.py `relation()` — strict `during`,
+# starts/finishes split out, precedes = meets)
+_TOPO_PREDS = {
+    "equal": lambda as_, ae, bs, be: (as_ == bs) & (ae == be),
+    "during": lambda as_, ae, bs, be: (as_ > bs) & (ae < be),
+    "contains": lambda as_, ae, bs, be: (as_ < bs) & (ae > be),
+    "starts": lambda as_, ae, bs, be: (as_ == bs) & (ae < be),
+    "started": lambda as_, ae, bs, be: (as_ == bs) & (ae > be),
+    "finishes": lambda as_, ae, bs, be: (ae == be) & (as_ > bs),
+    "finished": lambda as_, ae, bs, be: (ae == be) & (as_ < bs),
+    "overlaps": lambda as_, ae, bs, be: (as_ < bs) & (ae > bs) & (ae < be),
+    "overlapped": lambda as_, ae, bs, be: (as_ > bs) & (as_ < be) & (ae > be),
+    "precedes": lambda as_, ae, bs, be: ae == bs,
+    "follows": lambda as_, ae, bs, be: be == as_,
+    "before": lambda as_, ae, bs, be: ae < bs,
+    "after": lambda as_, ae, bs, be: as_ > be,
+}
+
+
+def _topo_matches(wa, ga, wb, gb, relations):
+    """(ia, ib) index pairs of A windows x B windows whose nominal
+    extents [w·g, (w+1)·g) satisfy ANY of the requested relations.
+    Chunked over A so the pair grid stays bounded."""
+    as_all = wa * ga
+    bs = wb * gb
+    be = bs + gb
+    ia_parts, ib_parts = [], []
+    chunk = max(1, (4 << 20) // max(len(wb), 1))
+    for lo in range(0, len(wa), chunk):
+        as_ = as_all[lo : lo + chunk, None]
+        ae = as_ + ga
+        m = np.zeros((as_.shape[0], len(wb)), dtype=bool)
+        for rel in relations:
+            m |= _TOPO_PREDS[rel](as_, ae, bs[None, :], be[None, :])
+        ia, ib = np.nonzero(m)
+        ia_parts.append(ia + lo)
+        ib_parts.append(ib)
+    if not ia_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(ia_parts), np.concatenate(ib_parts)
+
+
+def _topo_fold(op, a_vals, b_vals, ia, ib, na):
+    """result[a] = a_vals[a] op b_1 op b_2 ... over the matched B values
+    in temporal order (GRASS applies the operator successively along the
+    topology list).  Decomposable ops fold via segment sum/product; the
+    rest fold via a bounded Python loop.  Returns (values, matched_mask)."""
+    matched = np.zeros(na, dtype=bool)
+    matched[ia] = True
+    out = np.full(na, np.nan)
+    if len(ia) == 0:
+        return out, matched
+    with np.errstate(all="ignore"):
+        if op in ("+", "-"):
+            seg = np.zeros(na)
+            np.add.at(seg, ia, b_vals[ib])
+            out[matched] = (
+                a_vals[matched] + seg[matched]
+                if op == "+"
+                else a_vals[matched] - seg[matched]
+            )
+        elif op in ("*", "/"):
+            # per-A product of matched B values (multiply.at segment fold)
+            segp = np.ones(na)
+            np.multiply.at(segp, ia, b_vals[ib])
+            out[matched] = (
+                a_vals[matched] * segp[matched]
+                if op == "*"
+                else a_vals[matched] / segp[matched]
+            )
+        else:
+            acc = a_vals.astype(np.float64).copy()
+            for i, j in zip(ia, ib):
+                x, y = acc[i], b_vals[j]
+                if op == "%":
+                    acc[i] = np.mod(x, y)
+                elif op == "&&":
+                    acc[i] = (
+                        np.nan
+                        if (np.isnan(x) or np.isnan(y))
+                        else float((x != 0) and (y != 0))
+                    )
+                elif op == "||":
+                    acc[i] = (
+                        np.nan
+                        if (np.isnan(x) or np.isnan(y))
+                        else float((x != 0) or (y != 0))
+                    )
+                else:
+                    raise ValueError(f"unsupported topo operator {op!r}")
+            out[matched] = acc[matched]
+    return out, matched
+
+
+def tier_topo(
+    ds_a,
+    ds_b,
+    op: str,
+    relations,
+    *,
+    key_cols=_DEFAULT_KEYS,
+    value_col: str = "average",
+    out_col: str | None = None,
+    buckets: int = 64,
+):
+    """``A {op, relation[|relation...]} B`` over nested tiers whose
+    granularities differ — the temporal-topology form of the algebra
+    (``temporal_raster_base_algebra.py`` build_spatio_temporal_topology
+    + successive operator application).  ``op``:
+
+    * arithmetic ``+ - * / % && ||`` — output on A's windows that have
+      at least one matching B window; value folds A's value with every
+      matching B value in temporal order;
+    * ``#`` — per-A-window count of matching B windows (``hash_count``);
+    * ``:`` / ``!:`` — selection: keep A windows with (without) any
+      matching B window, values unchanged.
+
+    Same scale shape as :func:`tier_hash`: ONE bucket exchange on the
+    key hash; per-key pair grids chunked."""
+    out_col = out_col or value_col
+    keys = list(key_cols)
+    rels = list(relations)
+    unknown = set(rels) - set(_TOPO_PREDS)
+    if unknown:
+        raise ValueError(f"unknown temporal relation(s) {sorted(unknown)}")
+    select_mode = op in (":", "!:")
+    hash_mode = op == "#"
+
+    def tag(side, vc):
+        def kernel(batch: pa.Table) -> pa.Table:
+            cols = {k: batch.column(k) for k in keys}
+            cols["gran"] = batch.column("gran")
+            cols["windows"] = batch.column("windows")
+            vcol = batch.column(vc)
+            if isinstance(vcol, pa.ChunkedArray):
+                vcol = vcol.combine_chunks()
+            cols["_v"] = vcol.cast(pa.list_(pa.float64()))
+            cols["_side"] = pa.array([side] * batch.num_rows)
+            t = pa.table(cols)
+            from grass_ray.stages.join import _bucket_ids
+
+            return t.append_column(
+                "_bucket", pa.array(_bucket_ids(t, keys, buckets))
+            )
+
+        return kernel
+
+    u = ds_a.map_batches(tag("a", value_col), batch_format="pyarrow").union(
+        ds_b.map_batches(tag("b", value_col), batch_format="pyarrow")
+    )
+    res_col = "hash_count" if hash_mode else out_col
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.to_pydict()
+        rows_a: dict = {}
+        rows_b: dict = {}
+        for i in range(batch.num_rows):
+            key = tuple(d[k][i] for k in keys)
+            ws = np.asarray(d["windows"][i], dtype=np.int64)
+            vs = np.array(
+                [np.nan if x is None else x for x in d["_v"][i]],
+                dtype=np.float64,
+            )
+            order = np.argsort(ws, kind="stable")
+            rec = (int(d["gran"][i]), ws[order], vs[order])
+            (rows_a if d["_side"][i] == "a" else rows_b)[key] = rec
+        out_key = {k: [] for k in keys}
+        out_gran, out_w, out_v = [], [], []
+
+        def emit(key, gran, w, v, as_ints=False):
+            for k, kv in zip(keys, key):
+                out_key[k].append(kv)
+            out_gran.append(gran)
+            out_w.append(w.tolist())
+            if as_ints:
+                out_v.append([int(x) for x in v])
+            else:
+                out_v.append([None if np.isnan(x) else float(x) for x in v])
+
+        for key in sorted(rows_a):
+            ga, wa, va = rows_a[key]
+            if key not in rows_b:
+                if select_mode and op == "!:":
+                    emit(key, ga, wa, va)
+                continue
+            gb, wb, vb = rows_b[key]
+            ia, ib = _topo_matches(wa, ga, wb, gb, rels)
+            if hash_mode:
+                cnt = np.zeros(len(wa), dtype=np.int64)
+                np.add.at(cnt, ia, 1)
+                emit(key, ga, wa, cnt, as_ints=True)
+                continue
+            matched = np.zeros(len(wa), dtype=bool)
+            matched[ia] = True
+            if select_mode:
+                keep = ~matched if op == "!:" else matched
+                emit(key, ga, wa[keep], va[keep])
+                continue
+            vals, matched = _topo_fold(op, va, vb, ia, ib, len(wa))
+            emit(key, ga, wa[matched], vals[matched])
+        cols = {k: pa.array(out_key[k]) for k in keys}
+        cols["gran"] = pa.array(out_gran, type=pa.int64())
+        cols["windows"] = pa.array(out_w, type=pa.list_(pa.int64()))
+        cols[res_col] = pa.array(
+            out_v,
+            type=pa.list_(pa.int64() if hash_mode else pa.float64()),
+        )
+        return pa.table(cols)
+
+    return u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def tier_hash(ds_a, ds_b, *, key_cols=_DEFAULT_KEYS, buckets: int = 64):

@@ -85,13 +85,17 @@ def test_qualified_equal_op(tiers):
     assert v == [2.0, 3.0, 4.0, 5.0]
 
 
-def test_non_equal_relation_raises(tiers):
-    # "R = A {!:,during} C" (raster_algebra.py:731): topologies beyond
-    # 'equal' are rejected loudly, not silently mis-computed
+def test_unsupported_topology_forms_raise(tiers):
+    # top-level non-equal relations are now evaluated by tier_topo
+    # (test_algebra_topo.py); the still-unsupported forms stay loud:
+    # a topo qualifier NESTED inside an expression, and side modifiers
+    # other than 'l' (raster_algebra.py:731 grammar breadth)
     from grass_ray.stages.algebra import algebra
 
     with pytest.raises(NotImplementedError):
-        algebra("R = A {+,during} D", tiers)
+        algebra("R = A + (A {+,during} D)", tiers)
+    with pytest.raises(NotImplementedError):
+        algebra("R = A {+,during,r} D", tiers)
 
 
 def test_hash_in_expression(tiers):
