@@ -208,17 +208,35 @@ def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
     return batch
 
 
-def tokenize_text(ds, vocab_size: int = 50257, concurrency=(1, 8), **kw):
-    """documents-with-text -> corpus via the actor-pool tokenizer."""
+_TOKENIZERS: dict = {}
+
+
+def _tokenize_kernel(batch: pa.Table, key) -> pa.Table:
+    """Task-pool kernel: per-worker-process memoized HashTokenizer (the
+    word cache lives at module scope and Ray worker processes persist
+    across tasks — actor-style setup amortization without the actor
+    pool's spin-up latency, which costs more than the whole sf0.1
+    tokenize at this batch scale)."""
+    tk = _TOKENIZERS.get(key)
+    if tk is None:
+        vocab_size, kw_items = key
+        tk = _TOKENIZERS.setdefault(
+            key, HashTokenizer(vocab_size=vocab_size, **dict(kw_items))
+        )
+    return tk(batch)
+
+
+def tokenize_text(ds, vocab_size: int = 50257, concurrency=None, **kw):
+    """documents-with-text -> corpus via the memoized tokenizer kernel."""
     ds = ds.map_batches(
         _strip_schema_metadata, batch_format="pyarrow", batch_size=None
     )
+    key = (vocab_size, tuple(sorted(kw.items())))
     return ds.map_batches(
-        HashTokenizer,
-        fn_constructor_kwargs={"vocab_size": vocab_size, **kw},
+        lambda b, _k=key: _tokenize_kernel(b, _k),
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=concurrency,
+        **({"concurrency": concurrency} if concurrency else {}),
     )
 
 
