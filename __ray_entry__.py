@@ -244,7 +244,9 @@ def _q_algebra_if(sf_dir: str) -> pa.Table:
     from grass_ray.stages.cascade import explode_nested
     from grass_ray.stages.rollup import rollup
 
-    nested = rollup(_corpus(sf_dir), 60, ("average", "sum"), nested=True)
+    # A and B are two value columns of the SAME nested tier: materialize
+    # once or the lazy rollup pipeline re-executes per operand
+    nested = rollup(_corpus(sf_dir), 60, ("average", "sum"), nested=True).materialize()
     out = tier_expr(
         "if(A > 500, A, B)",
         {"A": (nested, "average"), "B": (nested, "sum")},

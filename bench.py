@@ -129,6 +129,7 @@ def run_bench() -> dict:
         "rollup_regression",
         "window_holistic",
         "algebra_if",
+        "algebra_topo",
         "events_topk",
         "events_hopping",
         "vocab_top100",

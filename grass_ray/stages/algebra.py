@@ -303,12 +303,14 @@ def tier_expr(
 
     out_col = out_col or value_col
     keys = list(key_cols)
-    # granularities resolved up front (one manifest-free schema peek per
-    # tier: read the first row's gran)
+    # granularities resolved up front ONLY when the expression uses a
+    # temporal function (each resolution is a partial pipeline execution
+    # — limit(1).take(1) runs the operand's whole first block)
     gran_of = {}
-    for nm, spec in tiers.items():
-        row = _tier_ds(spec).limit(1).take(1)
-        gran_of[nm] = int(row[0]["gran"]) if row else 1
+    if re.search(r"\b(td|start_time|end_time)\s*\(", expr):
+        for nm, spec in tiers.items():
+            row = _tier_ds(spec).limit(1).take(1)
+            gran_of[nm] = int(row[0]["gran"]) if row else 1
     fn, names_used = compile_tier_expr(expr, tiers.keys(), gran_of)
     if not names_used:
         raise ValueError(f"expression references no known tier: {expr!r}")
