@@ -20,10 +20,13 @@ per key, parallel ``windows``/value lists, equal granularity):
 * temporal neighborhood indexing ``A[-1] + A[1]``
   (``...raster_algebra.py:587``);
 * selection ``A : B`` / ``A !: B`` and ``tshift`` / ``tsnap`` / ``buff``;
-* ``{op, relation[, side]}`` qualifiers are parsed; only the
-  ``equal`` relation (the engine's aligned-granularity contract) is
-  implemented — anything else raises ``NotImplementedError`` loudly
-  rather than silently computing the wrong topology.
+* topology-qualified ``A {op, relation[|relation...]} B`` across
+  granularities at statement level (:func:`tier_topo`: Allen-matched
+  granule folds, ``#`` counts, ``:``/``!:`` selection); ``equal``
+  reduces to the aligned fast path; a qualifier nested inside a larger
+  expression or a side modifier other than ``l`` raises
+  ``NotImplementedError`` loudly rather than silently computing the
+  wrong topology.
 
 Partitioning: expression evaluation unions the tagged operand tiers and
 exchanges ONE bucket groupby on ``hash(key) % B`` — every key's rows
@@ -299,7 +302,6 @@ def tier_expr(
     One bucket-grouped exchange co-locates each key's operand rows;
     nothing is broadcast or collected on the driver.
     """
-    import zlib
 
     out_col = out_col or value_col
     keys = list(key_cols)
@@ -321,6 +323,8 @@ def tier_expr(
         vc = _tier_vcol(spec, value_col)
 
         def tag(batch: pa.Table, _nm=nm, _vc=vc) -> pa.Table:
+            from grass_ray.stages.join import _bucket_ids
+
             vcol = batch.column(_vc)
             if isinstance(vcol, pa.ChunkedArray):
                 vcol = vcol.combine_chunks()
@@ -330,14 +334,9 @@ def tier_expr(
             cols["_v"] = vcol.cast(pa.list_(pa.float64()))
             cols["_tier"] = pa.array([_nm] * batch.num_rows)
             t = pa.table(cols)
-            kh = np.array(
-                [
-                    zlib.crc32("|".join(str(x) for x in row).encode()) % buckets
-                    for row in zip(*(t.column(k).to_pylist() for k in keys))
-                ],
-                dtype=np.int32,
+            return t.append_column(
+                "_bucket", pa.array(_bucket_ids(t, keys, buckets))
             )
-            return t.append_column("_bucket", pa.array(kh))
 
         parts.append(
             _tier_ds(spec).map_batches(tag, batch_format="pyarrow")
@@ -796,25 +795,21 @@ def tier_hash(ds_a, ds_b, *, key_cols=_DEFAULT_KEYS, buckets: int = 64):
     groupby on the key hash (a key's A and B rows land together); the
     per-bucket kernel counts B windows per A window with numpy — no
     driver-side dict of B (VERDICT r1 'what's wrong' #8)."""
-    import zlib
 
     keys = list(key_cols)
 
     def tag(side):
         def kernel(batch: pa.Table) -> pa.Table:
+            from grass_ray.stages.join import _bucket_ids
+
             cols = {k: batch.column(k) for k in keys}
             cols["gran"] = batch.column("gran")
             cols["windows"] = batch.column("windows")
             cols["_side"] = pa.array([side] * batch.num_rows)
             t = pa.table(cols)
-            kh = np.array(
-                [
-                    zlib.crc32("|".join(str(x) for x in row).encode()) % buckets
-                    for row in zip(*(t.column(k).to_pylist() for k in keys))
-                ],
-                dtype=np.int32,
+            return t.append_column(
+                "_bucket", pa.array(_bucket_ids(t, keys, buckets))
             )
-            return t.append_column("_bucket", pa.array(kh))
 
         return kernel
 
