@@ -197,11 +197,12 @@ def bucket_join(
     out_schema = pa.schema(wire)
 
     def per_bucket(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        l = df[df["_side"] == "l"][keys + lpay]
-        r = df[df["_side"] == "r"][keys + rpay]
-        merged = l.merge(r, on=keys, how=how)
-        tbl = pa.Table.from_pandas(merged, preserve_index=False)
+        import pyarrow.compute as pc
+
+        is_l = pc.equal(batch.column("_side"), "l")
+        l = batch.filter(is_l).select(keys + lpay)
+        r = batch.filter(pc.invert(is_l)).select(keys + rpay)
+        tbl = _merge_tables(l, r, keys, how)
         cols = []
         for name, typ in wire:
             col = tbl.column(name)
@@ -213,6 +214,23 @@ def bucket_join(
     return both.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def _merge_tables(l: pa.Table, r: pa.Table, keys, how: str) -> pa.Table:
+    """Equality join of two Arrow tables: Acero hash join (C++, dtype-
+    stable) with a pandas fallback for payload types Acero rejects
+    (e.g. list<> columns)."""
+    jt = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }[how]
+    try:
+        return l.join(r, keys=keys, join_type=jt, use_threads=False)
+    except pa.ArrowInvalid:
+        merged = l.to_pandas().merge(r.to_pandas(), on=keys, how=how)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+
 def _broadcast_join(right_mat, ds_left, keys, lpay, rpay_src, rpay, how, wire):
     """Map-side regime of :func:`bucket_join`: the (small) right table
     ships once via ``ray.put``; each left batch merges locally — no
@@ -220,23 +238,27 @@ def _broadcast_join(right_mat, ds_left, keys, lpay, rpay_src, rpay, how, wire):
     import ray
 
     rt = pa.Table.from_pandas(right_mat.to_pandas(), preserve_index=False)
+    wire_types = dict(wire)
     cols = {}
     for k in keys:
-        cols[k] = rt.column(k) if k in rt.column_names else pa.nulls(rt.num_rows)
+        cols[k] = (
+            rt.column(k)
+            if k in rt.column_names
+            else pa.nulls(rt.num_rows, type=wire_types[k])
+        )
     for src, dst in zip(rpay_src, rpay):
         cols[dst] = rt.column(src)
-    rdf = pa.table(cols).to_pandas() if rt.num_rows else None
-    import pandas as pd
-
-    if rdf is None:
-        rdf = pd.DataFrame({name: pd.Series(dtype=object) for name in keys + rpay})
-    ref = ray.put(rdf)
+    r_tbl = pa.table(cols) if rt.num_rows else pa.table(
+        {
+            name: pa.array([], type=wire_types.get(name) or pa.string())
+            for name in keys + rpay
+        }
+    )
+    ref = ray.put(r_tbl)
     out_schema = pa.schema(wire)
 
     def kernel(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()[keys + lpay]
-        merged = df.merge(ray.get(ref), on=keys, how=how)
-        tbl = pa.Table.from_pandas(merged, preserve_index=False)
+        tbl = _merge_tables(batch.select(keys + lpay), ray.get(ref), keys, how)
         out = []
         for name, typ in wire:
             col = tbl.column(name)
