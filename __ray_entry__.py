@@ -1214,6 +1214,80 @@ def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _quality_features_sql() -> str:
+    """DuckDB derivation of quality_features: same word regex ([\\w']+),
+    same counts, and the score with the identical left-associated float
+    expression (stopword list inlined from the engine's EN profile so
+    the two sides cannot drift)."""
+    from grass_ray.functions.textstats import LANG_PROFILES
+
+    stop = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"]))
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   regexp_extract_all(text, '[\\w'']+') AS words,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id, n_chars, n_alpha, n_punct,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+                   END AS mwl,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(words, x -> list_contains([{stop}], lower(x)))) AS DOUBLE) / len(words)
+                   END AS sr,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE CAST(len(list_distinct(list_transform(words, x -> lower(x)))) AS DOUBLE) / len(words)
+                   END AS uniq_r,
+                   CASE WHEN n_chars = 0 THEN 0.0
+                        ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_r,
+                   CASE WHEN n_chars = 0 THEN 0.0
+                        ELSE CAST(n_alpha AS DOUBLE) / n_chars END AS alpha_r
+            FROM w
+        )
+        SELECT doc_id, n_words,
+               mwl AS mean_word_len,
+               punct_r AS punct_ratio,
+               sr AS stopword_ratio,
+               alpha_r AS alpha_ratio,
+               uniq_r AS unique_word_ratio,
+               LEAST(GREATEST(
+                   0.25 * LEAST(n_words / 50.0, 1.0)
+                   + 0.25 * LEAST(GREATEST((mwl - 2.0) / 6.0, 0.0), 1.0)
+                   + 0.25 * LEAST(sr / 0.3, 1.0)
+                   + 0.25 * alpha_r, 0.0), 1.0) AS quality_score
+        FROM agg
+    """
+
+
+def _q_quality_features(sf_dir: str) -> pa.Table:
+    """Gopher/C4-style quality features with an exact DuckDB oracle —
+    word/punct/alpha counting and the monotone score re-derived in SQL
+    with formula-identical float expressions (ASCII corpus: RE2 and
+    Python \\w agree)."""
+    from grass_ray.stages.text_stage import analyze_text
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = analyze_text(ds, features=("quality",))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(
+        [
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "punct_ratio",
+            "stopword_ratio",
+            "alpha_ratio",
+            "unique_word_ratio",
+            "quality_score",
+        ]
+    )
+
+
 def _q_langid_quality(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1389,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf,
         "embedding_dedup": _q_embedding_dedup,
         "langid_quality": _q_langid_quality,
+        "quality_features": _q_quality_features,
         "tokenize_rollup": _q_tokenize_rollup,
         "approx_quantiles": _q_approx_quantiles,
         "multimodal_features": _q_multimodal,
@@ -2160,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'src1' THEN 50
                 ELSE 10 END
         """,
+        "quality_features": _quality_features_sql(),
         "token_counts": """
             SELECT doc_id,
                    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
