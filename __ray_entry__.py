@@ -1264,6 +1264,66 @@ def _quality_features_sql() -> str:
     """
 
 
+def _langid_sql() -> str:
+    """DuckDB derivation of detect_language: frequency-weighted stopword
+    hit ratio per profile, winner = first profile (in engine dict order)
+    whose score strictly exceeds every EARLIER profile and is >= every
+    LATER one — exactly the `score > best` scan order; 'und' when no
+    profile scores above zero."""
+    from grass_ray.functions.textstats import LANG_PROFILES
+
+    profs = list(LANG_PROFILES)
+    score_cols = []
+    for lang in profs:
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        score_cols.append(
+            f"CASE WHEN len(words) = 0 THEN 0.0 ELSE "
+            f"CAST(len(list_filter(words, x -> list_contains([{words}], x))) AS DOUBLE)"
+            f" / len(words) END AS s_{lang}"
+        )
+    # first-in-order strict-improvement winner: lang i wins iff its score
+    # beats every earlier profile strictly... no: the scan keeps the
+    # FIRST maximum (later must strictly exceed to take over), so lang i
+    # wins iff s_i > s_j for all j < i and s_i >= s_j for all j > i.
+    cases = []
+    for i, lang in enumerate(profs):
+        conds = [f"s_{lang} > 0.0"]
+        conds += [f"s_{lang} > s_{profs[j]}" for j in range(i)]
+        conds += [f"s_{lang} >= s_{profs[j]}" for j in range(i + 1, len(profs))]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_lang = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    case_score = (
+        "CASE "
+        + " ".join(
+            f"WHEN lang_pred = '{lang}' THEN s_{lang}" for lang in profs
+        )
+        + " ELSE 0.0 END"
+    )
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_transform(
+                       regexp_extract_all(text, '[\\w'']+'), x -> lower(x)
+                   ) AS words
+            FROM documents
+        ),
+        s AS (SELECT doc_id, {', '.join(score_cols)} FROM w),
+        l AS (SELECT *, {case_lang} AS lang_pred FROM s)
+        SELECT doc_id, lang_pred, {case_score} AS lang_score FROM l
+    """
+
+
+def _q_langid(sf_dir: str) -> pa.Table:
+    """Language-ID with an exact DuckDB oracle (stopword-ratio heuristic
+    re-derived in SQL, first-maximum tie rule preserved)."""
+    from grass_ray.stages.text_stage import analyze_text
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = analyze_text(ds, features=("lang",))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "lang_pred", "lang_score"])
+
+
 def _q_quality_features(sf_dir: str) -> pa.Table:
     """Gopher/C4-style quality features with an exact DuckDB oracle —
     word/punct/alpha counting and the monotone score re-derived in SQL
@@ -1464,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embedding_dedup,
         "langid_quality": _q_langid_quality,
         "quality_features": _q_quality_features,
+        "langid": _q_langid,
         "tokenize_rollup": _q_tokenize_rollup,
         "approx_quantiles": _q_approx_quantiles,
         "multimodal_features": _q_multimodal,
@@ -2236,6 +2297,7 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 10 END
         """,
         "quality_features": _quality_features_sql(),
+        "langid": _langid_sql(),
         "token_counts": """
             SELECT doc_id,
                    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
