@@ -739,24 +739,34 @@ def interval_join(
     out_schema = pa.schema(out_fields)
 
     def per_bucket(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        bucket = int(df["_bucket"].iloc[0])
-        l = df[df["_side"] == "l"]
-        r = df[df["_side"] == "r"]
+        import pyarrow.compute as pc
+
+        bucket = int(batch.column("_bucket")[0].as_py())
+        is_l = pc.equal(batch.column("_side"), "l")
         lkeep = keys + [c for c in lcols if c not in keys]
         rkeep = keys + [c for c in rcols if c not in keys]
-        l = l[lkeep]
-        r = r[rkeep]
+        l = batch.filter(is_l).select(lkeep)
+        r = batch.filter(pc.invert(is_l)).select(rkeep)
         if keys:
-            merged = l.merge(r, on=keys, how="inner")
+            tbl = _merge_tables(l, r, keys, "inner")
         else:
-            merged = l.assign(_x=1).merge(r.assign(_x=1), on="_x").drop(columns=["_x"])
-        if len(merged):
-            ov = (merged[start_col] < merged[rend]) & (merged[rstart] < merged[end_col])
-            anchor = np.maximum(merged[start_col].to_numpy(), merged[rstart].to_numpy())
-            own = np.floor_divide(anchor, bucket_span) == bucket
-            merged = merged[ov & own].reset_index(drop=True)
-        tbl = pa.Table.from_pandas(merged, preserve_index=False)
+            # key-less range join: bucket-local cross product via pandas
+            # (Acero has no cross join)
+            merged = (
+                l.to_pandas()
+                .assign(_x=1)
+                .merge(r.to_pandas().assign(_x=1), on="_x")
+                .drop(columns=["_x"])
+            )
+            tbl = pa.Table.from_pandas(merged, preserve_index=False)
+        if tbl.num_rows:
+            s_l = tbl.column(start_col).to_numpy(zero_copy_only=False)
+            e_l = tbl.column(end_col).to_numpy(zero_copy_only=False)
+            s_r = tbl.column(rstart).to_numpy(zero_copy_only=False)
+            e_r = tbl.column(rend).to_numpy(zero_copy_only=False)
+            ov = (s_l < e_r) & (s_r < e_l)
+            own = np.floor_divide(np.maximum(s_l, s_r), bucket_span) == bucket
+            tbl = tbl.filter(pa.array(ov & own))
         cols = []
         for name, typ in out_fields:
             col = tbl.column(name)
