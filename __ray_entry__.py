@@ -944,6 +944,31 @@ def _q_decontaminate(sf_dir: str) -> pa.Table:
     return t.select(["doc_id", "source"])
 
 
+def _q_decontaminate_bloom(sf_dir: str) -> pa.Table:
+    """Bloom-regime decontamination (fixed-size broadcast bitmap, no
+    gram exchange).  Oracled against the SAME SQL as the exact regime:
+    the filter is sized so the deterministic false-positive probability
+    is ~1e-12 — any over-drop would fail the hash check loudly."""
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.vocab import decontaminate
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    bench = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("source"), "src0")),
+        batch_format="pyarrow",
+    )
+    train = ds.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b.column("source"), "src0"))),
+        batch_format="pyarrow",
+    )
+    kept, _ids = decontaminate(train, bench, k=3, method="bloom")
+    t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "source"])
+
+
 def _q_interval_sessions(sf_dir: str) -> pa.Table:
     """Interval topology join: coarse sessions (gap 30 min) x fine
     sessions (gap 5 min) per user, pairs that overlap in time — the
@@ -1495,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "vocab_top100": _q_vocab_top100,
         "decontaminate": _q_decontaminate,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "interval_sessions": _q_interval_sessions,
         "allen_relations": _q_allen_relations,
         "neighbors_avg3": _q_neighbors,
@@ -1604,7 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         kept AS (SELECT * FROM r WHERE w % 3 <> 1)
     """
 
-    return {
+    d = {
         "rollup_1m": rollup_sql(60),
         "rollup_1h": rollup_sql(3600),
         "rollup_propagate_nulls": f"""
@@ -2109,6 +2135,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE source <> 'src0'
               AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
+        # bloom regime must produce the identical kept set at this FP
+        # sizing — same SQL as the exact regime by construction
+        "decontaminate_bloom": None,  # filled below (same as decontaminate)
         "interval_sessions": _INTERVAL_SQL,
         "allen_relations": f"""
             WITH pairs AS ({_INTERVAL_SQL})
@@ -2305,3 +2334,5 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    d["decontaminate_bloom"] = d["decontaminate"]
+    return d

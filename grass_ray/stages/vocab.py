@@ -132,16 +132,35 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     pattern: str = ASCII_WORD,
+    method: str = "exact",
+    bloom_expected_n: int = 1 << 22,
+    bloom_fp_rate: float = 1e-4,
 ):
     """Drop training docs sharing any word k-gram with the benchmark.
 
-    Returns (kept_train_ds, contaminated_ids_ds).  Every stage is a
-    bounded distributed exchange; the benchmark gram set and the
+    Returns (kept_train_ds, contaminated_ids_ds).
+
+    ``method="exact"`` (default): the benchmark gram set and the
     contaminated id set go through the two-regime semi/anti-join
-    machinery (broadcast under threshold, bucket exchange above)."""
+    machinery (broadcast under threshold, bucket exchange above).
+
+    ``method="bloom"``: the scale path — the benchmark grams fold into a
+    fixed-size OR-mergeable Bloom bitmap (a few MB regardless of gram
+    cardinality) that ships once via ``ray.put``; the train side filters
+    map-side with NO gram exchange at all.  No false negatives (every
+    contaminated doc is dropped); false positives over-drop at the
+    configured rate — the safe direction for decontamination, and the
+    only direction that stays broadcastable at 100 TB."""
     from grass_ray.stages.join import anti_join, distinct_keys, semi_join
 
     rx = re.compile(pattern)
+    if method == "bloom":
+        return _decontaminate_bloom(
+            train_ds, bench_ds, k=k, id_col=id_col, text_col=text_col,
+            rx=rx, expected_n=bloom_expected_n, fp_rate=bloom_fp_rate,
+        )
+    if method != "exact":
+        raise ValueError(f"unknown decontaminate method {method!r}")
     bench_grams = distinct_keys(
         _gram_table(bench_ds, k=k, id_col=id_col, text_col=text_col, rx=rx, with_id=False),
         ("gram",),
@@ -156,6 +175,59 @@ def decontaminate(
         hits.map_batches(
             lambda b: pa.table({id_col: b.column(id_col)}), batch_format="pyarrow"
         ),
+        (id_col,),
+    ).materialize()
+    kept = anti_join(
+        train_ds, contaminated, key_cols=(id_col,), keys_distinct=True
+    )
+    return kept, contaminated
+
+
+def _decontaminate_bloom(
+    train_ds, bench_ds, *, k, id_col, text_col, rx, expected_n, fp_rate
+):
+    """Bloom regime of :func:`decontaminate`: per-block partial bitmaps
+    over the benchmark grams OR-fold into one fixed-size filter (the
+    driver holds ONE bitmap, never the gram set), broadcast once; the
+    train side tests per-doc gram membership map-side."""
+    import ray
+
+    from grass_ray.functions.bloom import (
+        bloom_add,
+        bloom_contains,
+        bloom_empty,
+        bloom_params,
+    )
+    from grass_ray.stages.join import anti_join, distinct_keys
+
+    m_bits, n_hashes = bloom_params(expected_n, fp_rate)
+
+    def partial_bitmap(batch: pa.Table) -> pa.Table:
+        words = bloom_empty(m_bits)
+        for t in batch.column(text_col).to_pylist():
+            bloom_add(words, _gram_hashes(t, k, rx), n_hashes)
+        return pa.table({"bits": pa.array([words.view(np.uint8).tobytes()])})
+
+    acc = bloom_empty(m_bits)
+    partials = bench_ds.map_batches(partial_bitmap, batch_format="pyarrow")
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        for buf in b.column("bits").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8).view(np.uint64)
+    ref = ray.put(acc)
+
+    def contaminated_ids(batch: pa.Table) -> pa.Table:
+        words = ray.get(ref)
+        ids = batch.column(id_col)
+        texts = batch.column(text_col).to_pylist()
+        hit = np.zeros(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            g = _gram_hashes(t, k, rx)
+            if len(g) and bloom_contains(words, g, n_hashes).any():
+                hit[i] = True
+        return pa.table({id_col: ids.filter(pa.array(hit))})
+
+    contaminated = distinct_keys(
+        train_ds.map_batches(contaminated_ids, batch_format="pyarrow"),
         (id_col,),
     ).materialize()
     kept = anti_join(
