@@ -908,6 +908,19 @@ def _q_events_hopping(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_vocab_heavy(sf_dir: str) -> pa.Table:
+    """Top-100 words via the mergeable SpaceSaving plan (bounded
+    per-block summaries + tree merge — the fixed-exchange scale path).
+    At this m the summary is exact (err = 0 for every returned row,
+    asserted), so it shares vocab_top100's SQL oracle."""
+    from grass_ray.stages.vocab import vocab_heavy_hitters
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
+    t = vocab_heavy_hitters(ds, n=100, m=1 << 20)
+    assert pa.compute.sum(t.column("err")).as_py() in (0, None)
+    return t.select(["word", "cnt"])
+
+
 def _q_vocab_top100(sf_dir: str) -> pa.Table:
     """Corpus vocabulary stats: global top-100 words by frequency
     (partial counts per batch -> pre-combined Sum -> bounded trim)."""
@@ -1521,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab_top100,
         "decontaminate": _q_decontaminate,
         "decontaminate_bloom": _q_decontaminate_bloom,
+        "vocab_heavy": _q_vocab_heavy,
         "interval_sessions": _q_interval_sessions,
         "allen_relations": _q_allen_relations,
         "neighbors_avg3": _q_neighbors,
@@ -2335,4 +2349,5 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     d["decontaminate_bloom"] = d["decontaminate"]
+    d["vocab_heavy"] = d["vocab_top100"]
     return d

@@ -87,6 +87,105 @@ def vocab_topn(ds, n: int = 100, *, text_col: str = "text", pattern: str = ASCII
     return partials.groupby("_g").map_groups(final, batch_format="pyarrow")
 
 
+def vocab_heavy_hitters(
+    ds,
+    n: int = 100,
+    *,
+    m: int = 4096,
+    text_col: str = "text",
+    pattern: str = ASCII_WORD,
+    buckets: int = 32,
+):
+    """Approximate global top-N words via mergeable SpaceSaving
+    summaries — the fixed-size alternative to :func:`vocab_topn`'s full
+    vocabulary exchange.
+
+    Plan: one SpaceSaving(m) summary per block (≤ m rows each on the
+    wire regardless of vocabulary size) → level-1 tree merge in a
+    ``buckets``-group exchange → driver folds ``buckets`` summaries.
+    Driver and exchange volume are bounded by ``buckets × m`` rows at
+    ANY corpus size.  Deterministic: summaries are identified by a
+    content digest and folded in digest order.  Returns an Arrow table
+    (word, cnt, err) — the true frequency of every row lies in
+    [cnt - err, cnt], and any word with frequency > total/m is
+    guaranteed present (the SpaceSaving contract)."""
+    import hashlib
+    import zlib
+
+    from grass_ray.functions.sketch import SpaceSaving
+
+    rx = re.compile(pattern)
+
+    def summary_rows(s: "SpaceSaving") -> pa.Table:
+        words = sorted(s.counts)
+        digest = hashlib.blake2b(
+            repr([(w, s.counts[w]) for w in words]).encode(), digest_size=8
+        ).hexdigest()
+        g = zlib.crc32(digest.encode()) % buckets
+        return pa.table(
+            {
+                "sid": pa.array([digest] * len(words)),
+                "word": pa.array(words, type=pa.string()),
+                "cnt": pa.array([int(s.counts[w]) for w in words], type=pa.int64()),
+                "err": pa.array([int(s.errs.get(w, 0)) for w in words], type=pa.int64()),
+                "n": pa.array([s.n] * len(words), type=pa.int64()),
+                "_g": pa.array([g] * len(words), type=pa.int32()),
+            }
+        )
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(_words(t, rx))
+        s = SpaceSaving(m)
+        if c:
+            items = sorted(c)
+            s.add_many(items, np.array([c[w] for w in items], dtype=np.int64))
+        return summary_rows(s)
+
+    def rebuild(rows: dict, sid: str) -> "SpaceSaving":
+        s = SpaceSaving(m)
+        idx = [i for i, v in enumerate(rows["sid"]) if v == sid]
+        s.counts = {rows["word"][i]: rows["cnt"][i] for i in idx}
+        s.errs = {rows["word"][i]: rows["err"][i] for i in idx}
+        s.n = rows["n"][idx[0]] if idx else 0
+        return s
+
+    def fold_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.to_pydict()
+        acc = None
+        for sid in sorted(set(d["sid"])):
+            s = rebuild(d, sid)
+            acc = s if acc is None else acc.merge(s)
+        return summary_rows(acc if acc is not None else SpaceSaving(m))
+
+    level1 = (
+        ds.map_batches(block_summary, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+    )
+    # final fold: ≤ buckets × m rows, bounded at any corpus size
+    rows = pa.concat_tables(
+        level1.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).to_pydict() if level1.count() else {"sid": [], "word": [], "cnt": [], "err": [], "n": []}
+    acc = None
+    for sid in sorted(set(rows["sid"])):
+        s = rebuild(rows, sid)
+        acc = s if acc is None else acc.merge(s)
+    if acc is None:
+        acc = SpaceSaving(m)
+    top = acc.topk(n)
+    return pa.table(
+        {
+            "word": pa.array([t[0] for t in top], type=pa.string()),
+            "cnt": pa.array([t[1] for t in top], type=pa.int64()),
+            "err": pa.array([t[2] for t in top], type=pa.int64()),
+        }
+    )
+
+
 def _gram_hashes(text: str, k: int, rx) -> np.ndarray:
     """Unique polynomial hashes of the word k-grams; < k words -> empty
     (short docs cannot be k-gram contaminated — matches the oracle)."""
