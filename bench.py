@@ -55,6 +55,7 @@ def run_bench() -> dict:
 
     from grass_ray.pipelines.tiers import build_tiers
     from grass_ray.sources.corpus import corpus_from_documents, synth_corpus
+    from grass_ray.sources.readers import read_parquet_sized
     from grass_ray.state.manifest import TierStore
 
     timings: dict[str, float] = {}
@@ -71,14 +72,14 @@ def run_bench() -> dict:
         synth_corpus(
             N_DOCS, n_tok=N_TOK, skew=0.3, docs_per_block=2500
         ).write_parquet(corpus_dir)
-    ray.data.read_parquet(corpus_dir).count()  # warm page cache
+    read_parquet_sized(corpus_dir).count()  # warm page cache
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     trials = []
     for trial in range(repeats):
         root = "/tmp/grassray_bench_tiers"
         shutil.rmtree(root, ignore_errors=True)
         t0 = time.perf_counter()
-        build_tiers(ray.data.read_parquet(corpus_dir), root, resume=False)
+        build_tiers(read_parquet_sized(corpus_dir), root, resume=False)
         trials.append(time.perf_counter() - t0)
     headline = min(trials)  # steady-state (reference: benchmark_nprocs repeats)
     timings["tier_cascade_build"] = headline

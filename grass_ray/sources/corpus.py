@@ -86,11 +86,14 @@ def corpus_from_documents(sf_dir: str, **read_kwargs):
     Column-pruned read (only doc_id, source, n_chars leave storage) —
     the token payload is synthesized in the map stage.
     """
-    import ray.data
+    from grass_ray.sources.readers import read_parquet_sized
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "source", "n_chars"],
+        # the map stage expands each row into ~n_chars int32 tokens —
+        # size blocks by the post-expansion bytes, not the input file
+        size_multiplier=24.0,
         **read_kwargs,
     )
     return ds.map_batches(make_corpus_batch, batch_format="pyarrow")

@@ -181,18 +181,23 @@ def _local_bytes(paths) -> int | None:
     return total
 
 
-def read_parquet_sized(paths, *, columns=None, **kw):
+def read_parquet_sized(paths, *, columns=None, size_multiplier: float = 1.0, **kw):
     """``ray.data.read_parquet`` with a bytes-driven block count (see
     :func:`sized_num_blocks`) and parquet-borne schema metadata stripped
     (the unhashable ``pandas`` key trips Ray's block-schema dedup into
     per-batch warnings).  Falls back to Ray's default parallelism when
-    the input size can't be determined locally."""
+    the input size can't be determined locally.  ``size_multiplier``
+    accounts for known downstream expansion (e.g. a read whose map stage
+    synthesizes a token list per row sizes blocks by the EXPANDED
+    bytes)."""
     import ray.data
 
     if "override_num_blocks" not in kw:
         nbytes = _local_bytes(paths)
         if nbytes is not None:
-            kw["override_num_blocks"] = sized_num_blocks(nbytes)
+            kw["override_num_blocks"] = sized_num_blocks(
+                int(nbytes * size_multiplier)
+            )
     ds = ray.data.read_parquet(paths, columns=columns, **kw)
     return ds.map_batches(
         _strip_schema_metadata, batch_format="pyarrow", batch_size=None

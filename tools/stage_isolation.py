@@ -39,6 +39,7 @@ def run_level(ncpu: int) -> dict:
     import pyarrow as pa
     import ray.data
 
+    from grass_ray.sources.readers import read_parquet_sized
     from grass_ray.stages.rollup import rollup
 
     out = {}
@@ -53,13 +54,13 @@ def run_level(ncpu: int) -> dict:
         out[name] = round(best, 3)
 
     def read_only():
-        ds = ray.data.read_parquet(CORPUS)
+        ds = read_parquet_sized(CORPUS)
         ds.map_batches(
             lambda b: pa.table({"n": [b.num_rows]}), batch_format="pyarrow"
         ).sum("n")
 
     def rollup_only():
-        ds = ray.data.read_parquet(CORPUS)
+        ds = read_parquet_sized(CORPUS)
         rollup(ds, 60, ("count", "sum", "minimum", "maximum", "average"),
                nested=True).map_batches(
             lambda b: pa.table({"n": [b.num_rows]}), batch_format="pyarrow"
@@ -72,7 +73,7 @@ def run_level(ncpu: int) -> dict:
 
         dst = f"/tmp/grassray_iso_{ncpu}"
         shutil.rmtree(dst, ignore_errors=True)
-        ds = ray.data.read_parquet(CORPUS)
+        ds = read_parquet_sized(CORPUS)
         build_tiers_onepass(ds, dst, partitioning="range", docs_per_partition=2500)
         shutil.rmtree(dst, ignore_errors=True)
 
