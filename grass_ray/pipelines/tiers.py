@@ -515,17 +515,20 @@ def read_tier(
         import pandas as pd
 
         return ray.data.from_pandas(pd.DataFrame())
-    ds = ray.data.read_parquet(
+    from grass_ray.sources.readers import read_parquet_sized
+
+    ds = read_parquet_sized(
         store.tier_dir(tier), columns=columns, filter=pq_filter
     )
     ds = _keep_partitions(ds, committed)
     if encoded and decode:
+        from grass_ray.stages.codec_stage import decode_tier_kernel
+
+        vc = tuple(value_cols)
         ds = ds.map_batches(
-            DecodeTier,
-            fn_constructor_kwargs={"value_cols": value_cols},
+            lambda b, _vc=vc: decode_tier_kernel(b, _vc),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=(1, 4),
         )
     return ds
 
@@ -603,7 +606,9 @@ def build_tiers_waves(
         ]
         wave_files = [f for f, _, _ in wave]
         if wave_files:
-            ds = ray.data.read_parquet(wave_files)
+            from grass_ray.sources.readers import read_parquet_sized
+
+            ds = read_parquet_sized(wave_files)
             # clip only when a file actually straddles the wave boundary
             # (with partition-aligned input files the clip pass — a full
             # decode + filter of the wave — is a no-op and is skipped)

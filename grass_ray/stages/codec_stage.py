@@ -141,3 +141,16 @@ def decode_tier(ds, value_cols=("count", "sum", "minimum", "maximum", "average")
         batch_size=256,
         concurrency=concurrency or (1, 4),
     )
+
+
+_DECODERS: dict = {}
+
+
+def decode_tier_kernel(batch, value_cols):
+    """Task-pool kernel: per-worker memoized DecodeTier (same
+    actor-style amortization as the text/minhash/tokenizer kernels,
+    without actor-pool spin-up latency)."""
+    d = _DECODERS.get(value_cols)
+    if d is None:
+        d = _DECODERS.setdefault(value_cols, DecodeTier(value_cols))
+    return d(batch)
