@@ -343,13 +343,16 @@ def build_tiers_onepass(
     out.write_parquet(staging, partition_cols=["tier", "part"], compression="zstd")
     results: dict[str, list[int]] = {name: [] for name in tier_names}
     if os.path.isdir(staging):
+        # ONE columnar read yields every (tier, partition)'s stats
+        stats_all = store.bulk_partition_stats_all(staging)
         for tdir in sorted(os.listdir(staging)):
             if not tdir.startswith("tier="):
                 continue
             tier = tdir.split("=", 1)[1]
             tier_stage = os.path.join(staging, tdir)
-            # one columnar read yields every partition's stats at once
-            all_stats = store.bulk_partition_stats(tier_stage)
+            all_stats = {
+                p: s for (t_, p), s in stats_all.items() if t_ == tier
+            }
             jobs = []
             for pdir in sorted(os.listdir(tier_stage)):
                 if not pdir.startswith("part="):

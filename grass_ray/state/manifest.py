@@ -283,6 +283,44 @@ class TierStore:
             else:
                 os.remove(f)
 
+    def bulk_partition_stats_all(self, staging_dir: str) -> dict:
+        """{(tier, part): stats} for the WHOLE one-pass staging dir in a
+        single columnar read (tier and part from the hive paths) — one
+        file-discovery + scan instead of one per tier."""
+        import pyarrow.dataset as pads
+
+        dsn = pads.dataset(staging_dir, partitioning="hive")
+        want = [
+            c
+            for c in ("tier", "part", "n_points", "wstart", "wend", "vmin", "vmax")
+            if c in dsn.schema.names
+        ]
+        t = dsn.to_table(columns=want)
+        if "part" not in t.column_names or "tier" not in t.column_names or t.num_rows == 0:
+            return {}
+        agg = t.group_by(["tier", "part"]).aggregate(
+            [
+                ("n_points", "sum"),
+                ("part", "count"),
+                ("wstart", "min"),
+                ("wend", "max"),
+                ("vmin", "min"),
+                ("vmax", "max"),
+            ]
+        )
+        out = {}
+        d = agg.to_pydict()
+        for i in range(agg.num_rows):
+            out[(str(d["tier"][i]), int(d["part"][i]))] = {
+                "n_points": d["n_points_sum"][i] or 0,
+                "n_rows": d["part_count"][i],
+                "window_start": d["wstart_min"][i],
+                "window_end": d["wend_max"][i],
+                "vmin": d["vmin_min"][i],
+                "vmax": d["vmax_max"][i],
+            }
+        return out
+
     def bulk_partition_stats(self, tier_staging_dir: str) -> dict:
         """Per-partition stats for a whole staged tier in ONE columnar
         read (part from hive path + the scalar stat columns) instead of
