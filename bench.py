@@ -134,9 +134,13 @@ def run_bench() -> dict:
         "events_topk",
         "events_hopping",
         "vocab_top100",
+        "vocab_heavy",
         "decontaminate",
+        "decontaminate_bloom",
         "interval_sessions",
         "ivf_topk",
+        "quality_features",
+        "langid",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
