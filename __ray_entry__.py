@@ -1099,6 +1099,37 @@ def _q_codec_roundtrip(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_retention_trim(sf_dir: str) -> pa.Table:
+    """Retention sweep with an exact oracle: build the 1m tier, apply a
+    min_window=5 cutoff (partitions fully below the cutoff unregister;
+    straddling ones are trimmed, re-encoded and re-committed), read the
+    tier back decoded — surviving points must equal the SQL rollup
+    filtered to window >= 5 bit-for-bit (the codec_roundtrip contract
+    plus the retention edit)."""
+    import tempfile
+
+    from grass_ray.pipelines.retention import apply_retention
+    from grass_ray.pipelines.tiers import build_tiers, read_tier
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.state.manifest import TierStore
+
+    with tempfile.TemporaryDirectory(prefix="grassray_ret_") as root:
+        build_tiers(
+            _corpus(sf_dir), root, tier_specs=(("1m", 60),), num_partitions=8
+        )
+        store = TierStore(root)
+        apply_retention(store, "1m", 5)
+        pts = explode_nested(
+            read_tier(store, "1m"), value_cols=("sum", "count")
+        )
+        t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    keep = ["source", "doc_id", "window", "count", "sum"]
+    return _rename(
+        t.select([c for c in keep if c in t.column_names]),
+        {"count": "cnt", "sum": "sum_tok"},
+    )
+
+
 def _q_catalog_list(sf_dir: str) -> pa.Table:
     """t.create + t.register + t.rast.list driver evidence: build the 1m
     tier and list its registered partitions (catalog CRUD surface)."""
@@ -1551,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
+        "retention_trim": _q_retention_trim,
         "catalog_list": _q_catalog_list,
         "export_import_roundtrip": _q_export_import,
         "events_time_report": _q_time_report,
@@ -2325,6 +2357,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, pos // 60 + 5 AS "window",
                    avg(token) AS avg_tok
             FROM tok GROUP BY 1, 2, 3
+        """,
+        "retention_trim": f"""
+            WITH tok AS ({tok})
+            SELECT source, doc_id, pos // 60 AS "window",
+                   CAST(count(token) AS BIGINT) AS cnt,
+                   CAST(sum(token) AS DOUBLE) AS sum_tok
+            FROM tok GROUP BY 1, 2, 3
+            HAVING pos // 60 >= 5
         """,
         "dedup_exact": """
             SELECT doc_id, source, n_chars FROM documents d
