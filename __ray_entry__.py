@@ -1130,6 +1130,49 @@ def _q_retention_trim(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_register_resume(sf_dir: str) -> pa.Table:
+    """t.register incremental ingest with an exact oracle: build the 1m
+    tier from the first half of the corpus, then register the full
+    corpus — the resume path must skip committed partitions and ingest
+    ONLY the new ones, and the decoded union must equal the full SQL
+    rollup bit-for-bit (no double counting, no gaps)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from grass_ray.pipelines.tiers import build_tiers, read_tier
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.state.manifest import TierStore
+
+    corpus = _corpus(sf_dir)
+    n_docs = corpus.count()
+    half = (n_docs // 2) // 2000 * 2000  # partition-aligned split
+
+    def first_half(batch: pa.Table) -> pa.Table:
+        from grass_ray.pipelines.tiers import _doc_index_array
+
+        idx = _doc_index_array(batch.column("doc_id"))
+        return batch.filter(pa.array(idx < half))
+
+    with tempfile.TemporaryDirectory(prefix="grassray_reg_") as root:
+        build_tiers(
+            corpus.map_batches(first_half, batch_format="pyarrow"),
+            root,
+            tier_specs=(("1m", 60),),
+        )
+        build_tiers(_corpus(sf_dir), root, tier_specs=(("1m", 60),))
+        store = TierStore(root)
+        pts = explode_nested(
+            read_tier(store, "1m"), value_cols=("sum", "count")
+        )
+        t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    keep = ["source", "doc_id", "window", "count", "sum"]
+    return _rename(
+        t.select([c for c in keep if c in t.column_names]),
+        {"count": "cnt", "sum": "sum_tok"},
+    )
+
+
 def _q_catalog_list(sf_dir: str) -> pa.Table:
     """t.create + t.register + t.rast.list driver evidence: build the 1m
     tier and list its registered partitions (catalog CRUD surface)."""
@@ -1583,6 +1626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
         "retention_trim": _q_retention_trim,
+        "register_resume": _q_register_resume,
         "catalog_list": _q_catalog_list,
         "export_import_roundtrip": _q_export_import,
         "events_time_report": _q_time_report,
@@ -2390,4 +2434,6 @@ def oracle_sql() -> dict[str, str]:
     }
     d["decontaminate_bloom"] = d["decontaminate"]
     d["vocab_heavy"] = d["vocab_top100"]
+    # incremental register must reproduce the full build exactly
+    d["register_resume"] = d["codec_roundtrip"]
     return d
