@@ -236,10 +236,13 @@ def _classify_codepoints(cp: np.ndarray):
 def _run_starts(active: np.ndarray, doc_starts: np.ndarray) -> np.ndarray:
     """Start positions of maximal runs of ``active`` that do not cross
     document boundaries."""
+    if len(active) == 0:
+        return np.empty(0, dtype=np.int64)
     start = active.copy()
     if len(active) > 1:
         start[1:] &= ~active[:-1]
-    start[doc_starts] = active[doc_starts]
+    ds = doc_starts[doc_starts < len(active)]  # all-empty docs at the tail
+    start[ds] = active[ds]
     return np.flatnonzero(start)
 
 

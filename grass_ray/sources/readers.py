@@ -78,12 +78,13 @@ class HashTokenizer:
                 pa.array(np.zeros(len(texts) + 1, dtype=np.int32)),
                 pa.array([], type=pa.int32()),
             )
+        from grass_ray.functions.textstats import _run_starts
+
         _alpha, space, word = _classify_codepoints(cp)
         # token spans in position order: \w+ runs and single [^\w\s] chars
-        wstart = word.copy()
-        wstart[1:] &= ~word[:-1]
-        wstart[doc_starts] = word[doc_starts]
-        starts = np.flatnonzero(wstart | (~word & ~space))
+        starts = np.union1d(
+            _run_starts(word, doc_starts), np.flatnonzero(~word & ~space)
+        ).astype(np.int64)
         nonw = np.flatnonzero(~word)
         at = np.searchsorted(nonw, starts)
         run_end = np.where(

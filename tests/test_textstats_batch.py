@@ -81,3 +81,43 @@ def test_fingerprint_batch_v_matches_scalar():
     got = T.fingerprint_batch_v(texts)
     want = np.array([T.fingerprint(t) for t in texts], dtype=np.int64)
     assert (got == want).all()
+
+
+# --- property-based parity (random unicode) --------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_texty = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),  # no lone surrogates
+        max_codepoint=0x2FFF,
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_texty, min_size=1, max_size=8))
+def test_analyze_batch_parity_fuzz(texts):
+    b = T.analyze_batch(texts)
+    for i, t in enumerate(texts):
+        lang, score = T.detect_language(t)
+        q = T.quality_features(t)
+        assert b["lang_pred"][i] == lang
+        assert b["lang_score"][i] == score
+        assert b["n_tok_ws"][i] == T.count_tokens_ws(t)
+        assert b["n_tok_bpe"][i] == T.count_tokens_bpe(t)
+        assert b["fingerprint"][i] == T.fingerprint(t)
+        for k in ("n_words", "mean_word_len", "punct_ratio", "stopword_ratio",
+                  "alpha_ratio", "quality_score"):
+            assert b[k][i] == q[k], (k, repr(t))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_texty, min_size=1, max_size=8))
+def test_tokenizer_batch_parity_fuzz(texts):
+    tk = HashTokenizer()
+    out = tk._tok_batch(texts).to_pylist()
+    ref = HashTokenizer()
+    for i, t in enumerate(texts):
+        assert out[i] == ref._tok(t or ""), repr(t)
