@@ -48,7 +48,12 @@ def assert_matches_oracle(values, methods=ALL, weights=None, **kw):
         if math.isnan(w):
             assert math.isnan(g), f"{m}: got {g}, want NULL ({values})"
         else:
-            assert g == pytest.approx(w, rel=1e-12, abs=1e-12), (
+            # tvalue = slope/SE is ill-conditioned near perfect fits
+            # (residual cancellation amplifies last-bit differences
+            # between formula orders); parity there is 1e-8, exact-ish
+            # everywhere else
+            rel = 1e-8 if m == "tvalue" else 1e-12
+            assert g == pytest.approx(w, rel=rel, abs=1e-12), (
                 f"{m}: got {g}, want {w} ({values})"
             )
 
