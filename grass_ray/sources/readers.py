@@ -163,7 +163,12 @@ def sized_num_blocks(
             cpus = 8
     small = max(1, -(-total_bytes // small_target))
     large = -(-total_bytes // large_target)
-    return max(large, min(small, 2 * cpus), 1)
+    # mid-size occupancy term: up to 4 waves per cpu as long as blocks
+    # stay >= 12 MB (measured sweet spot for the pipelined
+    # read->kernel->write build: 8 cpus prefer 32 blocks over 16 for a
+    # 760 MB input, 32 cpus prefer 48-64 over 128)
+    mid = min(4 * cpus, max(1, -(-total_bytes // (12 << 20))))
+    return max(large, mid, min(small, 2 * cpus), 1)
 
 
 def _local_bytes(paths) -> int | None:
