@@ -26,7 +26,7 @@ from grass_ray.stages.gapfill import find_gaps, gapfill
 from grass_ray.stages.grouped import rollup_events, rollup_points, rollup_points_holistic
 from grass_ray.stages.rollup import explode_tokens, rollup, series_collapse
 from grass_ray.stages.accumulate import accdetect, accumulate
-from grass_ray.stages.algebra import algebra, tier_expr, tier_hash
+from grass_ray.stages.algebra import algebra, tier_expr, tier_hash, tier_topo
 from grass_ray.stages.dedup import (
     connected_components,
     exact_dedup,
@@ -41,13 +41,14 @@ from grass_ray.stages.interp import interp_positions
 from grass_ray.stages.join import (
     anti_join,
     asof_join,
+    attach_column,
     bucket_join,
     distinct_keys,
     interval_join,
     semi_join,
 )
 from grass_ray.stages.curate import curate, pack_sequences, sample_stratified
-from grass_ray.functions.sketch import KLLSketch
+from grass_ray.functions.sketch import KLLSketch, SpaceSaving
 from grass_ray.functions.topology import (
     compute_datetime_delta,
     infer_granularity_absolute,
@@ -62,8 +63,14 @@ from grass_ray.stages.similarity import (
     ivf_search,
     ivf_topk,
 )
-from grass_ray.stages.vocab import decontaminate, vocab_topn, word_counts
+from grass_ray.stages.vocab import (
+    decontaminate,
+    vocab_heavy_hitters,
+    vocab_topn,
+    word_counts,
+)
 from grass_ray.stages.text_stage import analyze_text
+from grass_ray.sources.readers import read_parquet_sized, sized_num_blocks, tokenize_text
 from grass_ray.stages.univar import univar
 from grass_ray.stages.what import what
 from grass_ray.pipelines.catalog import export_tier, import_tier, list_tier, merge_tiers
@@ -79,6 +86,13 @@ __all__ = [
     "accdetect",
     "accumulate",
     "algebra",
+    "tokenize_text",
+    "sized_num_blocks",
+    "read_parquet_sized",
+    "vocab_heavy_hitters",
+    "SpaceSaving",
+    "attach_column",
+    "tier_topo",
     "analyze_text",
     "approx_quantiles",
     "asof_join",
