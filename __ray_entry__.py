@@ -1460,6 +1460,20 @@ def _q_quality_features(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition filters with an exact oracle: fraction
+    of the most common word + duplicate word 2-/3-gram fractions, all
+    exact integer-ratio floats on both sides."""
+    from grass_ray.stages.text_stage import analyze_text
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = analyze_text(ds, features=("repetition",))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(
+        ["doc_id", "top_word_frac", "dup_bigram_frac", "dup_trigram_frac"]
+    )
+
+
 def _q_langid_quality(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1641,6 +1655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_quality": _q_langid_quality,
         "quality_features": _q_quality_features,
         "langid": _q_langid,
+        "repetition": _q_repetition,
         "tokenize_rollup": _q_tokenize_rollup,
         "approx_quantiles": _q_approx_quantiles,
         "multimodal_features": _q_multimodal,
@@ -2425,6 +2440,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_features": _quality_features_sql(),
         "langid": _langid_sql(),
+        "repetition": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(text, '[\\w'']+'),
+                           x -> lower(x)
+                       ) AS words
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id, unnest(words) AS word FROM w
+            ),
+            c AS (
+                SELECT doc_id, word, count(*) AS cnt FROM u GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT doc_id, max(cnt) AS mx, CAST(sum(cnt) AS BIGINT) AS n
+                FROM c GROUP BY 1
+            ),
+            g2 AS (
+                SELECT w.doc_id,
+                       count(DISTINCT array_to_string(words[i:i+1], ' ')) AS d,
+                       count(*) AS t
+                FROM w CROSS JOIN UNNEST(range(1, len(words))) AS s(i)
+                GROUP BY 1
+            ),
+            g3 AS (
+                SELECT w.doc_id,
+                       count(DISTINCT array_to_string(words[i:i+2], ' ')) AS d,
+                       count(*) AS t
+                FROM w CROSS JOIN UNNEST(range(1, len(words) - 1)) AS s(i)
+                GROUP BY 1
+            )
+            SELECT d0.doc_id,
+                   COALESCE(CAST(m.mx AS DOUBLE) / m.n, 0.0) AS top_word_frac,
+                   COALESCE(1 - CAST(g2.d AS DOUBLE) / g2.t, 0.0) AS dup_bigram_frac,
+                   COALESCE(1 - CAST(g3.d AS DOUBLE) / g3.t, 0.0) AS dup_trigram_frac
+            FROM documents d0
+            LEFT JOIN m ON d0.doc_id = m.doc_id
+            LEFT JOIN g2 ON d0.doc_id = g2.doc_id
+            LEFT JOIN g3 ON d0.doc_id = g3.doc_id
+        """,
         "token_counts": """
             SELECT doc_id,
                    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)

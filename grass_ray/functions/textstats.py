@@ -191,6 +191,29 @@ def shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique((vals >> np.uint64(1)).astype(np.int64))
 
 
+def repetition_features(text: str) -> dict:
+    """Gopher-style repetition signals over the lowered word stream:
+    fraction of the most common word, and duplicate word-2-gram /
+    3-gram fractions (1 − distinct/total).  Empty / too-short streams
+    yield 0.0 (no evidence of repetition)."""
+    from collections import Counter
+
+    words = [w.lower() for w in WORD_RE.findall(text)]
+    n = len(words)
+    out = {"top_word_frac": 0.0, "dup_bigram_frac": 0.0, "dup_trigram_frac": 0.0}
+    if n == 0:
+        return out
+    c = Counter(words)
+    out["top_word_frac"] = max(c.values()) / n
+    for k, key in ((2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
+        total = n - k + 1
+        if total <= 0:
+            continue
+        grams = {tuple(words[i : i + k]) for i in range(total)}
+        out[key] = 1.0 - len(grams) / total
+    return out
+
+
 # ---------------------------------------------------------------------------
 # whole-batch vectorized kernels (the per-row functions above stay as the
 # reference semantics; these compute identical values one batch at a time)
@@ -335,7 +358,7 @@ def analyze_batch(texts: list, features=("lang", "tokens", "quality", "fingerpri
             np.searchsorted(bounds, positions, side="right") - 1, minlength=n
         )
 
-    need_words = feats & {"lang", "quality"}
+    need_words = feats & {"lang", "quality", "repetition"}
     if need_words or "quality" in feats or "tokens" in feats:
         alpha, space, word = _classify_codepoints(cp)
 
@@ -450,6 +473,51 @@ def analyze_batch(texts: list, features=("lang", "tokens", "quality", "fingerpri
         out["alpha_ratio"] = alpha_ratio.astype(np.float64)
         out["unique_word_ratio"] = uniq_ratio.astype(np.float64)
         out["quality_score"] = score.astype(np.float64)
+
+    if "repetition" in feats:
+        top = np.zeros(n)
+        dup2 = np.zeros(n)
+        dup3 = np.zeros(n)
+        if len(inv):
+            wh_l = uniqh[inv]  # lowered word-identity hash per word
+            # fraction of the most common word: counts per (doc, word)
+            key = doc_of_w * np.int64(max(n_luniq, 1)) + inv
+            uk, cnts = np.unique(key, return_counts=True)
+            top_cnt = np.zeros(n, dtype=np.int64)
+            np.maximum.at(top_cnt, uk // np.int64(max(n_luniq, 1)), cnts)
+            nz = n_words > 0
+            top[nz] = top_cnt[nz] / n_words[nz]
+
+            def dup_frac(k: int) -> np.ndarray:
+                out_k = np.zeros(n)
+                if len(wh_l) < k:
+                    return out_k
+                with np.errstate(over="ignore"):
+                    h = wh_l[: len(wh_l) - k + 1].copy()
+                    for j in range(1, k):
+                        h = h * _RK_BASE + wh_l[j : len(wh_l) - k + 1 + j]
+                same = doc_of_w[: len(doc_of_w) - k + 1] == doc_of_w[k - 1 :]
+                d = doc_of_w[: len(doc_of_w) - k + 1][same]
+                hv = h[same]
+                totals = np.bincount(d, minlength=n)
+                if len(d):
+                    order = np.lexsort((hv, d))
+                    ds_, hs_ = d[order], hv[order]
+                    newu = np.empty(len(ds_), dtype=bool)
+                    newu[0] = True
+                    newu[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+                    distinct = np.bincount(ds_[newu], minlength=n)
+                else:
+                    distinct = totals
+                tz = totals > 0
+                out_k[tz] = 1.0 - distinct[tz] / totals[tz]
+                return out_k
+
+            dup2 = dup_frac(2)
+            dup3 = dup_frac(3)
+        out["top_word_frac"] = top.astype(np.float64)
+        out["dup_bigram_frac"] = dup2.astype(np.float64)
+        out["dup_trigram_frac"] = dup3.astype(np.float64)
 
     if "tokens" in feats:
         # n_tok_ws: runs of non-whitespace (str.split semantics)

@@ -41,6 +41,13 @@ class TextAnalyzer:
                         "alpha_ratio", "unique_word_ratio", "quality_score",
                     )
                 ]
+            if "repetition" in feats:
+                empty_cols += [
+                    (k, pa.float64())
+                    for k in (
+                        "top_word_frac", "dup_bigram_frac", "dup_trigram_frac",
+                    )
+                ]
             if "fingerprint" in feats:
                 empty_cols += [("fingerprint", pa.int64())]
             for k, typ in empty_cols:
@@ -65,6 +72,9 @@ class TextAnalyzer:
                 "unique_word_ratio",
                 "quality_score",
             ):
+                out[k] = pa.array(b[k], type=pa.float64())
+        if "repetition" in self.features:
+            for k in ("top_word_frac", "dup_bigram_frac", "dup_trigram_frac"):
                 out[k] = pa.array(b[k], type=pa.float64())
         if "fingerprint" in self.features:
             out["fingerprint"] = pa.array(b["fingerprint"], type=pa.int64())

@@ -67,6 +67,15 @@ def test_analyze_batch_parity():
             assert b[k][i] == q[k], (k, i, t[:40])
 
 
+def test_repetition_batch_parity():
+    texts = _texts() + ["a", "a a a a", "a b a b a b", "x y z x y z x y z"]
+    b = T.analyze_batch(texts, features=("repetition",))
+    for i, t in enumerate(texts):
+        r = T.repetition_features(t)
+        for k in ("top_word_frac", "dup_bigram_frac", "dup_trigram_frac"):
+            assert b[k][i] == r[k], (k, i, t[:40])
+
+
 def test_tokenizer_batch_parity():
     texts = _texts()
     tk = HashTokenizer()
@@ -111,6 +120,16 @@ def test_analyze_batch_parity_fuzz(texts):
         for k in ("n_words", "mean_word_len", "punct_ratio", "stopword_ratio",
                   "alpha_ratio", "quality_score"):
             assert b[k][i] == q[k], (k, repr(t))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_texty, min_size=1, max_size=6))
+def test_repetition_parity_fuzz(texts):
+    b = T.analyze_batch(texts, features=("repetition",))
+    for i, t in enumerate(texts):
+        r = T.repetition_features(t)
+        for k in ("top_word_frac", "dup_bigram_frac", "dup_trigram_frac"):
+            assert b[k][i] == r[k], (k, repr(t))
 
 
 @settings(max_examples=60, deadline=None)
