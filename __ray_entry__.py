@@ -1474,6 +1474,22 @@ def _q_repetition(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_scrub(sf_dir: str) -> pa.Table:
+    """PII/noise redaction with an exact oracle: chained RE2
+    replacements + per-doc match counts (pyarrow and DuckDB share the
+    RE2 engine, so the scrubbed text matches byte-for-byte)."""
+    from grass_ray.stages.text_stage import scrub_text
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = scrub_text(
+        ds,
+        patterns=((r"\bvalue\b", "<W>"), (r"\b\d{7,}\b", "<NUM>")),
+        out_col="scrubbed",
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "scrubbed", "n_redactions"])
+
+
 def _q_langid_quality(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1656,6 +1672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_features": _q_quality_features,
         "langid": _q_langid,
         "repetition": _q_repetition,
+        "scrub": _q_scrub,
         "tokenize_rollup": _q_tokenize_rollup,
         "approx_quantiles": _q_approx_quantiles,
         "multimodal_features": _q_multimodal,
@@ -2440,6 +2457,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_features": _quality_features_sql(),
         "langid": _langid_sql(),
+        "scrub": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '\\bvalue\\b', '<W>', 'g'),
+                       '\\b\\d{7,}\\b', '<NUM>', 'g'
+                   ) AS scrubbed,
+                   CAST(
+                       len(regexp_extract_all(text, '\\bvalue\\b'))
+                       + len(regexp_extract_all(text, '\\b\\d{7,}\\b'))
+                       AS BIGINT
+                   ) AS n_redactions
+            FROM documents
+        """,
         "repetition": """
             WITH w AS (
                 SELECT doc_id,

@@ -69,7 +69,7 @@ from grass_ray.stages.vocab import (
     vocab_topn,
     word_counts,
 )
-from grass_ray.stages.text_stage import analyze_text
+from grass_ray.stages.text_stage import analyze_text, scrub_text
 from grass_ray.sources.readers import read_parquet_sized, sized_num_blocks, tokenize_text
 from grass_ray.stages.univar import univar
 from grass_ray.stages.what import what
@@ -86,6 +86,7 @@ __all__ = [
     "accdetect",
     "accumulate",
     "algebra",
+    "scrub_text",
     "tokenize_text",
     "sized_num_blocks",
     "read_parquet_sized",

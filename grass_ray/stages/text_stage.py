@@ -104,3 +104,51 @@ def analyze_text(ds, features=("lang", "tokens", "quality", "fingerprint"), conc
         batch_size=1024,
         **({"concurrency": concurrency} if concurrency else {}),
     )
+
+
+#: default redaction patterns (RE2 syntax — identical semantics in
+#: pyarrow and DuckDB): email, IPv4, long digit runs (ids/phones)
+DEFAULT_SCRUB = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+)
+
+
+def scrub_text(
+    ds,
+    patterns=DEFAULT_SCRUB,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+    count_col: str = "n_redactions",
+):
+    """PII/noise redaction: replace every match of each (regex,
+    replacement) pair and count redactions per document — one chained
+    pass of Arrow's RE2 kernels per batch (`replace_substring_regex` +
+    `count_substring_regex`), no Python per row.  RE2 is also DuckDB's
+    regex engine, so the operator is exactly SQL-checkable."""
+    import pyarrow.compute as pc
+
+    out_col = out_col or text_col
+    pats = tuple(patterns)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        total = np.zeros(batch.num_rows, dtype=np.int64)
+        for pat, _rep in pats:
+            total += (
+                pc.count_substring_regex(col, pat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        for pat, rep in pats:
+            col = pc.replace_substring_regex(col, pat, rep)
+        cols = dict(zip(batch.column_names, batch.columns))
+        cols[out_col] = col
+        cols[count_col] = pa.array(total, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

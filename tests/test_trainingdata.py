@@ -354,3 +354,30 @@ def test_bpe_contractions():
     # GPT-2-style pre-tokenizer splits contractions
     assert count_tokens_bpe("don't stop") >= 3  # don / 't / stop
     assert count_tokens_bpe("a,b") == 3
+
+
+def test_scrub_text_redacts_and_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from grass_ray.stages.text_stage import scrub_text
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "c"],
+                "text": [
+                    "mail me at bob@example.com or 10.0.0.1",
+                    "id 12345678 twice 99999999",
+                    "nothing to redact",
+                ],
+            }
+        )
+    )
+    out = scrub_text(ds).to_pandas().set_index("doc_id")
+    assert out.loc["a", "text"] == "mail me at <EMAIL> or <IP>"
+    assert out.loc["a", "n_redactions"] == 2
+    assert out.loc["b", "text"] == "id <NUM> twice <NUM>"
+    assert out.loc["b", "n_redactions"] == 2
+    assert out.loc["c", "text"] == "nothing to redact"
+    assert out.loc["c", "n_redactions"] == 0
