@@ -26,7 +26,13 @@ from grass_ray.stages.gapfill import find_gaps, gapfill
 from grass_ray.stages.grouped import rollup_events, rollup_points, rollup_points_holistic
 from grass_ray.stages.rollup import explode_tokens, rollup, series_collapse
 from grass_ray.stages.accumulate import accdetect, accumulate
-from grass_ray.stages.algebra import algebra, tier_expr, tier_hash, tier_topo
+from grass_ray.stages.algebra import (
+    algebra,
+    algebra_program,
+    tier_expr,
+    tier_hash,
+    tier_topo,
+)
 from grass_ray.stages.dedup import (
     connected_components,
     exact_dedup,
@@ -86,6 +92,7 @@ __all__ = [
     "accdetect",
     "accumulate",
     "algebra",
+    "algebra_program",
     "scrub_text",
     "tokenize_text",
     "sized_num_blocks",

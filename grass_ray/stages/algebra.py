@@ -883,3 +883,32 @@ def buffer_windows(ds, n: int, *, key_cols=_DEFAULT_KEYS):
         return pa.table(cols)
 
     return ds.map_batches(kernel, batch_format="pyarrow", batch_size=256)
+
+
+def algebra_program(statements, tiers: dict, value_col: str = "average"):
+    """Execute a sequence of algebra statements with bindings — the
+    engine form of the reference's parsed statement scripts
+    (`t.rast.algebra` expression = a program of assignments).
+
+    ``statements``: iterable of statement strings (or one newline- /
+    semicolon-separated string).  Each bound name becomes visible to
+    later statements (materialized once — later consumers must not
+    re-execute the producing pipeline).  Returns (env, last_result):
+    the final binding environment (inputs + produced tiers) and the
+    last statement's dataset."""
+    if isinstance(statements, str):
+        parts = [
+            s.strip()
+            for chunk in statements.split("\n")
+            for s in chunk.split(";")
+        ]
+        statements = [s for s in parts if s]
+    env = dict(tiers)
+    last = None
+    for stmt in statements:
+        name, out = algebra(stmt, env, value_col)
+        if name is not None:
+            out = out.materialize()
+            env[name] = out
+        last = out
+    return env, last

@@ -129,3 +129,27 @@ def test_equal_relation_still_inline(ab):
     # {op, equal} stays on the aligned fast path (no topo split)
     _n, out = algebra("C = A {+, equal} A", {"A": a})
     assert _vals(out) == {0: 20.0, 1: 40.0, 2: 60.0, 3: 80.0, 4: 100.0, 5: 120.0}
+
+
+def test_algebra_program_bindings(ab):
+    from grass_ray.stages.algebra import algebra_program
+
+    a, b = ab
+    env, last = algebra_program(
+        """
+        C = A {+, starts|during|finishes} B
+        D = C * 2
+        """,
+        {"A": a, "B": b},
+    )
+    assert set(env) >= {"A", "B", "C", "D"}
+    got = _vals(last)
+    assert got == {0: 220.0, 1: 240.0, 2: 260.0, 3: 480.0, 4: 500.0, 5: 520.0}
+
+
+def test_algebra_program_semicolons(ab):
+    from grass_ray.stages.algebra import algebra_program
+
+    a, _b = ab
+    env, last = algebra_program("X = A + A; Y = X - A", {"A": a})
+    assert _vals(last) == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0, 4: 50.0, 5: 60.0}
