@@ -58,11 +58,24 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
 
 
 def add_content_hash(ds, col: str = "text", out: str = "content_hash"):
+    """128-bit blake2b content identity as two int64 columns
+    (``<out>``, ``<out>2``).  A single 64-bit hash has a ~3% birthday
+    collision probability at 10⁹ documents — a silent wrong-dedup at
+    corpus scale — so exact dedup groups on the full 128 bits."""
+    import hashlib
+
     def kernel(batch: pa.Table) -> pa.Table:
-        hashes = [
-            _stable_hash64(t) for t in batch.column(col).to_pylist()
-        ]
-        return batch.append_column(out, pa.array(hashes, type=pa.int64()))
+        lo = np.empty(batch.num_rows, dtype=np.int64)
+        hi = np.empty(batch.num_rows, dtype=np.int64)
+        for i, t in enumerate(batch.column(col).to_pylist()):
+            d = hashlib.blake2b(
+                (t or "").encode("utf-8", "ignore"), digest_size=16
+            ).digest()
+            lo[i] = int.from_bytes(d[:8], "little", signed=True)
+            hi[i] = int.from_bytes(d[8:], "little", signed=True)
+        return batch.append_column(out, pa.array(lo)).append_column(
+            out + "2", pa.array(hi)
+        )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
 
@@ -70,14 +83,15 @@ def add_content_hash(ds, col: str = "text", out: str = "content_hash"):
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id", keep_columns=None):
     """Keep the smallest id per identical content.
 
-    Plan: hash per row (map), ``groupby(hash).aggregate(Min(id))`` —
-    Ray pre-combines partials inside each block, so the shuffle moves at
-    most one (hash, id) row per block per key and there is no per-group
-    Python dispatch — then a distributed semi-join of the input on the
-    winning ids.  Scale shape: two narrow exchanges; full rows move
-    exactly once (through the semi-join pass).  ``keep_columns`` prunes
-    the output pass (the survivor filter need not re-carry the text
-    payload when the caller only wants metadata)."""
+    Plan: 128-bit content hash per row (map),
+    ``groupby(hash128).aggregate(Min(id))`` — Ray pre-combines partials
+    inside each block, so the shuffle moves at most one (hash, id) row
+    per block per key and there is no per-group Python dispatch — then
+    a distributed semi-join of the input on the winning ids.  Scale
+    shape: two narrow exchanges; full rows move exactly once (through
+    the semi-join pass).  ``keep_columns`` prunes the output pass (the
+    survivor filter need not re-carry the text payload when the caller
+    only wants metadata)."""
     from ray.data.aggregate import Min
 
     from grass_ray.stages.join import semi_join
@@ -86,12 +100,13 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id", keep_columns=None
     # prune to (hash, id) BEFORE the exchange: the aggregate must not
     # shuffle the text payload
     pairs = hashed.map_batches(
-        lambda b: b.select(["content_hash", id_col]), batch_format="pyarrow"
+        lambda b: b.select(["content_hash", "content_hash2", id_col]),
+        batch_format="pyarrow",
     )
     winners = (
-        pairs.groupby("content_hash")
+        pairs.groupby(["content_hash", "content_hash2"])
         .aggregate(Min(id_col, alias_name=id_col))
-        .drop_columns(["content_hash"])
+        .drop_columns(["content_hash", "content_hash2"])
     )
     out = ds
     if keep_columns is not None:
