@@ -1256,6 +1256,19 @@ def _q_minhash(sf_dir: str) -> pa.Table:
     return t.select(["doc_id", "source"])
 
 
+def _q_minhash_components(sf_dir: str) -> pa.Table:
+    """Transitive dup-group policy: verified near-dup pairs closed into
+    connected components (distributed min-label propagation), one
+    representative kept per component — driver evidence for the CC
+    operator end-to-end."""
+    from grass_ray.stages.dedup import minhash_dedup
+
+    ds = _read(f"{sf_dir}/documents.parquet")
+    kept, _pairs = minhash_dedup(ds, threshold=0.8, components=True)
+    t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "source"])
+
+
 def _q_simhash(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1663,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "curate_pipeline": _q_curate,
         "minhash_dedup": _q_minhash,
+        "minhash_components": _q_minhash_components,
         "simhash_candidates": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann,

@@ -171,6 +171,25 @@ def cmd_vocab(args):
     ray.shutdown()
 
 
+def cmd_analyze(args):
+    """Text analysis / curation features over a documents parquet:
+    language-ID, quality + repetition filters, token counts,
+    fingerprints, optional PII scrub — written back as parquet."""
+    ray = _ray()
+
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.text_stage import analyze_text, scrub_text
+
+    ds = read_parquet_sized(args.docs)
+    feats = tuple(args.features.split(","))
+    out = analyze_text(ds, features=feats)
+    if args.scrub:
+        out = scrub_text(out)
+    out.write_parquet(args.out)
+    print(f"wrote {args.out} (features={','.join(feats)}, scrub={args.scrub})")
+    ray.shutdown()
+
+
 def cmd_decontaminate(args):
     ray = _ray()
     import pyarrow.parquet as _pq
@@ -254,6 +273,18 @@ def main(argv=None):
     t.add_argument("--store", required=True)
     t.add_argument("--tier", required=True)
     t.set_defaults(fn=cmd_topology)
+
+    an = sub.add_parser(
+        "analyze", help="text features (+ optional PII scrub) -> parquet"
+    )
+    an.add_argument("--docs", required=True)
+    an.add_argument("--out", required=True)
+    an.add_argument(
+        "--features",
+        default="lang,tokens,quality,repetition,fingerprint",
+    )
+    an.add_argument("--scrub", action="store_true")
+    an.set_defaults(fn=cmd_analyze)
 
     v = sub.add_parser("vocab", help="top-N corpus word frequencies")
     v.add_argument("--docs", required=True, help="documents parquet path")
