@@ -141,6 +141,8 @@ def run_bench() -> dict:
         "ivf_topk",
         "quality_features",
         "langid",
+        "repetition",
+        "scrub",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
