@@ -758,6 +758,10 @@ def tier_topo(
             if key not in rows_b:
                 if select_mode and op == "!:":
                     emit(key, ga, wa, va)
+                elif hash_mode:
+                    # no B rows for this key: every A window counts 0
+                    # (empty topology list), same as a zero-match key
+                    emit(key, ga, wa, np.zeros(len(wa), dtype=np.int64), as_ints=True)
                 continue
             gb, wb, vb = rows_b[key]
             ia, ib = _topo_matches(wa, ga, wb, gb, rels)

@@ -153,3 +153,20 @@ def test_algebra_program_semicolons(ab):
     a, _b = ab
     env, last = algebra_program("X = A + A; Y = X - A", {"A": a})
     assert _vals(last) == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0, 4: 50.0, 5: 60.0}
+
+
+def test_topo_hash_missing_operand_counts_zero(ray_session):
+    a = _tier(60, [0, 1], [1.0, 2.0])
+    b_other = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": ["s"],
+                "doc_id": ["d2"],
+                "gran": pa.array([180], type=pa.int64()),
+                "windows": pa.array([[0]], type=pa.list_(pa.int64())),
+                "average": pa.array([[9.0]], type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    _n, out = algebra("C = A {#, during} B", {"A": a, "B": b_other})
+    assert _vals(out, "hash_count") == {0: 0, 1: 0}
