@@ -165,6 +165,7 @@ def vocab_heavy_hitters(
         ds.map_batches(block_summary, batch_format="pyarrow")
         .groupby("_g")
         .map_groups(fold_bucket, batch_format="pyarrow")
+        .materialize()  # consumed by count() AND iter_batches()
     )
     # final fold: ≤ buckets × m rows, bounded at any corpus size
     rows = pa.concat_tables(
