@@ -462,16 +462,20 @@ def semi_join(
     import pyarrow.compute as pc
 
     keys = list(key_cols)
-    if keys_ds.schema() is None or keys_ds.count() == 0:
+    # materialize the keys side ONCE: the emptiness check, the distinct
+    # and the regime decision all reuse it (counting the LAZY dataset
+    # first re-executed the whole keys pipeline a second time)
+    keys_mat = keys_ds.materialize()
+    if keys_mat.schema() is None or keys_mat.count() == 0:
         # empty keys side: semi-join keeps nothing, anti-join everything
         return ds if anti else ds.limit(0)
     # keys_distinct=True skips the dedup exchange — callers whose keys
     # side is already one row per key (an aggregate output) must not pay
-    # a second groupby, nor a lazy re-execution of their pipeline
+    # a second groupby
     distinct = (
-        keys_ds.select_columns(keys)
+        keys_mat.select_columns(keys)
         if keys_distinct
-        else distinct_keys(keys_ds.select_columns(keys), keys)
+        else distinct_keys(keys_mat.select_columns(keys), keys)
     ).materialize()
     if distinct.count() <= broadcast_threshold:
         return _semi_join_broadcast(ds, distinct, keys, anti)
