@@ -239,21 +239,26 @@ def _broadcast_join(right_mat, ds_left, keys, lpay, rpay_src, rpay, how, wire):
 
     rt = pa.Table.from_pandas(right_mat.to_pandas(), preserve_index=False)
     wire_types = dict(wire)
-    cols = {}
-    for k in keys:
-        cols[k] = (
-            rt.column(k)
-            if k in rt.column_names
-            else pa.nulls(rt.num_rows, type=wire_types[k])
+    if rt.num_rows == 0:
+        # empty right side: to_pandas loses the schema entirely — build
+        # the typed empty table from the wire schema instead
+        r_tbl = pa.table(
+            {
+                name: pa.array([], type=wire_types.get(name) or pa.string())
+                for name in keys + rpay
+            }
         )
-    for src, dst in zip(rpay_src, rpay):
-        cols[dst] = rt.column(src)
-    r_tbl = pa.table(cols) if rt.num_rows else pa.table(
-        {
-            name: pa.array([], type=wire_types.get(name) or pa.string())
-            for name in keys + rpay
-        }
-    )
+    else:
+        cols = {}
+        for k in keys:
+            cols[k] = (
+                rt.column(k)
+                if k in rt.column_names
+                else pa.nulls(rt.num_rows, type=wire_types[k])
+            )
+        for src, dst in zip(rpay_src, rpay):
+            cols[dst] = rt.column(src)
+        r_tbl = pa.table(cols)
     ref = ray.put(r_tbl)
     out_schema = pa.schema(wire)
 
