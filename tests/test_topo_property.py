@@ -1,0 +1,113 @@
+"""Property tests: tier_topo and interval_join vs brute-force oracles.
+
+Both operators encode subtle interval logic (mutually exclusive Allen
+relations, bucket-replicated range joins with ownership dedup) — the
+brute force is the executable spec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from grass_ray.functions.topology import relation
+from grass_ray.stages.algebra import tier_topo
+from grass_ray.stages.join import interval_join
+
+_RELS = ["equal", "during", "contains", "starts", "started", "finishes",
+         "finished", "overlaps", "overlapped", "precedes", "follows"]
+
+
+def _tier(gran, windows, values):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": ["s"],
+                "doc_id": ["d1"],
+                "gran": pa.array([gran], type=pa.int64()),
+                "windows": pa.array([sorted(windows)], type=pa.list_(pa.int64())),
+                "average": pa.array(
+                    [[float(v) for v in values]], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ga=st.sampled_from([10, 30, 60]),
+    gb=st.sampled_from([20, 30, 90]),
+    wa=st.lists(st.integers(0, 12), min_size=1, max_size=6, unique=True),
+    wb=st.lists(st.integers(0, 8), min_size=1, max_size=4, unique=True),
+    rels=st.lists(st.sampled_from(_RELS), min_size=1, max_size=3, unique=True),
+)
+def test_tier_topo_plus_matches_bruteforce(ray_session, ga, gb, wa, wb, rels):
+    wa, wb = sorted(wa), sorted(wb)
+    va = [float(10 * (i + 1)) for i in range(len(wa))]
+    vb = [float(100 * (i + 1)) for i in range(len(wb))]
+    out = tier_topo(_tier(ga, wa, va), _tier(gb, wb, vb), "+", rels)
+    t = out.to_pandas()
+    got = {}
+    for _, r in t.iterrows():
+        got.update(dict(zip(r["windows"], r["average"])))
+    # brute force: successive + over B matches in temporal order
+    want = {}
+    for i, w in enumerate(wa):
+        acc = va[i]
+        matched = False
+        for j, x in enumerate(wb):
+            rel = relation(w * ga, (w + 1) * ga, x * gb, (x + 1) * gb)
+            if rel in rels:
+                acc = acc + vb[j]
+                matched = True
+        if matched:
+            want[w] = acc
+    assert got == want, (ga, gb, wa, wb, rels)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    l_iv=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 300)),
+        min_size=1,
+        max_size=8,
+    ),
+    r_iv=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 300)),
+        min_size=1,
+        max_size=8,
+    ),
+    span=st.sampled_from([64, 128, 1024]),
+)
+def test_interval_join_matches_bruteforce(ray_session, l_iv, r_iv, span):
+    def mk(ivs, idname):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    idname: pa.array(range(len(ivs)), type=pa.int64()),
+                    "start": pa.array([s for s, _l in ivs], type=pa.int64()),
+                    "end": pa.array([s + l for s, l in ivs], type=pa.int64()),
+                }
+            )
+        )
+
+    out = interval_join(
+        mk(l_iv, "lid"), mk(r_iv, "rid"),
+        start_col="start", end_col="end", bucket_span=span,
+    ).to_pandas()
+    if "lid" not in out.columns:  # empty Dataset loses its schema
+        got = [] if out.empty else pytest.fail(f"bad columns {out.columns}")
+    else:
+        got = sorted(zip(out["lid"].astype(int), out["rid"].astype(int)))
+    want = sorted(
+        (i, j)
+        for i, (ls, ll) in enumerate(l_iv)
+        for j, (rs, rl) in enumerate(r_iv)
+        if ls < rs + rl and rs < ls + ll  # half-open overlap
+    )
+    assert got == want, (l_iv, r_iv, span)
