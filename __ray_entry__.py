@@ -1487,6 +1487,24 @@ def _q_repetition(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_chunk_pack(sf_dir: str) -> pa.Table:
+    """Fixed-length training-chunk packing (global token stream in doc
+    order, 256-token sequences crossing doc boundaries) — the
+    distributed prefix-scan offsets + per-chunk aggregates, oracled
+    against the identical SQL window-function scan."""
+    from grass_ray.stages.chunk import chunk_stats
+
+    out = chunk_stats(_corpus(sf_dir), 256)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "chunk_id": t.column("chunk_id").cast(pa.int64()),
+            "cnt": t.column("cnt").cast(pa.int64()),
+            "sum_tok": t.column("sum_tok").cast(pa.float64()),
+        }
+    )
+
+
 def _q_scrub(sf_dir: str) -> pa.Table:
     """PII/noise redaction with an exact oracle: chained RE2
     replacements + per-doc match counts (pyarrow and DuckDB share the
@@ -1687,6 +1705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "repetition": _q_repetition,
         "scrub": _q_scrub,
+        "chunk_pack": _q_chunk_pack,
         "tokenize_rollup": _q_tokenize_rollup,
         "approx_quantiles": _q_approx_quantiles,
         "multimodal_features": _q_multimodal,
@@ -2447,6 +2466,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, pos // 60 + 5 AS "window",
                    avg(token) AS avg_tok
             FROM tok GROUP BY 1, 2, 3
+        """,
+        "chunk_pack": f"""
+            WITH tok AS ({tok}),
+            d AS (
+                SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS doc_id,
+                       COALESCE(sum(n_chars) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS off
+                FROM documents
+            )
+            SELECT CAST((d.off + t.pos) // 256 AS BIGINT) AS chunk_id,
+                   CAST(count(t.token) AS BIGINT) AS cnt,
+                   CAST(sum(t.token) AS DOUBLE) AS sum_tok
+            FROM tok t JOIN d USING (doc_id)
+            GROUP BY 1
         """,
         "retention_trim": f"""
             WITH tok AS ({tok})

@@ -53,6 +53,7 @@ from grass_ray.stages.join import (
     interval_join,
     semi_join,
 )
+from grass_ray.stages.chunk import chunk_stats, chunk_tokens, doc_offsets
 from grass_ray.stages.curate import curate, pack_sequences, sample_stratified
 from grass_ray.functions.sketch import KLLSketch, SpaceSaving
 from grass_ray.functions.topology import (
@@ -92,6 +93,9 @@ __all__ = [
     "accdetect",
     "accumulate",
     "algebra",
+    "chunk_stats",
+    "chunk_tokens",
+    "doc_offsets",
     "algebra_program",
     "scrub_text",
     "tokenize_text",

@@ -1,0 +1,206 @@
+"""Fixed-length training-sequence chunking over the corpus token stream.
+
+The final step of a training-data pipeline: concatenate every document's
+tokens in deterministic (doc-index) order and cut the stream into
+fixed-length sequences that may cross document boundaries.
+
+The global position of each document is a distributed PREFIX SCAN:
+
+1. per-partition token totals — a tiny aggregate (one row per range
+   partition, partition count grows with data but each row is 16 bytes);
+2. the driver prefix-sums the sorted partition totals (bounded: ~5×10⁵
+   rows at 100 TB) and broadcasts the base offsets via ``ray.put``;
+3. each partition computes its documents' offsets locally (sorted
+   within-partition cumsum) — no all-to-all for the scan itself.
+
+``chunk_stats`` then aggregates per-chunk (count, sum) with per-block
+Arrow partials before one narrow exchange — the oracle-checkable form.
+``chunk_tokens`` materializes the actual fixed-length sequences (a full
+token exchange grouped by chunk — inherent to re-chunking).
+
+Deterministic: same corpus → same chunks, independent of block layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from grass_ray.pipelines.tiers import _doc_index_array
+
+
+def doc_offsets(ds, *, docs_per_partition: int = 2000, id_col: str = "doc_id",
+                len_col: str = "n_tok"):
+    """(doc_id, n_tok, offset) — offset = total tokens of all docs with a
+    smaller doc index (the distributed prefix scan described above)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def with_part(batch: pa.Table) -> pa.Table:
+        idx = _doc_index_array(batch.column(id_col))
+        part = (idx // docs_per_partition).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "_idx": pa.array(idx),
+                len_col: batch.column(len_col).cast(pa.int64()),
+                "_part": pa.array(part),
+            }
+        )
+
+    narrow = ds.map_batches(with_part, batch_format="pyarrow").materialize()
+    totals = (
+        narrow.groupby("_part").aggregate(Sum(len_col, alias_name="_total"))
+    ).to_pandas()
+    totals = totals.sort_values("_part")
+    bases = dict(
+        zip(
+            totals["_part"].astype(int),
+            np.concatenate([[0], np.cumsum(totals["_total"].to_numpy())[:-1]]).astype(np.int64),
+        )
+    )
+    ref = ray.put(bases)
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        idx = batch.column("_idx").to_numpy(zero_copy_only=False)
+        lens = batch.column(len_col).to_numpy(zero_copy_only=False)
+        part = batch.column("_part").to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        off = np.empty(len(idx), dtype=np.int64)
+        lo = lens[order]
+        po = part[order]
+        cum = np.concatenate([[0], np.cumsum(lo)[:-1]])
+        # restart the cumsum at each partition boundary and add the base
+        starts = np.flatnonzero(
+            np.concatenate([[True], po[1:] != po[:-1]])
+        )
+        seg_base = np.repeat(cum[starts], np.diff(np.concatenate([starts, [len(po)]])))
+        off[order] = cum - seg_base + np.array([b[int(p)] for p in po], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                len_col: batch.column(len_col),
+                "offset": pa.array(off),
+            }
+        )
+
+    # partition rows are co-located per batch only under range reads; a
+    # groupby makes the per-partition cumsum correct for ANY layout
+    return (
+        narrow.groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+def chunk_stats(corpus_ds, seq_len: int, *, docs_per_partition: int = 2000):
+    """(chunk_id, cnt, sum_tok) per fixed-length chunk of the global
+    token stream — per-block Arrow partials, one narrow exchange."""
+    from ray.data.aggregate import Sum
+
+    from grass_ray.stages.join import attach_column
+
+    offs = doc_offsets(corpus_ds, docs_per_partition=docs_per_partition)
+    with_off = attach_column(
+        corpus_ds, offs.map_batches(
+            lambda b: b.select(["doc_id", "offset"]), batch_format="pyarrow"
+        ),
+        key_col="doc_id", lookup_key="doc_id", value_col="offset",
+        out_col="offset",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = toks.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        null_mask = flat.is_null().to_numpy(zero_copy_only=False)
+        off = batch.column("offset").to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        gpos = np.repeat(off, lens) + pos
+        chunk = gpos // seq_len
+        t = pa.table(
+            {
+                "chunk_id": pa.array(chunk),
+                "_n": pa.array((~null_mask).astype(np.int64)),
+                "_s": pa.array(np.where(null_mask, 0.0, vals)),
+            }
+        )
+        agg = t.group_by("chunk_id", use_threads=False).aggregate(
+            [("_n", "sum"), ("_s", "sum")]
+        )
+        return agg.rename_columns(["chunk_id", "cnt", "sum_tok"])
+
+    partials = with_off.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.groupby("chunk_id")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("sum_tok", alias_name="sum_tok"))
+    )
+
+
+def chunk_tokens(corpus_ds, seq_len: int, *, docs_per_partition: int = 2000,
+                 buckets: int = 64):
+    """(chunk_id, tokens list<int32>) fixed-length sequences — the full
+    re-chunk: tokens exchange once grouped by chunk bucket, each chunk
+    assembled in global-position order (the last partial chunk keeps its
+    remainder length)."""
+    from grass_ray.stages.join import attach_column
+
+    offs = doc_offsets(corpus_ds, docs_per_partition=docs_per_partition)
+    with_off = attach_column(
+        corpus_ds, offs.map_batches(
+            lambda b: b.select(["doc_id", "offset"]), batch_format="pyarrow"
+        ),
+        key_col="doc_id", lookup_key="doc_id", value_col="offset",
+        out_col="offset",
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = toks.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        off = batch.column("offset").to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        gpos = np.repeat(off, lens) + pos
+        chunk = gpos // seq_len
+        return pa.table(
+            {
+                "chunk_id": pa.array(chunk),
+                "gpos": pa.array(gpos),
+                "token": flat,
+                "_bucket": pa.array((chunk % buckets).astype(np.int32)),
+            }
+        )
+
+    def assemble(batch: pa.Table) -> pa.Table:
+        chunk = batch.column("chunk_id").to_numpy(zero_copy_only=False)
+        gpos = batch.column("gpos").to_numpy(zero_copy_only=False)
+        tok = batch.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        order = np.lexsort((gpos, chunk))
+        c_s = chunk[order]
+        newc = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        counts = np.diff(np.concatenate([np.flatnonzero(newc), [len(c_s)]]))
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        )
+        values = tok.take(pa.array(order))
+        return pa.table(
+            {
+                "chunk_id": pa.array(c_s[newc]),
+                "tokens": pa.ListArray.from_arrays(offsets, values),
+            }
+        )
+
+    return (
+        with_off.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
