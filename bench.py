@@ -143,6 +143,7 @@ def run_bench() -> dict:
         "langid",
         "repetition",
         "scrub",
+        "chunk_pack",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
