@@ -36,6 +36,25 @@ from grass_ray.functions.reducers import reduce_segments
 DECOMPOSABLE = ("count", "sum", "minimum", "maximum", "average")
 
 
+_TS_DIV = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
+def _epoch_seconds(col) -> np.ndarray:
+    """Timestamp column -> int64 epoch seconds, honouring the Arrow
+    timestamp unit (a hard-coded //1e6 silently mis-scaled ns inputs —
+    found by the sessionize brute-force fuzz).  Plain integer columns
+    keep the documented microsecond convention."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    div = (
+        _TS_DIV[col.type.unit]
+        if pa.types.is_timestamp(col.type)
+        else 1_000_000
+    )
+    ints = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return ints // div
+
+
 def _partial_kernel(keys, window_expr, val_col, salt, weight_col=None):
     def kernel(batch: pa.Table) -> pa.Table:
         batch = window_expr(batch)
@@ -297,11 +316,9 @@ def rollup_events(
                 ts.to_numpy(zero_copy_only=False), calendar_unit, calendar_mult
             )
             return batch.append_column("pos", pa.array(wid))
-        secs = pc.cast(
-            pc.divide(pc.cast(batch.column(ts_col), pa.int64()), 1_000_000),
-            pa.int64(),
+        return batch.append_column(
+            "pos", pa.array(_epoch_seconds(batch.column(ts_col)))
         )
-        return batch.append_column("pos", secs)
 
     pts = ds.map_batches(add_pos, batch_format="pyarrow")
     return rollup_points(
@@ -356,10 +373,7 @@ def sessionize(
         )
         b = batch.take(order)
         n = b.num_rows
-        secs = (
-            b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 1_000_000
-        )
+        secs = _epoch_seconds(b.column(ts_col))
         kdf = b.select(keys).to_pandas()
         changed = np.ones(n, dtype=bool)
         if n > 1:

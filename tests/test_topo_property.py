@@ -111,3 +111,46 @@ def test_interval_join_matches_bruteforce(ray_session, l_iv, r_iv, span):
         if ls < rs + rl and rs < ls + ll  # half-open overlap
     )
     assert got == want, (l_iv, r_iv, span)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),  # (user, second)
+        min_size=1,
+        max_size=30,
+    ),
+    gap=st.sampled_from([10, 60, 120]),
+)
+def test_sessionize_matches_bruteforce(ray_session, events, gap):
+    import pandas as pd
+
+    from grass_ray.stages.grouped import sessionize
+
+    df = pd.DataFrame(
+        {
+            "user_id": [f"u{u}" for u, _s in events],
+            "ts": pd.to_datetime([s * 1_000_000_000 for _u, s in events]),
+            "value": [1.0] * len(events),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = sessionize(ds, key_cols=("user_id",), gap_seconds=gap, buckets=4).to_pandas()
+    got = sorted(
+        (r["user_id"], int(r["session_id"]), int(r["n_events"]))
+        for _i, r in out.iterrows()
+    )
+    # brute force: sort each user's seconds, split on gaps > gap
+    want = []
+    for u in sorted({f"u{x}" for x, _ in events}):
+        secs = sorted(s for x, s in events if f"u{x}" == u)
+        sid, n = 0, 1
+        for a, b in zip(secs, secs[1:]):
+            if b - a > gap:
+                want.append((u, sid, n))
+                sid += 1
+                n = 1
+            else:
+                n += 1
+        want.append((u, sid, n))
+    assert got == sorted(want), (events, gap)
