@@ -154,3 +154,44 @@ def test_sessionize_matches_bruteforce(ray_session, events, gap):
                 n += 1
         want.append((u, sid, n))
     assert got == sorted(want), (events, gap)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(-5, 5)),
+        min_size=1,
+        max_size=25,
+    ),
+    shape=st.sampled_from([(4, 2), (6, 3), (8, 2), (5, 5)]),
+)
+def test_hop_windows_matches_bruteforce(ray_session, pts, shape):
+    from grass_ray.stages.grouped import hop_windows
+
+    size, hop = shape
+    t = pa.table(
+        {
+            "k": pa.array([f"k{p[0]}" for p in pts]),
+            "pos": pa.array([p[1] for p in pts], type=pa.int64()),
+            "v": pa.array([float(p[2]) for p in pts], type=pa.float64()),
+        }
+    )
+    out = hop_windows(
+        ray.data.from_arrow(t), key_cols=("k",), pos_col="pos",
+        val_col="v", size=size, hop=hop,
+    ).to_pandas()
+    got = sorted(
+        (r["k"], int(r["window_start"]), int(r["count"]), float(r["sum"]))
+        for _i, r in out.iterrows()
+    )
+    want: dict = {}
+    for u, pos, v in pts:
+        k = f"k{u}"
+        # windows covering pos: w*hop <= pos < w*hop + size (windows
+        # starting before 0 included — the engine's contract)
+        wlo = (pos - size) // hop + 1
+        for w in range(wlo, pos // hop + 1):
+            c, s = want.get((k, w * hop), (0, 0.0))
+            want[(k, w * hop)] = (c + 1, s + v)
+    want_list = sorted((k, w, c, s) for (k, w), (c, s) in want.items())
+    assert got == want_list, (pts, shape)
