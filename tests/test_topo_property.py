@@ -195,3 +195,64 @@ def test_hop_windows_matches_bruteforce(ray_session, pts, shape):
             want[(k, w * hop)] = (c + 1, s + v)
     want_list = sorted((k, w, c, s) for (k, w), (c, s) in want.items())
     assert got == want_list, (pts, shape)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.one_of(st.none(), st.integers(-50, 50))),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_gapfill_matches_bruteforce(ray_session, rows):
+    from grass_ray.stages.gapfill import gapfill_batch
+
+    # unique sorted windows per row
+    norm = []
+    for r in rows:
+        seen = {}
+        for w, v in r:
+            seen[w] = v
+        norm.append(sorted(seen.items()))
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(norm))]),
+            "gran": pa.array([60] * len(norm), type=pa.int64()),
+            "windows": pa.array([[w for w, _v in r] for r in norm], type=pa.list_(pa.int64())),
+            "average": pa.array(
+                [[None if v is None else float(v) for _w, v in r] for r in norm],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    out = gapfill_batch(batch, value_cols=("average",))
+    for i, r in enumerate(norm):
+        wlist = out.column("windows")[i].as_py()
+        vlist = out.column("average")[i].as_py()
+        filled = out.column("is_filled")[i].as_py()
+        present = dict(r)
+        lo, hi = r[0][0], r[-1][0]
+        assert wlist == list(range(lo, hi + 1))
+        for w, v, f in zip(wlist, vlist, filled):
+            if w in present:
+                assert not f
+                pv = present[w]
+                assert (v is None and pv is None) or v == float(pv), (r, w)
+            else:
+                assert f
+                # linear interpolation between the neighbouring PRESENT
+                # windows; NULL endpoint -> NULL fill
+                left = max(x for x in present if x < w)
+                right = min(x for x in present if x > w)
+                lv, rv = present[left], present[right]
+                if lv is None or rv is None:
+                    assert v is None, (r, w, v)
+                else:
+                    frac = (w - left) / (right - left)
+                    expect = lv + (rv - lv) * frac
+                    assert v == pytest.approx(expect, rel=1e-12), (r, w)
