@@ -180,7 +180,10 @@ def run_scaling():
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEADLINE_ONLY="1",
-            GRAFT_BENCH_REPEATS="2",
+            # min-of-3 per level: the shared box swings each level
+            # ±15% run-to-run; more repeats = a steadier minimum
+            # (the reference's own benchmark_nprocs repeat policy)
+            GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "3"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
