@@ -18,7 +18,7 @@ import shutil
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from grass_ray.state.manifest import TierStore, _parquet_files
+from grass_ray.state.manifest import TierStore
 
 
 def list_tier(

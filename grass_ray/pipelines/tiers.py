@@ -44,7 +44,7 @@ import numpy as np
 import pyarrow as pa
 
 from grass_ray.stages.cascade import cascade, cascade_batch
-from grass_ray.stages.codec_stage import DecodeTier, EncodeTier
+from grass_ray.stages.codec_stage import EncodeTier
 from grass_ray.stages.rollup import rollup
 from grass_ray.state.manifest import TierStore
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from grass_ray.functions.textstats import WORD_RE, _stable_hash64, _word_ids, shingles
+from grass_ray.functions.textstats import WORD_RE, _word_ids, shingles
 
 # 64-bit odd multipliers for minhash permutations h_i(x) = (a_i*x + b_i)
 _MERSENNE = (1 << 61) - 1

@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from grass_ray.functions.reducers import reduce_segments
-from grass_ray.functions.topology import relation, select_by_relations
+from grass_ray.functions.topology import relation
 
 
 def aggregate_by_intervals(
