@@ -1487,6 +1487,25 @@ def _q_repetition(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_attr_univar(sf_dir: str) -> pa.Table:
+    """t.vect.univar analog: grouped univariate statistics over an
+    attribute column (events.value as exact cents), population AND
+    sample variants — closed forms from exact integer power sums,
+    formula-identical in the SQL oracle."""
+    from grass_ray.stages.univar import attr_univar
+
+    ev = _events_cents(sf_dir)
+    out = attr_univar(ev, "value", by=("event_type",), sample=True)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(
+        [
+            "event_type", "n", "vmin", "vmax", "vrange", "mean",
+            "variance", "stddev", "var_samp", "stddev_samp",
+            "coeff_var", "sum",
+        ]
+    )
+
+
 def _q_chunk_pack(sf_dir: str) -> pa.Table:
     """Fixed-length training-chunk packing (global token stream in doc
     order, 256-token sequences crossing doc boundaries) — the
@@ -1706,6 +1725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "scrub": _q_scrub,
         "chunk_pack": _q_chunk_pack,
+        "attr_univar": _q_attr_univar,
         "tokenize_rollup": _q_tokenize_rollup,
         "approx_quantiles": _q_approx_quantiles,
         "multimodal_features": _q_multimodal,
@@ -2466,6 +2486,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, pos // 60 + 5 AS "window",
                    avg(token) AS avg_tok
             FROM tok GROUP BY 1, 2, 3
+        """,
+        "attr_univar": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100.0) AS BIGINT) AS cents
+                FROM events
+            ),
+            a AS (
+                SELECT event_type,
+                       CAST(count(cents) AS BIGINT) AS n,
+                       CAST(sum(cents) AS DOUBLE) AS s,
+                       CAST(sum(cents * cents) AS DOUBLE) AS s2,
+                       CAST(min(cents) AS DOUBLE) AS vmin,
+                       CAST(max(cents) AS DOUBLE) AS vmax
+                FROM c GROUP BY 1
+            )
+            SELECT event_type, n, vmin, vmax, vmax - vmin AS vrange,
+                   s / n AS mean,
+                   GREATEST(s2 / n - (s / n) * (s / n), 0.0) AS variance,
+                   sqrt(GREATEST(s2 / n - (s / n) * (s / n), 0.0)) AS stddev,
+                   CASE WHEN n > 1
+                        THEN GREATEST((s2 - s * s / n) / (n - 1), 0.0)
+                   END AS var_samp,
+                   CASE WHEN n > 1
+                        THEN sqrt(GREATEST((s2 - s * s / n) / (n - 1), 0.0))
+                   END AS stddev_samp,
+                   100.0 * sqrt(GREATEST(s2 / n - (s / n) * (s / n), 0.0)) / (s / n)
+                       AS coeff_var,
+                   s AS sum
+            FROM a
         """,
         "chunk_pack": f"""
             WITH tok AS ({tok}),

@@ -78,7 +78,7 @@ from grass_ray.stages.vocab import (
 )
 from grass_ray.stages.text_stage import analyze_text, scrub_text
 from grass_ray.sources.readers import read_parquet_sized, sized_num_blocks, tokenize_text
-from grass_ray.stages.univar import univar
+from grass_ray.stages.univar import attr_univar, univar
 from grass_ray.stages.what import what
 from grass_ray.pipelines.catalog import export_tier, import_tier, list_tier, merge_tiers
 from grass_ray.pipelines.retention import apply_retention, apply_retention_policy
@@ -93,6 +93,7 @@ __all__ = [
     "accdetect",
     "accumulate",
     "algebra",
+    "attr_univar",
     "chunk_stats",
     "chunk_tokens",
     "doc_offsets",

@@ -102,3 +102,117 @@ def univar(ds, *, extended: bool = False, **kw):
         batch_format="pyarrow",
         batch_size=512,
     )
+
+
+def attr_univar(ds, col: str, *, by=None, sample: bool = True):
+    """Univariate statistics over an arbitrary numeric attribute column,
+    optionally grouped — the ``t.vect.univar`` analog (vector-attribute
+    statistics via ``v.univar``, ``univar_statistics.py:309-523``),
+    including BOTH population and sample (n−1) variants like the
+    reference's ``-e``/default split.
+
+    Plan: per-block Arrow partials (n, nulls, Σx, Σx², Σ|x|, min, max)
+    → one pre-combined merge exchange → closed-form finalization.
+    Exact: with integer inputs every partial is an exact int64 sum, so
+    the derived floats are formula-identical to a SQL derivation.
+    Output columns: [by...], n, nulls, vmin, vmax, vrange, mean,
+    mean_abs, variance, stddev, var_samp, stddev_samp, coeff_var, sum.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    keys = list(by) if by else []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col)
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        xf = x.cast(pa.float64())
+        null = pc.is_null(xf).to_numpy(zero_copy_only=False)
+        v = np.where(null, 0.0, xf.to_numpy(zero_copy_only=False))
+        cols = {k: batch.column(k) for k in keys}
+        grp = pa.table(
+            {
+                **cols,
+                "_n": pa.array((~null).astype(np.int64)),
+                "_nulls": pa.array(null.astype(np.int64)),
+                "_s": pa.array(v),
+                "_s2": pa.array(v * v),
+                "_sa": pa.array(np.abs(v)),
+                "_min": pa.array(np.where(null, np.inf, v)),
+                "_max": pa.array(np.where(null, -np.inf, v)),
+            }
+        )
+        if keys:
+            agg = grp.group_by(keys, use_threads=False).aggregate(
+                [("_n", "sum"), ("_nulls", "sum"), ("_s", "sum"),
+                 ("_s2", "sum"), ("_sa", "sum"), ("_min", "min"), ("_max", "max")]
+            )
+            return agg.rename_columns(
+                keys + ["_n", "_nulls", "_s", "_s2", "_sa", "_min", "_max"]
+            )
+        return pa.table(
+            {
+                "_n": pa.array([int((~null).sum())], type=pa.int64()),
+                "_nulls": pa.array([int(null.sum())], type=pa.int64()),
+                "_s": pa.array([float(v.sum())]),
+                "_s2": pa.array([float((v * v).sum())]),
+                "_sa": pa.array([float(np.abs(v).sum())]),
+                "_min": pa.array([float(np.min(np.where(null, np.inf, v))) if len(v) else np.inf]),
+                "_max": pa.array([float(np.max(np.where(null, -np.inf, v))) if len(v) else -np.inf]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    gb = partials.groupby(keys if keys else None)
+    merged = gb.aggregate(
+        Sum("_n", alias_name="_n"),
+        Sum("_nulls", alias_name="_nulls"),
+        Sum("_s", alias_name="_s"),
+        Sum("_s2", alias_name="_s2"),
+        Sum("_sa", alias_name="_sa"),
+        Min("_min", alias_name="_min"),
+        Max("_max", alias_name="_max"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("_s").to_numpy(zero_copy_only=False)
+        s2 = batch.column("_s2").to_numpy(zero_copy_only=False)
+        sa = batch.column("_sa").to_numpy(zero_copy_only=False)
+        vmin = batch.column("_min").to_numpy(zero_copy_only=False)
+        vmax = batch.column("_max").to_numpy(zero_copy_only=False)
+        with np.errstate(all="ignore"):
+            mean = s / n
+            var = s2 / n - mean * mean
+            var = np.where(var < 0, 0.0, var)  # stats.c clamp
+            sd = np.sqrt(var)
+            var_s = np.where(n > 1, (s2 - s * s / n) / (n - 1), np.nan)
+            var_s = np.where(var_s < 0, 0.0, var_s)
+            sd_s = np.sqrt(var_s)
+            cv = 100.0 * sd / mean
+        empty = n == 0
+        def col_(a, nanify=True):
+            a = np.where(empty, np.nan, a) if nanify else a
+            return pa.array(a, type=pa.float64(), mask=np.isnan(a))
+        cols = {k: batch.column(k) for k in keys}
+        cols.update(
+            {
+                "n": batch.column("_n"),
+                "nulls": batch.column("_nulls"),
+                "vmin": col_(vmin),
+                "vmax": col_(vmax),
+                "vrange": col_(vmax - vmin),
+                "mean": col_(mean),
+                "mean_abs": col_(sa / n),
+                "variance": col_(var),
+                "stddev": col_(sd),
+                "var_samp": col_(var_s),
+                "stddev_samp": col_(sd_s),
+                "coeff_var": col_(cv),
+                "sum": col_(np.where(empty, np.nan, s), nanify=False),
+            }
+        )
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

@@ -381,3 +381,36 @@ def test_scrub_text_redacts_and_counts(ray_session):
     assert out.loc["b", "n_redactions"] == 2
     assert out.loc["c", "text"] == "nothing to redact"
     assert out.loc["c", "n_redactions"] == 0
+
+
+def test_attr_univar_population_and_sample(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from grass_ray.stages.univar import attr_univar
+
+    vals = [1.0, 2.0, 3.0, 4.0, None, 10.0]
+    grp = ["a", "a", "a", "b", "b", "b"]
+    ds = ray.data.from_arrow(
+        pa.table({"g": grp, "x": pa.array(vals, type=pa.float64())})
+    )
+    out = attr_univar(ds, "x", by=("g",)).to_pandas().set_index("g")
+    a = np.array([1.0, 2.0, 3.0])
+    b = np.array([4.0, 10.0])
+    assert out.loc["a", "n"] == 3 and out.loc["a", "nulls"] == 0
+    assert out.loc["b", "n"] == 2 and out.loc["b", "nulls"] == 1
+    import pytest as _pt
+
+    # engine uses the power-sum closed form (formula-identical to its
+    # SQL oracle); numpy mean-centers — equal to ~1e-12
+    assert out.loc["a", "variance"] == _pt.approx(a.var(), rel=1e-12)
+    assert out.loc["a", "var_samp"] == _pt.approx(a.var(ddof=1), rel=1e-12)
+    assert out.loc["b", "stddev_samp"] == _pt.approx(b.std(ddof=1), rel=1e-12)
+    assert out.loc["b", "vrange"] == 6.0
+    # global (ungrouped) form
+    g = attr_univar(ds, "x").to_pandas()
+    allv = np.array([1.0, 2.0, 3.0, 4.0, 10.0])
+    assert g.loc[0, "n"] == 5 and g.loc[0, "nulls"] == 1
+    assert g.loc[0, "mean"] == _pt.approx(allv.mean(), rel=1e-12)
+    assert g.loc[0, "var_samp"] == _pt.approx(allv.var(ddof=1), rel=1e-12)
