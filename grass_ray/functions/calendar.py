@@ -92,3 +92,69 @@ def increment(ts, n: int, unit: str) -> np.ndarray:
     if unit == "weeks":
         return t + np.timedelta64(7 * n, "D")
     return t + np.timedelta64(n, _NP_UNIT[unit])
+
+
+# ---------------------------------------------------------------------------
+# suffix builders — map/partition naming helpers
+# (`datetime_math.py:925-1008` semantics: the LARGEST granularity unit
+# decides how many datetime fields the suffix carries)
+# ---------------------------------------------------------------------------
+
+_SUFFIX_PARTS = ["%Y", "%m", "%d", "%H", "%M", "%S"]
+_SUFFIX_DEPTH = {
+    "year": 1, "month": 2, "week": 3, "day": 3,
+    "hour": 4, "minute": 5, "second": 6,
+}
+
+
+def suffix_from_datetime(start_time, granularity: str) -> str:
+    """Granularity-truncated datetime suffix for generated names.
+
+    >>> from datetime import datetime
+    >>> t = datetime(2001, 1, 1, 10, 4, 12)
+    >>> suffix_from_datetime(t, "1 month")
+    '2001_01'
+    >>> suffix_from_datetime(t, "1 year 1 month")
+    '2001'
+    >>> suffix_from_datetime(t, "6 seconds")
+    '2001_01_01_10_04_12'
+    """
+    unit = granularity.split()[1].rstrip("s")
+    depth = _SUFFIX_DEPTH[unit]
+    return start_time.strftime("_".join(_SUFFIX_PARTS[:depth]))
+
+
+def time_suffix(start_time, end_time=None) -> str:
+    """Full ISO suffix (``:``/``-`` folded to ``_``), optionally with an
+    end time appended.
+
+    >>> from datetime import datetime
+    >>> time_suffix(datetime(2001, 1, 1, 10, 4, 12))
+    '2001_01_01T10_04_12'
+    >>> time_suffix(datetime(2001, 1, 1), datetime(2001, 2, 1))
+    '2001_01_01T00_00_00_2001_02_01T00_00_00'
+    """
+    def iso(t):
+        return t.isoformat().replace(":", "_").replace("-", "_")
+
+    if end_time is not None:
+        return f"{iso(start_time)}_{iso(end_time)}"
+    return iso(start_time)
+
+
+def numeric_suffix(base: str, count: int, zeros: str = "%05") -> str:
+    """``base_00042``-style numeric suffix; ``zeros`` follows the
+    reference's ``%0N`` option grammar with its fallback rules.
+
+    >>> numeric_suffix("tier", 42)
+    'tier_00042'
+    >>> numeric_suffix("tier", 42, "%3")
+    'tier_042'
+    >>> numeric_suffix("tier", 42, "bogus")
+    'tier_00042'
+    """
+    width = "05"
+    parts = zeros.split("%")
+    if len(parts) == 2 and parts[1].isdigit():
+        width = parts[1] if parts[1][0] == "0" else "0" + parts[1]
+    return ("{b}_{i:" + width + "d}").format(b=base, i=count)

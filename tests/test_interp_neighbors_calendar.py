@@ -198,3 +198,30 @@ def test_reference_month_aggregation_golden():
         jan2001 + 2: 500.0,  # map 5 inside March
     }
     assert max(per_month.values()) == 500.0  # the published max_max
+
+
+def test_suffix_builders_reference_cases():
+    from datetime import datetime
+
+    from grass_ray.functions.calendar import (
+        numeric_suffix,
+        suffix_from_datetime,
+        time_suffix,
+    )
+
+    t = datetime(2001, 1, 1, 10, 4, 12)
+    # datetime_math.py doctest triples
+    assert suffix_from_datetime(t, "1 month") == "2001_01"
+    assert suffix_from_datetime(t, "1 year 1 month") == "2001"
+    assert suffix_from_datetime(t, "6 seconds") == "2001_01_01_10_04_12"
+    assert suffix_from_datetime(t, "3 hours") == "2001_01_01_10"
+    assert suffix_from_datetime(t, "2 weeks") == "2001_01_01"
+    assert time_suffix(t) == "2001_01_01T10_04_12"
+    assert (
+        time_suffix(datetime(2001, 1, 1), datetime(2001, 2, 1))
+        == "2001_01_01T00_00_00_2001_02_01T00_00_00"
+    )
+    assert numeric_suffix("map", 7) == "map_00007"
+    assert numeric_suffix("map", 7, "%3") == "map_007"
+    assert numeric_suffix("map", 7, "%03") == "map_007"
+    assert numeric_suffix("map", 7, "nope") == "map_00007"
