@@ -565,6 +565,146 @@ def fingerprint_batch_v(texts) -> np.ndarray:
     return out
 
 
+# ASCII table for the decontamination word class [a-z0-9_'] — the
+# vocab.ASCII_WORD regex as a code-point lookup (texts are lowered first,
+# so A-Z never appears; non-ASCII is always a separator)
+_T_AWORD = np.zeros(128, dtype=bool)
+for _c in "abcdefghijklmnopqrstuvwxyz0123456789_'":
+    _T_AWORD[ord(_c)] = True
+
+
+def _word_span_arrays(texts, *, ascii_words: bool):
+    """Word spans of a whole batch over the concatenated code-point
+    stream: (big, cp, wstarts, wends, doc_of_w).  ``ascii_words`` uses
+    the decontamination class ``[a-z0-9_']`` (table lookup); otherwise
+    the Python ``[\\w']+`` class via :func:`_classify_codepoints`."""
+    n = len(texts)
+    big = "".join(texts)
+    cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter(map(len, texts), dtype=np.int64, count=n)
+    doc_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=doc_starts[1:])
+    bounds = np.concatenate([doc_starts, [len(cp)]])
+    if ascii_words:
+        am = cp < 128
+        wchar = _T_AWORD[np.where(am, cp, 0)] & am
+    else:
+        _, _, word = _classify_codepoints(cp)
+        wchar = word | (cp == np.uint32(ord("'")))
+    wstarts = _run_starts(wchar, doc_starts)
+    nonw = np.flatnonzero(~wchar)
+    if len(nonw):
+        we = np.searchsorted(nonw, wstarts)
+        wends = np.where(
+            we < len(nonw), nonw[np.minimum(we, len(nonw) - 1)], len(cp)
+        )
+    else:
+        wends = np.full(len(wstarts), len(cp), dtype=np.int64)
+    doc_of_w = np.searchsorted(bounds, wstarts, side="right") - 1
+    wends = np.minimum(wends, bounds[doc_of_w + 1])
+    return big, cp, wstarts, wends, doc_of_w
+
+
+def kgram_hashes_batch(
+    texts, k: int, *, ascii_words: bool = False, short_doc_hash: bool = True
+):
+    """Per-document UNIQUE word k-gram hashes for a whole batch in one
+    numpy pass — the batch kernel form of :func:`shingles`
+    (``ascii_words=False``) and of ``vocab._gram_hashes``
+    (``ascii_words=True, short_doc_hash=False``); bit-identical values
+    (parity-tested).
+
+    Returns ``(values, lens)``: a flat int64 hash array (ascending
+    within each document) and the per-document counts.
+
+    Plan: one word-span pass over the concatenated code-point stream,
+    word identity = span hash → blake2b once per UNIQUE word (shared
+    ``_word_ids`` cache), then every k-window's polynomial hash from ONE
+    prefix sum over the word-id stream — ``h(s) = (G[s+k] − G[s])·B^−s``
+    with ``G[i] = Σ_{j<i} id[j]·B^j`` (uint64 wraparound modulus), which
+    equals ``Σ_j id[s+j]·B^j`` exactly.  ``short_doc_hash`` emits one
+    whole-document hash for docs with ``0 < n_words < k`` (the
+    :func:`shingles` rule); off matches the decontamination rule
+    (short docs cannot be k-gram contaminated)."""
+    n = len(texts)
+    lens_out = np.zeros(n, dtype=np.int64)
+    empty = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return empty, lens_out
+    if ascii_words:
+        texts = [(t or "").lower() for t in texts]
+    else:
+        texts = [t or "" for t in texts]
+    big, cp, wstarts, wends, doc_of_w = _word_span_arrays(
+        texts, ascii_words=ascii_words
+    )
+    nw_total = len(wstarts)
+    if nw_total == 0:
+        return empty, lens_out
+    wh = _span_hashes(cp, wstarts, wends)
+    uniq_h, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
+    if ascii_words:
+        reps = [big[wstarts[i] : wends[i]] for i in first_idx]
+    else:
+        # shingles() lowers each word AFTER matching on the original text
+        reps = [big[wstarts[i] : wends[i]].lower() for i in first_idx]
+    ids = _word_ids(reps)[inv]
+    invpow, bpow = _powers(nw_total)
+    with np.errstate(over="ignore"):
+        g = np.empty(nw_total + 1, dtype=np.uint64)
+        g[0] = 0
+        np.cumsum(ids * bpow[:nw_total], out=g[1:])
+    if nw_total >= k:
+        same = doc_of_w[: nw_total - k + 1] == doc_of_w[k - 1 :]
+        win_s = np.flatnonzero(same)
+    else:
+        win_s = np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        vals = (g[win_s + k] - g[win_s]) * invpow[win_s]
+    docs = doc_of_w[win_s]
+    if short_doc_hash:
+        nw = np.bincount(doc_of_w, minlength=n)
+        first_w = np.zeros(n, dtype=np.int64)
+        np.cumsum(nw[:-1], out=first_w[1:])
+        short = np.flatnonzero((nw > 0) & (nw < k))
+        if len(short):
+            s = first_w[short]
+            with np.errstate(over="ignore"):
+                sv = (g[s + nw[short]] - g[s]) * invpow[s]
+            vals = np.concatenate([vals, sv])
+            docs = np.concatenate([docs, short])
+    if len(vals) == 0:
+        return empty, lens_out
+    out_vals = (vals >> np.uint64(1)).astype(np.int64)
+    order = np.lexsort((out_vals, docs))
+    dv, vv = docs[order], out_vals[order]
+    newu = np.empty(len(dv), dtype=bool)
+    newu[0] = True
+    newu[1:] = (dv[1:] != dv[:-1]) | (vv[1:] != vv[:-1])
+    lens_out = np.bincount(dv[newu], minlength=n).astype(np.int64)
+    return vv[newu], lens_out
+
+
+def word_count_batch(texts):
+    """(unique lowered word strings, counts) over a whole batch with the
+    decontamination/vocabulary word class ``[a-z0-9_']`` — the batch
+    kernel form of per-document ``Counter(rx.findall(t.lower()))``
+    folding: one word-span pass, strings extracted once per UNIQUE word
+    (span-hash identity), counts via ``bincount``."""
+    n = len(texts)
+    if n == 0:
+        return [], np.empty(0, dtype=np.int64)
+    texts = [(t or "").lower() for t in texts]
+    big, cp, ws, we, _dw = _word_span_arrays(texts, ascii_words=True)
+    if len(ws) == 0:
+        return [], np.empty(0, dtype=np.int64)
+    wh = _span_hashes(cp, ws, we)
+    uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
+    reps = [big[ws[i] : we[i]] for i in first_idx]
+    cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    return reps, cnts
+
+
 def jaccard(a, b) -> float:
     """Jaccard similarity of two shingle id arrays/sets."""
     sa, sb = set(np.asarray(a).tolist()), set(np.asarray(b).tolist())

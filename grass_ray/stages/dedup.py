@@ -27,7 +27,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from grass_ray.functions.textstats import WORD_RE, _word_ids, shingles
+from grass_ray.functions.textstats import (
+    WORD_RE,
+    _word_ids,
+    kgram_hashes_batch,
+)
 
 # 64-bit odd multipliers for minhash permutations h_i(x) = (a_i*x + b_i)
 _MERSENNE = (1 << 61) - 1
@@ -50,6 +54,35 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     with np.errstate(over="ignore"):
         m = a[:, None] * x[None, :] + b[:, None]
     return (m >> np.uint64(1)).min(axis=1).astype(np.int64)
+
+
+def minhash_signature_batch(
+    flat: np.ndarray, lens: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) minhash signatures for a whole batch's shingle
+    stream (``flat``/``lens`` as returned by
+    :func:`~grass_ray.functions.textstats.kgram_hashes_batch`) — one
+    ``minimum.reduceat`` over the document segments per permutation
+    instead of a per-document Python call; bit-identical to
+    :func:`minhash_signature` (docs with no shingles fill int64.max).
+    Temps are one uint64 array of the batch's shingle count per
+    permutation, so memory stays flat in the document count."""
+    n = len(lens)
+    out = np.full((n, len(a)), np.iinfo(np.int64).max, dtype=np.int64)
+    if flat.size == 0:
+        return out
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    ne = lens > 0
+    if not ne.any():
+        return out
+    st = starts[ne]
+    x = flat.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(len(a)):
+            m = (a[i] * x + b[i]) >> np.uint64(1)
+            out[ne, i] = np.minimum.reduceat(m, st).astype(np.int64)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -151,11 +184,10 @@ class MinHasher:
         ids = batch.column(self.id_col)
         texts = batch.column(self.text_col).to_pylist()
         n = len(texts)
-        sigs = np.empty((n, self.bands, self.rows_per_band), dtype=np.int64)
-        for i, t in enumerate(texts):
-            sigs[i] = minhash_signature(shingles(t, self.k), self.a, self.b).reshape(
-                self.bands, self.rows_per_band
-            )
+        flat, lens = kgram_hashes_batch(texts, self.k)
+        sigs = minhash_signature_batch(flat, lens, self.a, self.b).reshape(
+            n, self.bands, self.rows_per_band
+        )
         with np.errstate(over="ignore"):
             bh = (
                 (sigs.astype(np.uint64) * self.band_powers).sum(
@@ -352,18 +384,15 @@ def _shingle_table(ds, need_ids, *, id_col, text_col, k_shingle):
     )
 
     def kernel(batch: pa.Table) -> pa.Table:
-        shs = [
-            shingles(t, k_shingle)
-            for t in batch.column(text_col).to_pylist()
-        ]
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "sh": pa.array(
-                    [s.tolist() for s in shs], type=pa.list_(pa.int64())
-                ),
-            }
+        flat, lens = kgram_hashes_batch(
+            batch.column(text_col).to_pylist(), k_shingle
         )
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        sh = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(flat, type=pa.int64()),
+        )
+        return pa.table({id_col: batch.column(id_col), "sh": sh})
 
     return cand_docs.map_batches(kernel, batch_format="pyarrow")
 
@@ -585,21 +614,28 @@ _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 def simhash64_batch(texts) -> np.ndarray:
     """Whole-batch 64-bit SimHash (frequency-weighted word sign hash).
 
-    One memoized word-hash pass, one (total_words, 64) bit unpack and a
-    single ``np.add.reduceat`` over document boundaries — the batch
-    kernel form of the per-word loop (VERDICT r1 'what's wrong' #4)."""
-    words_per_doc = []
-    all_words: list = []
-    for t in texts:
-        w = WORD_RE.findall((t or "").lower())
-        words_per_doc.append(len(w))
-        all_words.extend(w)
-    counts = np.asarray(words_per_doc, dtype=np.int64)
-    n_docs = len(counts)
+    One word-span pass over the concatenated lowered stream (word
+    identity hashed once per UNIQUE word), one (total_words, 64) bit
+    unpack and a single ``np.add.reduceat`` over document boundaries —
+    the batch kernel form of the per-word loop (VERDICT r1 'what's
+    wrong' #4)."""
+    from grass_ray.functions.textstats import (
+        _span_hashes,
+        _word_span_arrays,
+    )
+
+    n_docs = len(texts)
     out = np.zeros(n_docs, dtype=np.int64)
-    if not all_words:
+    if n_docs == 0:
         return out
-    ids = _word_ids(all_words)  # uint64, memoized
+    texts = [(t or "").lower() for t in texts]
+    big, cp, ws, we, doc_of_w = _word_span_arrays(texts, ascii_words=False)
+    counts = np.bincount(doc_of_w, minlength=n_docs).astype(np.int64)
+    if len(ws) == 0:
+        return out
+    wh = _span_hashes(cp, ws, we)
+    _uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
+    ids = _word_ids([big[ws[i] : we[i]] for i in first_idx])[inv]
     bits = ((ids[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(
         np.int64
     )  # (N, 64)

@@ -36,6 +36,21 @@ def _words(text: str, pattern) -> list[str]:
     return pattern.findall((text or "").lower())
 
 
+def _batch_word_counts(texts, rx):
+    """(word list, count array) for a batch — vectorized span kernel for
+    the standard ASCII_WORD class, per-row Counter fold otherwise."""
+    from grass_ray.functions.textstats import word_count_batch
+
+    if rx.pattern == ASCII_WORD:
+        return word_count_batch(texts)
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in texts:
+        c.update(_words(t, rx))
+    return list(c.keys()), np.asarray(list(c.values()), dtype=np.int64)
+
+
 def word_counts(ds, *, text_col: str = "text", pattern: str = ASCII_WORD):
     """(word, cnt) over the corpus — partial counts per batch, then one
     pre-combined Sum exchange."""
@@ -44,15 +59,13 @@ def word_counts(ds, *, text_col: str = "text", pattern: str = ASCII_WORD):
     rx = re.compile(pattern)
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for t in batch.column(text_col).to_pylist():
-            c.update(_words(t, rx))
+        words, cnts = _batch_word_counts(
+            batch.column(text_col).to_pylist(), rx
+        )
         return pa.table(
             {
-                "word": pa.array(list(c.keys()), type=pa.string()),
-                "cnt": pa.array(list(c.values()), type=pa.int64()),
+                "word": pa.array(words, type=pa.string()),
+                "cnt": pa.array(cnts, type=pa.int64()),
             }
         )
 
@@ -134,15 +147,16 @@ def vocab_heavy_hitters(
         )
 
     def block_summary(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for t in batch.column(text_col).to_pylist():
-            c.update(_words(t, rx))
+        words, cnts = _batch_word_counts(
+            batch.column(text_col).to_pylist(), rx
+        )
         s = SpaceSaving(m)
-        if c:
-            items = sorted(c)
-            s.add_many(items, np.array([c[w] for w in items], dtype=np.int64))
+        if len(words):
+            order = sorted(range(len(words)), key=words.__getitem__)
+            s.add_many(
+                [words[i] for i in order],
+                np.asarray(cnts, dtype=np.int64)[order],
+            )
         return summary_rows(s)
 
     def rebuild(rows: dict, sid: str) -> "SpaceSaving":
@@ -204,14 +218,25 @@ def _gram_hashes(text: str, k: int, rx) -> np.ndarray:
     return np.unique((vals >> np.uint64(1)).astype(np.int64))
 
 
+def _batch_grams(texts, k, rx):
+    """(flat int64 grams, per-doc lens) for a batch — the vectorized
+    kernel when the word class is the standard ASCII_WORD (one numpy
+    pass over the concatenated stream), the per-row reference otherwise
+    (custom patterns are cold paths)."""
+    from grass_ray.functions.textstats import kgram_hashes_batch
+
+    if rx.pattern == ASCII_WORD:
+        return kgram_hashes_batch(texts, k, ascii_words=True, short_doc_hash=False)
+    grams = [_gram_hashes(t, k, rx) for t in texts]
+    lens = np.array([len(g) for g in grams], dtype=np.int64)
+    flat = np.concatenate(grams) if len(grams) else np.empty(0, np.int64)
+    return flat, lens
+
+
 def _gram_table(ds, *, k, id_col, text_col, rx, with_id: bool):
     def kernel(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        grams = [_gram_hashes(t, k, rx) for t in texts]
-        lens = np.array([len(g) for g in grams], dtype=np.int64)
-        flat = (
-            np.concatenate(grams) if len(grams) else np.empty(0, np.int64)
-        )
+        flat, lens = _batch_grams(texts, k, rx)
         cols = {}
         if with_id:
             take = pa.array(
@@ -304,8 +329,8 @@ def _decontaminate_bloom(
 
     def partial_bitmap(batch: pa.Table) -> pa.Table:
         words = bloom_empty(m_bits)
-        for t in batch.column(text_col).to_pylist():
-            bloom_add(words, _gram_hashes(t, k, rx), n_hashes)
+        flat, _ = _batch_grams(batch.column(text_col).to_pylist(), k, rx)
+        bloom_add(words, flat, n_hashes)
         return pa.table({"bits": pa.array([words.view(np.uint8).tobytes()])})
 
     acc = bloom_empty(m_bits)
@@ -320,10 +345,16 @@ def _decontaminate_bloom(
         ids = batch.column(id_col)
         texts = batch.column(text_col).to_pylist()
         hit = np.zeros(len(texts), dtype=bool)
-        for i, t in enumerate(texts):
-            g = _gram_hashes(t, k, rx)
-            if len(g) and bloom_contains(words, g, n_hashes).any():
-                hit[i] = True
+        flat, lens = _batch_grams(texts, k, rx)
+        if flat.size:
+            doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            # chunked probe: the (n, k) bit-position temp stays ~32 MB
+            # regardless of how many grams a batch carries
+            step = 1 << 18
+            for s in range(0, len(flat), step):
+                m = bloom_contains(words, flat[s : s + step], n_hashes)
+                if m.any():
+                    hit[np.unique(doc_of[s : s + step][m])] = True
         return pa.table({id_col: ids.filter(pa.array(hit))})
 
     contaminated = distinct_keys(
