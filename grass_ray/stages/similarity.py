@@ -250,22 +250,31 @@ def ivf_topk(
     index, then search with a pruned read.  One-shot convenience over
     :func:`ivf_build` + :func:`ivf_search`."""
     import os
+    import shutil
     import tempfile
 
-    if index_dir is None:
+    ephemeral = index_dir is None
+    if ephemeral:
         index_dir = tempfile.mkdtemp(prefix="grassray_ivf_")
-    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
-        ivf_build(
-            ds,
-            index_dir,
-            n_clusters=n_clusters,
-            sample_size=sample_size,
-            seed=seed,
-            vec_col=vec_col,
+    try:
+        if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+            ivf_build(
+                ds,
+                index_dir,
+                n_clusters=n_clusters,
+                sample_size=sample_size,
+                seed=seed,
+                vec_col=vec_col,
+            )
+        return ivf_search(
+            index_dir, queries, k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
         )
-    return ivf_search(
-        index_dir, queries, k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
-    )
+    finally:
+        # ivf_search materializes its result, so a caller-unnamed
+        # (one-shot) index can be dropped instead of leaking a /tmp dir
+        # per call
+        if ephemeral:
+            shutil.rmtree(index_dir, ignore_errors=True)
 
 
 def embedding_dedup(
