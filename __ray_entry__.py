@@ -1281,18 +1281,30 @@ def _q_simhash(sf_dir: str) -> pa.Table:
 
 
 def _q_ann(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-10 for the 3 lowest-vec_id query vectors,
+    with an exact DuckDB oracle (`list_cosine_similarity` over
+    DOUBLE-cast lists).  Contract: the engine runs this query in
+    float64 (operator default stays float32 for the scale path), ranks
+    break ties on ascending vec_id on both sides, and the emitted score
+    is round6 (the two sides' double sums differ only in summation
+    order, ~1e-15)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
-    import ray.data
 
     from grass_ray.stages.similarity import ann_topk
 
     path = f"{sf_dir}/embeddings.parquet"
-    head = pq.read_table(path).slice(0, 3)
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.sort_by("vec_id").slice(0, 3)
     q = np.stack(
-        [np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()]
+        [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()]
     )
     ds = _read(path)
-    return ann_topk(ds, q, k=10)
+    out = ann_topk(ds, q, k=10, dtype=np.float64)
+    score = pc.divide(
+        pc.floor(pc.add(pc.multiply(out.column("score"), 1e6), 0.5)), 1e6
+    )
+    return out.set_column(out.schema.get_field_index("score"), "score", score)
 
 
 def _q_ivf(sf_dir: str) -> pa.Table:
@@ -1541,15 +1553,18 @@ def _q_scrub(sf_dir: str) -> pa.Table:
 
 
 def _q_langid_quality(sf_dir: str) -> pa.Table:
-    import ray.data
-
+    """Composite one-pass text analysis (language, quality, token
+    counts in a single `analyze_text` sweep) with an exact DuckDB
+    oracle — the emitted columns are the SQL-expressible subset
+    (fingerprint / n_tok_bpe stay pytest-parity-covered: blake2b and
+    the BPE lookahead regex have no RE2 form)."""
     from grass_ray.stages.text_stage import analyze_text
 
     ds = _read(f"{sf_dir}/documents.parquet")
     out = analyze_text(ds)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.select(
-        ["doc_id", "lang_pred", "quality_score", "fingerprint", "n_tok_bpe"]
+        ["doc_id", "lang_pred", "lang_score", "quality_score", "n_tok_ws"]
     )
 
 
@@ -2554,8 +2569,47 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'src1' THEN 50
                 ELSE 10 END
         """,
+        "ann_topk": f"""
+            WITH q AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 3
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(
+                           q.qv,
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE))
+                       ) AS score
+                FROM q CROSS JOIN embeddings e
+            ),
+            r AS (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY score DESC, vec_id
+                       ) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id,
+                   {_ROUND6_SQL.format('score')} AS score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
+        """,
         "quality_features": _quality_features_sql(),
         "langid": _langid_sql(),
+        "langid_quality": f"""
+            WITH L AS ({_langid_sql()}),
+                 Q AS ({_quality_features_sql()}),
+                 T AS (
+                    SELECT doc_id,
+                           CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                                AS BIGINT) AS n_tok_ws
+                    FROM documents
+                 )
+            SELECT L.doc_id, L.lang_pred, L.lang_score,
+                   Q.quality_score, T.n_tok_ws
+            FROM L JOIN Q USING (doc_id) JOIN T USING (doc_id)
+        """,
         "scrub": """
             SELECT doc_id,
                    regexp_replace(

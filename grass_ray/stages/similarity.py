@@ -22,10 +22,10 @@ import numpy as np
 import pyarrow as pa
 
 
-def _to_matrix(col) -> np.ndarray:
+def _to_matrix(col, dtype=np.float32) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
     lens = col.value_lengths().to_numpy(zero_copy_only=False)
     dim = int(lens[0]) if len(lens) else 0
     return flat.reshape(-1, dim)
@@ -39,10 +39,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def _merge_topk(cand, k: int, id_col: str) -> pa.Table:
     """Driver merge of per-batch local top-k (bounded to nq*k rows per
-    block)."""
+    block).  Ties break on ascending id so the result is deterministic
+    across block orderings (resumable runs reproduce bit-identically)."""
     rows = []
     for qi, grp in cand.groupby("query_id"):
-        top = grp.nlargest(k, "score").reset_index(drop=True)
+        top = (
+            grp.sort_values(
+                ["score", id_col], ascending=[False, True], kind="mergesort"
+            )
+            .head(k)
+            .reset_index(drop=True)
+        )
         for rank, r in top.iterrows():
             rows.append((qi, r[id_col], float(r["score"]), rank + 1))
     return pa.table(
@@ -55,21 +62,31 @@ def _merge_topk(cand, k: int, id_col: str) -> pa.Table:
     )
 
 
-def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col="vec_id", vec_col="embedding"):
+def ann_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col="vec_id",
+    vec_col="embedding",
+    dtype=np.float32,
+):
     """Exact cosine top-k: returns pa.Table (query_id, vec_id, score, rank).
 
     `queries`: (nq, dim) float array.  Per-batch local top-k bounds the
-    driver merge to nq*k rows per block.
+    driver merge to nq*k rows per block.  ``dtype`` is the matmul
+    precision — float32 (default) for the scale path, float64 when a
+    caller needs scores comparable against a double-precision oracle.
     """
     import ray
 
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q = _normalize(np.asarray(queries, dtype=dtype))
     qref = ray.put(q)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
         ids = np.asarray(batch.column(id_col).to_pylist())
-        m = _normalize(_to_matrix(batch.column(vec_col)))
+        m = _normalize(_to_matrix(batch.column(vec_col), dtype=qm.dtype))
         scores = qm @ m.T  # (nq, nb)
         kk = min(k, m.shape[0])
         idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
