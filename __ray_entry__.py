@@ -2569,6 +2569,136 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'src1' THEN 50
                 ELSE 10 END
         """,
+        # compute_absolute_time_granularity re-derived in SQL: per gap
+        # of the sorted distinct instants, the calendar-component delta
+        # (compute_datetime_delta's exact arithmetic), first-nonzero
+        # unit recorded (max_days recorded alongside), smallest
+        # recorded unit wins, larger uniform units convert in, one
+        # gcd fold via list_reduce
+        "events_time_report": """
+            WITH d AS (SELECT DISTINCT ts FROM events),
+            p AS (SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev FROM d),
+            delta AS (
+                SELECT
+                    CAST(floor((epoch_us(ts) - epoch_us(prev)) / 86400000000.0) AS BIGINT) AS day_diff,
+                    year(ts) - year(prev) AS c_year,
+                    month(prev) AS m_s, month(ts) AS m_e,
+                    day(prev) AS d_s, day(ts) AS d_e,
+                    hour(prev) AS h_s, hour(ts) AS h_e,
+                    minute(prev) AS mi_s, minute(ts) AS mi_e,
+                    CAST(date_part('second', prev) AS BIGINT) AS s_s,
+                    CAST(date_part('second', ts) AS BIGINT) AS s_e
+                FROM p WHERE prev IS NOT NULL
+            ),
+            comp1 AS (
+                SELECT *,
+                    CASE WHEN m_s = 1 AND m_e = 1 THEN 0
+                         WHEN d_s = 1 AND d_e = 1 THEN
+                             CASE WHEN m_e - m_s < 0 THEN m_e - m_s + 12 * c_year
+                                  WHEN m_e - m_s = 0 THEN 12 * c_year
+                                  ELSE m_e - m_s END
+                         ELSE 0 END AS c_month,
+                    CASE WHEN d_s = 1 AND d_e = 1 THEN 0 ELSE day_diff END AS c_day,
+                    CASE WHEN h_s = 0 AND h_e = 0 THEN 0
+                         ELSE h_e - h_s + CASE WHEN h_e - h_s < 0
+                                               THEN 24 + 24 * day_diff
+                                               ELSE 24 * day_diff END
+                    END AS c_hour
+                FROM delta
+            ),
+            comp2 AS (
+                SELECT *,
+                    CASE WHEN mi_s = 0 AND mi_e = 0 THEN 0
+                         WHEN mi_e - mi_s != 0 THEN mi_e - mi_s +
+                              CASE WHEN c_hour != 0 THEN 60 * c_hour
+                                   ELSE 1440 * day_diff END
+                         ELSE CASE WHEN c_hour != 0 THEN 60 * c_hour
+                                   ELSE 1440 * day_diff END
+                    END AS c_minute
+                FROM comp1
+            ),
+            comp3 AS (
+                SELECT *,
+                    CASE WHEN s_s = 0 AND s_e = 0 THEN 0
+                         WHEN s_e - s_s != 0 THEN s_e - s_s +
+                              CASE WHEN c_minute != 0 THEN 60 * c_minute
+                                   WHEN c_hour != 0 THEN 3600 * c_hour
+                                   ELSE 86400 * day_diff END
+                         ELSE CASE WHEN c_minute != 0 THEN 60 * c_minute
+                                   WHEN c_hour != 0 THEN 3600 * c_hour
+                                   ELSE 86400 * day_diff END
+                    END AS c_second
+                FROM comp2
+            ),
+            sets AS (
+                SELECT
+                    coalesce(list(DISTINCT c_second) FILTER (c_second > 0), []) AS s_sec,
+                    coalesce(list(DISTINCT c_minute) FILTER (c_second = 0 AND c_minute > 0), []) AS s_min,
+                    coalesce(list(DISTINCT c_hour) FILTER (c_second = 0 AND c_minute = 0 AND c_hour > 0), []) AS s_hr,
+                    coalesce(list(DISTINCT day_diff) FILTER (c_second = 0 AND c_minute = 0 AND c_hour = 0 AND day_diff > 0), []) AS s_maxd,
+                    coalesce(list(DISTINCT c_day) FILTER (c_second = 0 AND c_minute = 0 AND c_hour = 0 AND c_day > 0), []) AS s_day,
+                    coalesce(list(DISTINCT c_month) FILTER (c_second = 0 AND c_minute = 0 AND c_hour = 0 AND c_day = 0 AND c_month > 0), []) AS s_mon,
+                    coalesce(list(DISTINCT c_year) FILTER (c_second = 0 AND c_minute = 0 AND c_hour = 0 AND c_day = 0 AND c_month = 0 AND c_year > 0), []) AS s_yr
+                FROM comp3
+            ),
+            pick AS (
+                SELECT *,
+                    CASE WHEN len(s_sec) > 0 THEN 'second'
+                         WHEN len(s_min) > 0 THEN 'minute'
+                         WHEN len(s_hr) > 0 THEN 'hour'
+                         WHEN len(s_day) > 0 THEN 'day'
+                         WHEN len(s_mon) > 0 THEN 'month'
+                         WHEN len(s_yr) > 0 THEN 'year'
+                         ELSE NULL END AS unit
+                FROM sets
+            ),
+            gr AS (
+                SELECT unit,
+                    CASE WHEN unit IS NULL THEN NULL
+                         ELSE list_reduce(
+                            CASE unit
+                                WHEN 'second' THEN s_sec
+                                    || list_transform(s_min, x -> x * 60)
+                                    || list_transform(s_hr, x -> x * 3600)
+                                    || list_transform(s_day, x -> x * 86400)
+                                    || list_transform(s_maxd, x -> x * 86400)
+                                WHEN 'minute' THEN s_min
+                                    || list_transform(s_hr, x -> x * 60)
+                                    || list_transform(s_day, x -> x * 1440)
+                                    || list_transform(s_maxd, x -> x * 1440)
+                                WHEN 'hour' THEN s_hr
+                                    || list_transform(s_day, x -> x * 24)
+                                    || list_transform(s_maxd, x -> x * 24)
+                                WHEN 'day' THEN s_day || s_maxd
+                                WHEN 'month' THEN s_mon
+                                    || list_transform(s_yr, x -> x * 12)
+                                ELSE s_yr
+                            END,
+                            (x, y) -> gcd(x, y))
+                    END AS g
+                FROM pick
+            ),
+            iso AS (
+                SELECT
+                    CASE WHEN strftime(mn, '%f') = '000000'
+                         THEN strftime(mn, '%Y-%m-%dT%H:%M:%S')
+                         ELSE strftime(mn, '%Y-%m-%dT%H:%M:%S.%f') END AS t0,
+                    CASE WHEN strftime(mx, '%f') = '000000'
+                         THEN strftime(mx, '%Y-%m-%dT%H:%M:%S')
+                         ELSE strftime(mx, '%Y-%m-%dT%H:%M:%S.%f') END AS t1
+                FROM (SELECT min(ts) AS mn, max(ts) AS mx FROM events)
+            )
+            SELECT
+                (SELECT count(*) FROM events) AS events,
+                (SELECT count(DISTINCT ts) FROM events) AS distinct_times,
+                CASE WHEN g IS NULL THEN NULL
+                     ELSE CAST(g AS VARCHAR) || ' ' || unit ||
+                          CASE WHEN g > 1 THEN 's' ELSE '' END
+                END AS granularity,
+                iso.t0 AS time_start,
+                iso.t1 AS time_end
+            FROM gr, iso
+        """,
         "ann_topk": f"""
             WITH q AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,

@@ -186,7 +186,9 @@ def events_time_report(ds, *, ts_col: str = "ts", max_distinct: int = 100_000) -
         (ts_col,),
     )
     n_events = ds.count()
-    ts = distinct.limit(max_distinct + 1).to_pandas()[ts_col]
+    # sort before the cap so a capped report is the deterministic
+    # earliest-timestamp prefix, not an arbitrary block-order subset
+    ts = distinct.sort(ts_col).limit(max_distinct + 1).to_pandas()[ts_col]
     capped = len(ts) > max_distinct
     if capped:
         ts = ts.iloc[:max_distinct]
