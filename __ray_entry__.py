@@ -1351,6 +1351,32 @@ def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_jaccard_adjacent(sf_dir: str) -> pa.Table:
+    """Exact word-3-gram Jaccard over the deterministic consecutive-id
+    pairs (even doc_id, doc_id+1) — same distributed verify plan as the
+    near-dup pipelines, but with a SQL-expressible candidate set so the
+    Jaccard kernel itself gets a DuckDB hash oracle (single int/int
+    division: bit-identical, no rounding contract needed).  Pairs whose
+    right endpoint does not exist drop via the inner attach, mirrored
+    by the oracle's inner join."""
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.dedup import verify_pairs_jaccard
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ev = ids.filter(pc.equal(pc.bit_wise_and(ids, 1), 0))
+        return pa.table({"id_a": ev, "id_b": pc.add(ev, 1)})
+
+    cand = ds.map_batches(pairs, batch_format="pyarrow")
+    out = verify_pairs_jaccard(cand, ds, threshold=0.0, k_shingle=3)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _quality_features_sql() -> str:
     """DuckDB derivation of quality_features: same word regex ([\\w']+),
     same counts, and the score with the identical left-associated float
@@ -1731,6 +1757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_components": _q_minhash_components,
         "simhash_candidates": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "jaccard_adjacent": _q_jaccard_adjacent,
         "ann_topk": _q_ann,
         "ivf_topk": _q_ivf,
         "embedding_dedup": _q_embedding_dedup,
@@ -2698,6 +2725,41 @@ def oracle_sql() -> dict[str, str]:
                 iso.t0 AS time_start,
                 iso.t1 AS time_end
             FROM gr, iso
+        """,
+        "jaccard_adjacent": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(text, '[\\w'']+'), x -> lower(x)
+                       ) AS words
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                    CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+                         WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                         ELSE list_distinct(list_transform(
+                             range(1, len(words) - 1),
+                             i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]))
+                    END AS grams
+                FROM w
+            ),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.grams AS ga, b.grams AS gb
+                FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 2 = 0
+            ),
+            m AS (
+                SELECT id_a, id_b,
+                       len(list_intersect(ga, gb)) AS i,
+                       len(list_distinct(ga || gb)) AS u
+                FROM p
+            )
+            SELECT id_a, id_b,
+                   CASE WHEN u = 0 THEN 1.0
+                        ELSE CAST(i AS DOUBLE) / u END AS jaccard
+            FROM m
         """,
         "ann_topk": f"""
             WITH q AS (
