@@ -1018,7 +1018,9 @@ def _q_interval_sessions(sf_dir: str) -> pa.Table:
                 }
             )
 
-        return s.map_batches(to_iv, batch_format="pyarrow")
+        # materialized: interval_join's schema probe would otherwise
+        # execute the lazy sessionize pipeline a second time
+        return s.map_batches(to_iv, batch_format="pyarrow").materialize()
 
     a = intervals(1800, "sid_a")
     b = intervals(600, "sid_b")

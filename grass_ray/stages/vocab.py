@@ -357,9 +357,11 @@ def _decontaminate_bloom(
                     hit[np.unique(doc_of[s : s + step][m])] = True
         return pa.table({id_col: ids.filter(pa.array(hit))})
 
-    contaminated = distinct_keys(
-        train_ds.map_batches(contaminated_ids, batch_format="pyarrow"),
-        (id_col,),
+    # no distinct exchange: id_col is the train PK, every row lands in
+    # exactly one batch and the hit mask dedups within the batch, so
+    # the filtered id stream is globally distinct already
+    contaminated = train_ds.map_batches(
+        contaminated_ids, batch_format="pyarrow"
     ).materialize()
     kept = anti_join(
         train_ds, contaminated, key_cols=(id_col,), keys_distinct=True
