@@ -144,6 +144,9 @@ def run_bench() -> dict:
         "repetition",
         "scrub",
         "chunk_pack",
+        # round-2-continued additions
+        "jaccard_adjacent",
+        "events_time_report",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

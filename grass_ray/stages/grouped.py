@@ -152,37 +152,41 @@ def rollup_points(
         ),
         batch_format="pyarrow",
     )
-    from ray.data.aggregate import Max, Min, Sum
+    from grass_ray.stages.join import _bucket_ids
 
     gcols = keys + ["window"]
-    wsums = (
-        [
-            Sum("p_vw", alias_name="p_vw"),
-            Sum("p_wv", alias_name="p_wv"),
-        ]
-        if weighted
-        else []
+    # Merge the partials with the house fixed-bucket exchange + one
+    # Acero hash-aggregate per bucket (Ray's sort-aggregate costs
+    # ~0.7 s in fixed constants even on a few thousand partial rows —
+    # distinct_keys is the template).  Every partial of a (key, window)
+    # hashes to the same bucket whatever its _salt, and sum/min/max are
+    # associative, so the salted and unsalted plans emit identical rows
+    # and _salt simply drops out at the merge.
+    in_cols = ["p_count", "p_sum", "p_min", "p_max"] + (
+        ["p_vw", "p_wv"] if weighted else []
     )
-    if salt and salt > 1:
-        # stage 1: merge within (key, window, salt); stage 2 below re-merges.
-        stage1 = partials.groupby(gcols + ["_salt"]).aggregate(
-            Sum("p_count", alias_name="p_count"),
-            Sum("p_sum", alias_name="p_sum"),
-            Min("p_min", alias_name="p_min"),
-            Max("p_max", alias_name="p_max"),
-            *wsums,
+    out_names = ["n", "s", "mn", "mx"] + (["vw", "wv"] if weighted else [])
+    aggs = [
+        ("p_count", "sum"),
+        ("p_sum", "sum"),
+        ("p_min", "min"),
+        ("p_max", "max"),
+    ] + ([("p_vw", "sum"), ("p_wv", "sum")] if weighted else [])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_ids(batch, gcols, 64))
         )
-        partials = stage1
-    merged = partials.groupby(gcols).aggregate(
-        Sum("p_count", alias_name="n"),
-        Sum("p_sum", alias_name="s"),
-        Min("p_min", alias_name="mn"),
-        Max("p_max", alias_name="mx"),
-        *(
-            [Sum("p_vw", alias_name="vw"), Sum("p_wv", alias_name="wv")]
-            if weighted
-            else []
-        ),
+
+    def merge_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select(gcols + in_cols)
+        m = t.group_by(gcols, use_threads=False).aggregate(aggs)
+        return m.rename_columns(gcols + out_names)
+
+    merged = (
+        partials.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
     want = list(methods)
