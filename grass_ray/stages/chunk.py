@@ -96,8 +96,6 @@ def doc_offsets(ds, *, docs_per_partition: int = 2000, id_col: str = "doc_id",
 def chunk_stats(corpus_ds, seq_len: int, *, docs_per_partition: int = 2000):
     """(chunk_id, cnt, sum_tok) per fixed-length chunk of the global
     token stream — per-block Arrow partials, one narrow exchange."""
-    from ray.data.aggregate import Sum
-
     from grass_ray.stages.join import attach_column
 
     offs = doc_offsets(corpus_ds, docs_per_partition=docs_per_partition)
@@ -135,9 +133,12 @@ def chunk_stats(corpus_ds, seq_len: int, *, docs_per_partition: int = 2000):
         return agg.rename_columns(["chunk_id", "cnt", "sum_tok"])
 
     partials = with_off.map_batches(partial, batch_format="pyarrow")
-    return (
-        partials.groupby("chunk_id")
-        .aggregate(Sum("cnt", alias_name="cnt"), Sum("sum_tok", alias_name="sum_tok"))
+    from grass_ray.stages.join import bucket_agg
+
+    return bucket_agg(
+        partials,
+        ["chunk_id"],
+        [("cnt", "sum", "cnt"), ("sum_tok", "sum", "sum_tok")],
     )
 
 

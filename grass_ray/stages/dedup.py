@@ -125,21 +125,25 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id", keep_columns=None
     the semi-join pass).  ``keep_columns`` prunes the output pass (the
     survivor filter need not re-carry the text payload when the caller
     only wants metadata)."""
-    from ray.data.aggregate import Min
-
-    from grass_ray.stages.join import semi_join
+    from grass_ray.stages.join import bucket_agg, semi_join
 
     hashed = add_content_hash(ds, col)
     # prune to (hash, id) BEFORE the exchange: the aggregate must not
-    # shuffle the text payload
+    # shuffle the text payload; block-local Acero min is the combiner
+    # (one (hash, id) row per key per block on the wire)
     pairs = hashed.map_batches(
-        lambda b: b.select(["content_hash", "content_hash2", id_col]),
+        lambda b: b.select(["content_hash", "content_hash2", id_col])
+        .group_by(["content_hash", "content_hash2"], use_threads=False)
+        .aggregate([(id_col, "min")])
+        .rename_columns(["content_hash", "content_hash2", id_col]),
         batch_format="pyarrow",
     )
-    winners = (
-        pairs.groupby(["content_hash", "content_hash2"])
-        .aggregate(Min(id_col, alias_name=id_col))
-        .drop_columns(["content_hash", "content_hash2"])
+    winners = bucket_agg(
+        pairs,
+        ["content_hash", "content_hash2"],
+        [(id_col, "min", id_col)],
+    ).map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow"
     )
     out = ds
     if keep_columns is not None:
@@ -779,9 +783,7 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b", max_iters=25):
     count differences); rounds are bounded by the component diameter.
     Returns a Dataset of (node, component) where component = the
     smallest node id in the component."""
-    from ray.data.aggregate import Min
-
-    from grass_ray.stages.join import bucket_join
+    from grass_ray.stages.join import bucket_agg, bucket_join
 
     def seed(batch: pa.Table) -> pa.Table:
         a = batch.column(id_a)
@@ -796,12 +798,11 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b", max_iters=25):
     edges = pairs_ds.map_batches(
         lambda b: b.select([id_a, id_b]), batch_format="pyarrow"
     ).materialize()
-    labels = (
-        edges.map_batches(seed, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+    labels = bucket_agg(
+        edges.map_batches(seed, batch_format="pyarrow"),
+        ["node"],
+        [("label", "min", "label")],
+    ).materialize()
 
     def renamed(lab, key, val):
         return lab.map_batches(
@@ -826,13 +827,11 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b", max_iters=25):
                 }
             )
 
-        new_labels = (
-            lab2.map_batches(emit, batch_format="pyarrow")
-            .union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        new_labels = bucket_agg(
+            lab2.map_batches(emit, batch_format="pyarrow").union(labels),
+            ["node"],
+            [("label", "min", "label")],
+        ).materialize()
         diff = bucket_join(
             new_labels, renamed(labels, "node", "_old"), key_cols=("node",)
         )

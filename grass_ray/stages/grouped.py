@@ -152,42 +152,22 @@ def rollup_points(
         ),
         batch_format="pyarrow",
     )
-    from grass_ray.stages.join import _bucket_ids
+    from grass_ray.stages.join import bucket_agg
 
     gcols = keys + ["window"]
-    # Merge the partials with the house fixed-bucket exchange + one
-    # Acero hash-aggregate per bucket (Ray's sort-aggregate costs
-    # ~0.7 s in fixed constants even on a few thousand partial rows —
-    # distinct_keys is the template).  Every partial of a (key, window)
-    # hashes to the same bucket whatever its _salt, and sum/min/max are
-    # associative, so the salted and unsalted plans emit identical rows
-    # and _salt simply drops out at the merge.
-    in_cols = ["p_count", "p_sum", "p_min", "p_max"] + (
-        ["p_vw", "p_wv"] if weighted else []
-    )
-    out_names = ["n", "s", "mn", "mx"] + (["vw", "wv"] if weighted else [])
-    aggs = [
-        ("p_count", "sum"),
-        ("p_sum", "sum"),
-        ("p_min", "min"),
-        ("p_max", "max"),
-    ] + ([("p_vw", "sum"), ("p_wv", "sum")] if weighted else [])
-
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_bucket", pa.array(_bucket_ids(batch, gcols, 64))
-        )
-
-    def merge_bucket(batch: pa.Table) -> pa.Table:
-        t = batch.select(gcols + in_cols)
-        m = t.group_by(gcols, use_threads=False).aggregate(aggs)
-        return m.rename_columns(gcols + out_names)
-
-    merged = (
-        partials.map_batches(tag, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(merge_bucket, batch_format="pyarrow")
-    )
+    # Merge the partials with the house fixed-bucket exchange
+    # (bucket_agg; Ray's sort-aggregate costs ~0.7 s in fixed constants
+    # even on a few thousand partial rows).  Every partial of a
+    # (key, window) hashes to the same bucket whatever its _salt, and
+    # sum/min/max are associative, so the salted and unsalted plans
+    # emit identical rows and _salt simply drops out at the merge.
+    specs = [
+        ("p_count", "sum", "n"),
+        ("p_sum", "sum", "s"),
+        ("p_min", "min", "mn"),
+        ("p_max", "max", "mx"),
+    ] + ([("p_vw", "sum", "vw"), ("p_wv", "sum", "wv")] if weighted else [])
+    merged = bucket_agg(partials, gcols, specs)
 
     want = list(methods)
 

@@ -410,6 +410,41 @@ def attach_column(
     return both.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def bucket_agg(ds, key_cols, specs, *, buckets: int = 64):
+    """Distributed keyed aggregate over PRE-COMBINED partial rows: a
+    fixed-width hash-bucket exchange, then ONE Acero hash-aggregate per
+    bucket.  ``specs`` is ``[(in_col, fn, out_col), ...]`` with Acero
+    scalar-aggregate fns ('sum', 'min', 'max', 'count', ...).
+
+    The house replacement for ``ds.groupby(keys).aggregate(...)``:
+    Ray's sort-aggregate pays ~0.7 s of fixed constants per call even
+    on a few thousand rows, and degrades badly on many blocks or string
+    keys; the bucket exchange moves the same partial rows but merges
+    them with C++ hash group-bys.  Callers feed rows already combined
+    per block (one row per key per block), so bucket size is bounded by
+    ``blocks × keys/bucket`` regardless of raw data size."""
+    keys = list(key_cols)
+    in_cols = [c for c, _f, _o in specs]
+    aggs = [(c, f) for c, f, _o in specs]
+    out_names = [o for _c, _f, o in specs]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_ids(batch, keys, buckets))
+        )
+
+    def merge_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + in_cols)
+        m = t.group_by(keys, use_threads=False).aggregate(aggs)
+        return m.rename_columns(keys + out_names)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
 def distinct_keys(ds, key_cols, *, buckets: int = 64):
     """Distributed DISTINCT over key columns: block-local Acero distinct
     (C++ hash group-by per batch — the combiner), then a fixed-width

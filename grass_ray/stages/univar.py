@@ -164,16 +164,32 @@ def attr_univar(ds, col: str, *, by=None, sample: bool = True):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    gb = partials.groupby(keys if keys else None)
-    merged = gb.aggregate(
-        Sum("_n", alias_name="_n"),
-        Sum("_nulls", alias_name="_nulls"),
-        Sum("_s", alias_name="_s"),
-        Sum("_s2", alias_name="_s2"),
-        Sum("_sa", alias_name="_sa"),
-        Min("_min", alias_name="_min"),
-        Max("_max", alias_name="_max"),
-    )
+    if keys:
+        from grass_ray.stages.join import bucket_agg
+
+        merged = bucket_agg(
+            partials,
+            keys,
+            [
+                ("_n", "sum", "_n"),
+                ("_nulls", "sum", "_nulls"),
+                ("_s", "sum", "_s"),
+                ("_s2", "sum", "_s2"),
+                ("_sa", "sum", "_sa"),
+                ("_min", "min", "_min"),
+                ("_max", "max", "_max"),
+            ],
+        )
+    else:
+        merged = partials.groupby(None).aggregate(
+            Sum("_n", alias_name="_n"),
+            Sum("_nulls", alias_name="_nulls"),
+            Sum("_s", alias_name="_s"),
+            Sum("_s2", alias_name="_s2"),
+            Sum("_sa", alias_name="_sa"),
+            Min("_min", alias_name="_min"),
+            Max("_max", alias_name="_max"),
+        )
 
     def finalize(batch: pa.Table) -> pa.Table:
         n = batch.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)

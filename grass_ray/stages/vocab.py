@@ -53,8 +53,8 @@ def _batch_word_counts(texts, rx):
 
 def word_counts(ds, *, text_col: str = "text", pattern: str = ASCII_WORD):
     """(word, cnt) over the corpus — partial counts per batch, then one
-    pre-combined Sum exchange."""
-    from ray.data.aggregate import Sum
+    pre-combined Sum exchange (fixed-bucket Acero merge)."""
+    from grass_ray.stages.join import bucket_agg
 
     rx = re.compile(pattern)
 
@@ -70,7 +70,7 @@ def word_counts(ds, *, text_col: str = "text", pattern: str = ASCII_WORD):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+    return bucket_agg(partials, ["word"], [("cnt", "sum", "cnt")])
 
 
 def vocab_topn(ds, n: int = 100, *, text_col: str = "text", pattern: str = ASCII_WORD):
