@@ -1379,6 +1379,56 @@ def _q_jaccard_adjacent(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_components_chain(sf_dir: str) -> pa.Table:
+    """Distributed connected components over a deterministic chain
+    graph: edge (i, i+1) whenever doc i has n_chars % 3 == 0 and doc
+    i+1 exists.  Runs of qualifying consecutive ids form multi-hop
+    components (expected max diameter ~log₃N), so the min-label +
+    pointer-jump propagation genuinely iterates; the oracle re-derives
+    the same islands with a gaps-and-islands SQL window."""
+    from grass_ray.stages.dedup import connected_components
+    from grass_ray.stages.join import semi_join
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        sel = pa.array(nch % 3 == 0)
+        left = ids.filter(sel)
+        return pa.table({"id_a": left, "id_b": pc.add(left, 1)})
+
+    cand = ds.map_batches(edges, batch_format="pyarrow")
+    # drop edges whose right endpoint is past the corpus (same rule the
+    # oracle's self-join applies)
+    ids_only = ds.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    cand = semi_join(
+        cand.map_batches(
+            lambda b: b.rename_columns(["id_a", "doc_id"]),
+            batch_format="pyarrow",
+        ),
+        ids_only,
+        key_cols=("doc_id",),
+        keys_distinct=True,
+    ).map_batches(
+        lambda b: b.rename_columns(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    comp = connected_components(cand)
+    t = pa.Table.from_pandas(comp.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "node": t.column("node").cast(pa.int64()),
+            "component": t.column("component").cast(pa.int64()),
+        }
+    )
+
+
 def _quality_features_sql() -> str:
     """DuckDB derivation of quality_features: same word regex ([\\w']+),
     same counts, and the score with the identical left-associated float
@@ -1760,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "jaccard_adjacent": _q_jaccard_adjacent,
+        "components_chain": _q_components_chain,
         "ann_topk": _q_ann,
         "ivf_topk": _q_ivf,
         "embedding_dedup": _q_embedding_dedup,
@@ -2762,6 +2813,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN u = 0 THEN 1.0
                         ELSE CAST(i AS DOUBLE) / u END AS jaccard
             FROM m
+        """,
+        "components_chain": """
+            WITH e AS (
+                SELECT a.doc_id AS a
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+                WHERE a.n_chars % 3 = 0
+            ),
+            grp AS (
+                SELECT a, a - row_number() OVER (ORDER BY a) AS g FROM e
+            ),
+            isl AS (
+                SELECT min(a) AS comp, max(a) + 1 AS hi FROM grp GROUP BY g
+            )
+            SELECT CAST(unnest(range(comp, hi + 1)) AS BIGINT) AS node,
+                   CAST(comp AS BIGINT) AS component
+            FROM isl
         """,
         "ann_topk": f"""
             WITH q AS (

@@ -78,6 +78,30 @@ def test_connected_components_long_chain(ray_session):
     assert out == {n: 10 for n in (10, 20, 30, 40, 50)}
 
 
+def test_connected_components_chain_longer_than_max_iters(ray_session):
+    """Pointer jumping makes rounds O(log diameter): a 40-edge chain
+    (diameter 40 > max_iters=6 rounds allowed here) must still fully
+    converge — plain one-hop propagation could not."""
+    import ray.data
+
+    from grass_ray.stages.dedup import connected_components
+
+    n = 41
+    chain = pa.table(
+        {
+            "id_a": pa.array(list(range(n - 1)), type=pa.int64()),
+            "id_b": pa.array(list(range(1, n)), type=pa.int64()),
+        }
+    )
+    out = (
+        connected_components(ray.data.from_arrow(chain), max_iters=8)
+        .to_pandas()
+        .set_index("node")["component"]
+        .to_dict()
+    )
+    assert out == {i: 0 for i in range(n)}
+
+
 def test_embedding_dedup_capped_buckets(ray_session):
     """With target_bucket tiny, projection sub-bucketing kicks in
     (n_bits > 0) and near-identical pairs are still found — the
