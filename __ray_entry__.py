@@ -1727,6 +1727,35 @@ def _q_multimodal(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+def _q_segment_dedup(sf_dir: str) -> pa.Table:
+    """Corpus-wide exact substring dedup at 3-word segment granularity
+    (Lee et al. suffix-array dedup at fixed granularity): each segment
+    keeps its first (doc_id, seg_idx) occurrence; docs rebuilt from
+    surviving segments.  Exact string semantics on both sides — the
+    winner rule (min doc_id·2^20+seg_idx per distinct segment string)
+    is reproduced verbatim in the SQL oracle."""
+    from grass_ray.stages.dedup import segment_dedup
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = segment_dedup(ds, k=3)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "text_dedup", "n_segs", "n_kept", "n_dropped"])
+
+
+def _q_lm_score(sf_dir: str) -> pa.Table:
+    """CCNet-style unigram LM scoring: mean word log-probability under
+    the corpus' own unigram distribution.  Per-word log-counts carried
+    as exact floor(1e6·ln(cnt)) int64 micro-nats (order-independent
+    integer sums — the oracle float contract); avg_logprob round6."""
+    from grass_ray.stages.vocab import lm_score
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = lm_score(ds)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = t.select(["doc_id", "n_words", "logcnt_sum_micro", "avg_logprob"])
+    return _round6_col(t, "avg_logprob")
+
+
 # driver API
 # ---------------------------------------------------------------------------
 
@@ -1795,6 +1824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "algebra_shift": _q_algebra_shift,
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
+        "segment_dedup": _q_segment_dedup,
+        "lm_score": _q_lm_score,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -2931,6 +2962,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                        AS n_tok_ws
             FROM documents
+        """,
+        "segment_dedup": """
+            WITH w AS (
+                SELECT doc_id, unnest(ws) AS word,
+                       generate_subscripts(ws, 1) - 1 AS wi
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9_'']+') AS ws
+                      FROM documents)
+            ),
+            segs AS (
+                SELECT doc_id, wi // 3 AS seg_idx,
+                       string_agg(word, ' ' ORDER BY wi) AS seg
+                FROM w GROUP BY 1, 2
+            ),
+            win AS (
+                SELECT seg, min(doc_id * 1048576 + seg_idx) AS wkey
+                FROM segs GROUP BY 1
+            ),
+            kept AS (
+                SELECT s.doc_id, s.seg_idx, s.seg
+                FROM segs s JOIN win
+                  ON s.seg = win.seg
+                 AND s.doc_id * 1048576 + s.seg_idx = win.wkey
+            ),
+            ns AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs
+                FROM segs GROUP BY 1
+            ),
+            kk AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+                FROM kept GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(kk.text_dedup, '') AS text_dedup,
+                   COALESCE(ns.n_segs, 0) AS n_segs,
+                   COALESCE(kk.n_kept, 0) AS n_kept,
+                   COALESCE(ns.n_segs, 0) - COALESCE(kk.n_kept, 0) AS n_dropped
+            FROM documents d
+            LEFT JOIN ns ON d.doc_id = ns.doc_id
+            LEFT JOIN kk ON d.doc_id = kk.doc_id
+        """,
+        "lm_score": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS word
+                FROM documents
+            ),
+            c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c),
+            s AS (
+                SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(CAST(floor(1e6 * ln(CAST(c.cnt AS DOUBLE)))
+                                     AS BIGINT)) AS BIGINT) AS lp
+                FROM w JOIN c ON w.word = c.word GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_words, 0) AS n_words,
+                   COALESCE(s.lp, 0) AS logcnt_sum_micro,
+                   CASE WHEN s.n_words IS NULL THEN NULL
+                        ELSE {_ROUND6_SQL.format(
+                            "CAST(s.lp AS DOUBLE) / (1e6 * s.n_words)"
+                            " - ln((SELECT n FROM tot))"
+                        )}
+                   END AS avg_logprob
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
     }
     d["decontaminate_bloom"] = d["decontaminate"]

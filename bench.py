@@ -147,6 +147,8 @@ def run_bench() -> dict:
         # round-2-continued additions
         "jaccard_adjacent",
         "events_time_report",
+        "segment_dedup",
+        "lm_score",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -367,3 +367,206 @@ def _decontaminate_bloom(
         train_ds, contaminated, key_cols=(id_col,), keys_distinct=True
     )
     return kept, contaminated
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000  # log-counts carried as exact micro-nat integers
+
+
+def lm_score(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_threshold: int = 2_000_000,
+    buckets: int = 64,
+):
+    """CCNet-style unigram language-model quality scoring: every
+    document scored by its mean word log-probability under the corpus'
+    own unigram distribution (low = rare-word-heavy / noisy, high =
+    stereotypical).  Two passes over the corpus, no driver loops.
+
+    Per word, ``lp(word) = floor(1e6 · ln(count(word)))`` is carried as
+    an EXACT int64 (order-independent sums — the oracle float
+    contract), and ``avg_logprob = Σlp / (1e6·n_words) − ln(N)``.
+
+    Returns ``(doc_id, n_words, logcnt_sum_micro, avg_logprob)`` with
+    one row per document (0/0/NULL for wordless docs).
+
+    Regimes, chosen by the measured vocabulary size (natural-language
+    vocabularies grow sublinearly — Heaps' law — so the broadcast path
+    is the expected one even at corpus scales where the document side
+    is petabytes):
+
+    * **broadcast** (vocab ≤ ``broadcast_threshold``): word→lp dict
+      ships once via ``ray.put``; one zero-shuffle ``map_batches`` scores
+      each batch with the vectorized word-span kernel (lp summed per doc
+      by ``np.bincount`` over unique-word lookups only);
+    * **exchange** (larger vocabularies): explode ``(doc_id, word)``
+      rows, attach counts by a word-keyed bucket exchange
+      (`attach_column`), partial per-doc sums, then one doc-keyed
+      `bucket_agg` — the document text never moves, only word rows.
+    """
+    import ray
+
+    from grass_ray.functions.textstats import _span_hashes, _word_span_arrays
+    from grass_ray.stages.join import attach_column, bucket_agg, bucket_join
+
+    counts = word_counts(ds, text_col=text_col).materialize()
+    n_vocab = counts.count()
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("n_words", pa.int64()),
+            ("logcnt_sum_micro", pa.int64()),
+            ("avg_logprob", pa.float64()),
+        ]
+    )
+
+    def finish(ids, nw, lp) -> pa.Table:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = lp / (_LM_SCALE * nw.astype(np.float64)) - _ln_total
+        mask = nw == 0
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids.astype(np.int64)),
+                pa.array(nw.astype(np.int64)),
+                pa.array(lp.astype(np.int64)),
+                pa.array(
+                    np.where(mask, 0.0, avg), type=pa.float64(), mask=mask
+                ),
+            ],
+            schema=out_schema,
+        )
+
+    if n_vocab <= broadcast_threshold:
+        lp_map: dict = {}
+        total = 0
+        for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+            w = b.column("word").to_pylist()
+            c = b.column("cnt").to_numpy(zero_copy_only=False)
+            total += int(c.sum())
+            lpv = np.floor(
+                _LM_SCALE * np.log(c.astype(np.float64))
+            ).astype(np.int64)
+            lp_map.update(zip(w, lpv.tolist()))
+        _ln_total = float(np.log(float(total))) if total else 0.0
+        ref = ray.put(lp_map)
+
+        def kernel(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            n = batch.num_rows
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            texts = [
+                (t or "").lower() for t in batch.column(text_col).to_pylist()
+            ]
+            big, cp, ws, we, dw = _word_span_arrays(texts, ascii_words=True)
+            if len(ws) == 0:
+                z = np.zeros(n, dtype=np.int64)
+                return finish(ids, z, z)
+            wh = _span_hashes(cp, ws, we)
+            uniq, first_idx, inv = np.unique(
+                wh, return_index=True, return_inverse=True
+            )
+            lp_u = np.fromiter(
+                (m[big[ws[i] : we[i]]] for i in first_idx),
+                dtype=np.int64,
+                count=len(first_idx),
+            )
+            # per-word micro-nats ≤ ~3e7 and ≤ 2^53/doc-length docs sum
+            # exactly in the float64 bincount accumulator
+            lp = np.bincount(
+                dw, weights=lp_u[inv].astype(np.float64), minlength=n
+            ).astype(np.int64)
+            nw = np.bincount(dw, minlength=n).astype(np.int64)
+            return finish(ids, nw, lp)
+
+        return ds.map_batches(kernel, batch_format="pyarrow")
+
+    # exchange regime: (doc_id, word) rows move, text does not
+    total = 0
+    for b in counts.map_batches(
+        lambda t: pa.table(
+            {"s": pa.array([int(np.sum(t.column("cnt").to_numpy(zero_copy_only=False)))])}
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        total += int(np.sum(b.column("s").to_numpy(zero_copy_only=False)))
+    _ln_total = float(np.log(float(total))) if total else 0.0
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = [(t or "").lower() for t in batch.column(text_col).to_pylist()]
+        big, cp, ws, we, dw = _word_span_arrays(texts, ascii_words=True)
+        if len(ws) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "word": pa.array([], type=pa.string()),
+                }
+            )
+        wh = _span_hashes(cp, ws, we)
+        uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
+        reps = np.array(
+            [big[ws[i] : we[i]] for i in first_idx], dtype=object
+        )
+        take = pa.array(dw)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(take),
+                "word": pa.array(reps[inv], type=pa.string()),
+            }
+        )
+
+    words = ds.map_batches(explode, batch_format="pyarrow")
+    scored = attach_column(
+        words,
+        counts,
+        key_col="word",
+        lookup_key="word",
+        value_col="cnt",
+        out_col="cnt",
+        how="inner",
+        buckets=buckets,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        c = batch.column("cnt").to_numpy(zero_copy_only=False)
+        lpv = np.floor(_LM_SCALE * np.log(c.astype(np.float64))).astype(np.int64)
+        u, inv = np.unique(ids, return_inverse=True)
+        lp = np.bincount(inv, weights=lpv.astype(np.float64)).astype(np.int64)
+        nw = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(u.astype(np.int64)),
+                "lp": pa.array(lp),
+                "nw": pa.array(nw),
+            }
+        )
+
+    agg = bucket_agg(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        [id_col],
+        [("lp", "sum", "lp"), ("nw", "sum", "nw")],
+        buckets=buckets,
+    )
+    ids_ds = ds.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow"
+    )
+    joined = bucket_join(
+        ids_ds, agg, key_cols=[id_col], how="left", buckets=buckets
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        nw = pc.fill_null(batch.column("nw"), 0).to_numpy(zero_copy_only=False)
+        lp = pc.fill_null(batch.column("lp"), 0).to_numpy(zero_copy_only=False)
+        return finish(ids, nw, lp)
+
+    return joined.map_batches(fin, batch_format="pyarrow")
