@@ -1756,6 +1756,39 @@ def _q_lm_score(sf_dir: str) -> pa.Table:
     return _round6_col(t, "avg_logprob")
 
 
+#: domain-mixing query rates — inlined into the SQL oracle via
+#: rate_threshold so the two sides cannot drift
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+_MIX_DEFAULT_RATE = 0.1
+_MIX_SEED = 17
+
+
+def _q_mix_sources(sf_dir: str) -> pa.Table:
+    """Dolma/Pile-style deterministic domain mixing: each source
+    sampled at its target rate by a seeded integer hash threshold —
+    reproducible across runs/layouts and exactly re-derived in SQL."""
+    from grass_ray.stages.mix import mix_sources
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = mix_sources(
+        ds, _MIX_RATES, default_rate=_MIX_DEFAULT_RATE, seed=_MIX_SEED
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "source"])
+
+
+def _q_det_shuffle(sf_dir: str) -> pa.Table:
+    """Seeded reproducible global shuffle order (training-data
+    ordering): rank by (scrambled hash, id) via a hash-range-partition
+    prefix scan; the oracle is a row_number() over the same key."""
+    from grass_ray.stages.mix import deterministic_shuffle
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = deterministic_shuffle(ds, seed=_MIX_SEED)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "shuffle_rank"])
+
+
 # driver API
 # ---------------------------------------------------------------------------
 
@@ -1826,6 +1859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "segment_dedup": _q_segment_dedup,
         "lm_score": _q_lm_score,
+        "mix_sources": _q_mix_sources,
+        "det_shuffle": _q_det_shuffle,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -3030,6 +3065,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
     }
+    from grass_ray.stages.mix import mix_sql_expr, rate_threshold
+
+    _mix_u = mix_sql_expr("doc_id", _MIX_SEED)
+    _mix_cases = " ".join(
+        f"WHEN '{s}' THEN {rate_threshold(r)}" for s, r in _MIX_RATES.items()
+    )
+    d["mix_sources"] = f"""
+        WITH h AS (SELECT doc_id, source, {_mix_u} AS u FROM documents)
+        SELECT doc_id, source FROM h
+        WHERE u < CASE source {_mix_cases}
+                  ELSE {rate_threshold(_MIX_DEFAULT_RATE)} END
+    """
+    d["det_shuffle"] = f"""
+        WITH h AS (SELECT doc_id, {_mix_u} AS u FROM documents)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY u, doc_id) - 1 AS BIGINT)
+                   AS shuffle_rank
+        FROM h
+    """
     d["decontaminate_bloom"] = d["decontaminate"]
     d["vocab_heavy"] = d["vocab_top100"]
     # incremental register must reproduce the full build exactly

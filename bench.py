@@ -149,6 +149,8 @@ def run_bench() -> dict:
         "events_time_report",
         "segment_dedup",
         "lm_score",
+        "mix_sources",
+        "det_shuffle",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

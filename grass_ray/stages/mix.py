@@ -1,0 +1,165 @@
+"""Corpus mixing + reproducible global ordering.
+
+Two training-data staples (engine extensions at the SURVEY §2.13
+altitude — the reference's sampling analog is `t.sample`'s interval
+matrix, not corpus curation):
+
+* :func:`mix_sources` — Dolma/Pile-style domain mixing: down/up-weight
+  each source to a target sampling rate with a DETERMINISTIC hash
+  threshold (seeded Knuth multiplicative hash of the doc id), so the
+  mix is reproducible across runs, cluster layouts and resumes, and
+  exactly expressible in SQL (the driver oracle re-derives it).
+  Map-side only — no shuffle, no state.
+* :func:`deterministic_shuffle` — seeded reproducible global shuffle
+  order for training: rank every doc by its scrambled hash.  The rank
+  is a distributed prefix scan over HASH-RANGE partitions (the hash is
+  uniform on [0, 2³²), so fixed-width high-bit ranges are balanced):
+  per-partition counts → driver prefix-sum of the bounded partition
+  row (one row per partition at any corpus size) → broadcast bases +
+  in-partition sort.  No driver materialization of the corpus, no
+  Ray sort-exchange; same plan shape as ``chunk.doc_offsets``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MIX_M = np.uint64(1 << 32)
+_FMIX_C1 = np.uint64(0x85EBCA6B)
+_FMIX_C2 = np.uint64(0xC2B2AE35)
+_SEED_MIX = np.uint64(40503)
+
+
+def mix_hash_u32(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Seeded 32-bit hash of int ids: the murmur3 fmix32 finalizer
+    (xorshift/multiply avalanche) — a plain multiplicative hash is NOT
+    enough here (its lattice step A² mod 2³² ≈ 0.9996·2³² leaves a few
+    hundred sequential ids in a narrow band, so small strata sample at
+    wildly wrong rates).  Bit-for-bit reproducible in DuckDB via
+    :func:`mix_sql_expr` (intermediates stay < 2⁶⁴, ``//`` on
+    non-negative ints ≡ ``>>``)."""
+    h = (ids.astype(np.uint64) + np.uint64(seed) * _SEED_MIX) % _MIX_M
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(16)
+        h = (h * _FMIX_C1) % _MIX_M
+        h ^= h >> np.uint64(13)
+        h = (h * _FMIX_C2) % _MIX_M
+        h ^= h >> np.uint64(16)
+    return h
+
+
+def mix_sql_expr(id_col: str, seed: int) -> str:
+    """The DuckDB expression matching :func:`mix_hash_u32` bit-for-bit
+    (the textual duplication of sub-expressions is fine: the oracle
+    computes it once per row in a CTE)."""
+    u0 = f"(({id_col} + {seed} * 40503) % 4294967296)"
+    h1 = f"xor({u0}, {u0} // 65536)"
+    h2 = f"CAST((CAST({h1} AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT)"
+    h3 = f"xor({h2}, {h2} // 8192)"
+    h4 = f"CAST((CAST({h3} AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT)"
+    return f"xor({h4}, {h4} // 65536)"
+
+
+def rate_threshold(rate: float) -> int:
+    """Integer keep-threshold on the u32 hash for a sampling rate."""
+    return min(1 << 32, max(0, int(round(float(rate) * (1 << 32)))))
+
+
+def mix_sources(
+    ds,
+    rates: dict,
+    *,
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    seed: int = 17,
+):
+    """Deterministically sample each stratum (source/domain) at its
+    target rate: keep a row iff ``mix_hash_u32(id, seed) <
+    rate·2^32``.  Zero-shuffle, stateless, resume-stable (membership
+    depends only on the id), and exact — the thresholds are integers.
+
+    ``rates`` maps stratum value → rate in [0, 1]; strata not listed
+    use ``default_rate``.  Rates > capped at 1 (upsampling is a
+    separate op — repetition changes row identity)."""
+    thr = {k: rate_threshold(v) for k, v in rates.items()}
+    thr_default = rate_threshold(default_rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        u = mix_hash_u32(ids, seed)
+        src = batch.column(strat_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        dict_thr = np.fromiter(
+            (thr.get(v, thr_default) for v in enc.dictionary.to_pylist()),
+            dtype=np.uint64,
+            count=len(enc.dictionary),
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        mask = u < dict_thr[codes]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def deterministic_shuffle(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 17,
+    parts: int = 256,
+):
+    """(id, shuffle_rank) — the seeded reproducible global shuffle
+    order: rank = position of the row when sorted by
+    ``(mix_hash_u32(id, seed), id)``.  Distributed prefix scan over
+    hash-range partitions (see module docstring); ``parts`` bounds the
+    per-group sort size (raise with corpus size — contract parts ≥
+    cores×4, like the join bucket count)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    shift = np.uint64(32 - int(np.log2(parts)))
+    if (1 << (32 - int(shift))) != parts:
+        raise ValueError("parts must be a power of two")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        u = mix_hash_u32(ids, seed)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "_u": pa.array(u.astype(np.int64)),
+                "_part": pa.array((u >> shift).astype(np.int64)),
+            }
+        )
+
+    narrow = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    totals = (
+        narrow.groupby("_part").aggregate(Count(alias_name="_n")).to_pandas()
+    )
+    totals = totals.sort_values("_part")
+    counts = totals["_n"].to_numpy(dtype=np.int64)
+    bases = dict(
+        zip(
+            totals["_part"].astype(int),
+            np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64),
+        )
+    )
+    ref = ray.put(bases)
+
+    def rank_part(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        part = int(batch.column("_part")[0].as_py())
+        u = batch.column("_u").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, u))
+        rank = np.empty(len(u), dtype=np.int64)
+        rank[order] = np.arange(len(u), dtype=np.int64) + b[part]
+        return pa.table(
+            {id_col: batch.column(id_col), "shuffle_rank": pa.array(rank)}
+        )
+
+    return narrow.groupby("_part").map_groups(rank_part, batch_format="pyarrow")

@@ -154,3 +154,72 @@ def test_lm_score_vs_reference_both_regimes(ray_session):
                 assert pd.isna(g["avg_logprob"])
             else:
                 assert g["avg_logprob"] == w["avg_logprob"]
+
+
+def _u32_ref(i, seed):
+    """Literal murmur3 fmix32 finalizer over (id + seed·40503)."""
+    h = (i + seed * 40503) % (1 << 32)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) % (1 << 32)
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) % (1 << 32)
+    return h ^ (h >> 16)
+
+
+def test_mix_sources_vs_reference(ray_session):
+    import ray.data
+
+    from grass_ray.stages.mix import mix_sources, rate_threshold
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "source": [f"s{i % 5}" for i in range(n)],
+        }
+    )
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    got = (
+        mix_sources(
+            ray.data.from_pandas(df), rates, default_rate=0.25, seed=99
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    want = [
+        i
+        for i in range(n)
+        if _u32_ref(i, 99)
+        < rate_threshold(rates.get(f"s{i % 5}", 0.25))
+    ]
+    assert got["doc_id"].tolist() == want
+    # rate sanity: s0 fully kept, s2 fully dropped, s1 near half
+    by = got.groupby("source").size()
+    assert by.get("s0", 0) == 800 and "s2" not in by.index
+    assert 320 <= by.get("s1", 0) <= 480
+
+
+def test_deterministic_shuffle_is_exact_permutation(ray_session):
+    import ray.data
+
+    from grass_ray.stages.mix import deterministic_shuffle
+
+    n = 3000
+    ids = np.arange(n) * 7 + 3  # non-contiguous ids
+    got = (
+        deterministic_shuffle(
+            ray.data.from_pandas(pd.DataFrame({"doc_id": ids})),
+            seed=5,
+            parts=16,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    keys = sorted(ids, key=lambda i: (_u32_ref(int(i), 5), int(i)))
+    want = {int(i): r for r, i in enumerate(keys)}
+    assert sorted(got["shuffle_rank"].tolist()) == list(range(n))
+    assert all(
+        want[int(i)] == int(r)
+        for i, r in zip(got["doc_id"], got["shuffle_rank"])
+    )
