@@ -1756,6 +1756,58 @@ def _q_lm_score(sf_dir: str) -> pa.Table:
     return _round6_col(t, "avg_logprob")
 
 
+def _q_freq_tokenize(sf_dir: str) -> pa.Table:
+    """Frequency-rank vocabulary tokenization (word2vec-era count
+    vocab): token id = corpus frequency rank (count desc, word asc).
+    The query reduces each doc's token id list to order-independent /
+    order-pinned scalar stats (sum / min / max, first / last by
+    position) that the SQL oracle re-derives from a row_number() rank."""
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.vocab import tokenize_by_rank
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = tokenize_by_rank(ds)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nw = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(nw[:-1], out=starts[1:])
+        has = nw > 0
+        sum_id = np.zeros(n, dtype=np.int64)
+        min_id = np.zeros(n, dtype=np.int64)
+        max_id = np.zeros(n, dtype=np.int64)
+        first_id = np.zeros(n, dtype=np.int64)
+        last_id = np.zeros(n, dtype=np.int64)
+        if flat.size:
+            nz = np.flatnonzero(has)
+            sum_id[nz] = np.add.reduceat(flat, starts[nz])
+            min_id[nz] = np.minimum.reduceat(flat, starts[nz])
+            max_id[nz] = np.maximum.reduceat(flat, starts[nz])
+            first_id[nz] = flat[starts[nz]]
+            last_id[nz] = flat[starts[nz] + nw[nz] - 1]
+        mask = ~has
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tok": pa.array(nw.astype(np.int64)),
+                "sum_id": pa.array(sum_id),
+                "min_id": pa.array(min_id, mask=mask),
+                "max_id": pa.array(max_id, mask=mask),
+                "first_id": pa.array(first_id, mask=mask),
+                "last_id": pa.array(last_id, mask=mask),
+            }
+        )
+
+    res = out.map_batches(stats, batch_format="pyarrow")
+    return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+
+
 #: domain-mixing query rates — inlined into the SQL oracle via
 #: rate_threshold so the two sides cannot drift
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
@@ -1861,6 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _q_lm_score,
         "mix_sources": _q_mix_sources,
         "det_shuffle": _q_det_shuffle,
+        "freq_tokenize": _q_freq_tokenize,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -3065,6 +3118,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
     }
+    d["freq_tokenize"] = """
+        WITH w AS (
+            SELECT doc_id, unnest(ws) AS word,
+                   generate_subscripts(ws, 1) - 1 AS wi
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9_'']+') AS ws
+                  FROM documents)
+        ),
+        c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+        v AS (
+            SELECT word,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, word) - 1
+                        AS BIGINT) AS tid
+            FROM c
+        ),
+        t AS (SELECT w.doc_id, w.wi, v.tid FROM w JOIN v USING (word)),
+        s AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(tid) AS BIGINT) AS sum_id,
+                   min(tid) AS min_id, max(tid) AS max_id,
+                   min_by(tid, wi) AS first_id, max_by(tid, wi) AS last_id
+            FROM t GROUP BY 1
+        )
+        SELECT d.doc_id, COALESCE(s.n_tok, 0) AS n_tok,
+               COALESCE(s.sum_id, 0) AS sum_id,
+               s.min_id, s.max_id, s.first_id, s.last_id
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """
+    # t.create + t.register + t.rast.list end-to-end: the listed series
+    # catalog (per-series window extent + point count after the build)
+    # must equal the rollup derivation straight from the corpus
+    d["catalog_list"] = f"""
+        WITH tok AS ({tok}),
+        r AS (SELECT source, doc_id, pos // 60 AS w FROM tok GROUP BY 1, 2, 3)
+        SELECT source, doc_id, CAST(60 AS BIGINT) AS gran,
+               CAST(min(w) AS BIGINT) AS wstart,
+               CAST(max(w) AS BIGINT) AS wend,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM r GROUP BY 1, 2
+    """
     from grass_ray.stages.mix import mix_sql_expr, rate_threshold
 
     _mix_u = mix_sql_expr("doc_id", _MIX_SEED)

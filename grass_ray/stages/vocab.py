@@ -570,3 +570,104 @@ def lm_score(
         return finish(ids, nw, lp)
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# frequency-rank vocabulary tokenizer
+# ---------------------------------------------------------------------------
+
+
+def rank_vocab(
+    ds,
+    *,
+    text_col: str = "text",
+    broadcast_threshold: int = 4_000_000,
+) -> dict:
+    """word → token id where the id is the word's corpus frequency rank
+    (count desc, word asc — deterministic under ties): the classic
+    count-based vocabulary (word2vec-era tokenization).  The vocabulary
+    is Heaps'-law bounded, so the distributed part is the count
+    (`word_counts`: per-batch partials + one pre-combined exchange) and
+    the rank itself is a bounded driver-side lexsort.  Vocabularies
+    above ``broadcast_threshold`` would need a distributed rank (sort +
+    prefix scan) — raise loudly rather than degrade silently."""
+    counts = word_counts(ds, text_col=text_col).materialize()
+    n_vocab = counts.count()
+    if n_vocab > broadcast_threshold:
+        raise NotImplementedError(
+            f"vocabulary of {n_vocab} words exceeds the bounded-rank "
+            f"threshold ({broadcast_threshold}); a distributed rank "
+            "(sort + prefix scan) is required at this size"
+        )
+    words: list = []
+    cnts: list = []
+    for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+        words.extend(b.column("word").to_pylist())
+        cnts.append(b.column("cnt").to_numpy(zero_copy_only=False))
+    if not words:
+        return {}
+    c = np.concatenate(cnts)
+    warr = np.array(words, dtype=object)
+    order = np.lexsort((warr, -c))  # count desc, word asc
+    return {w: i for i, w in enumerate(warr[order])}
+
+
+def tokenize_by_rank(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: dict | None = None,
+    oov_id: int = -1,
+):
+    """(id, tokens list<int64>, n_tok) — tokenize text with a
+    frequency-rank vocabulary (see :func:`rank_vocab`; built from `ds`
+    itself when not supplied).  The vocab ships once via ``ray.put``;
+    the per-batch kernel is the shared word-span pass with dictionary
+    lookups on UNIQUE words only.  Out-of-vocabulary words (a supplied
+    foreign vocab) map to ``oov_id``."""
+    import ray
+
+    from grass_ray.functions.textstats import _span_hashes, _word_span_arrays
+
+    if vocab is None:
+        vocab = rank_vocab(ds, text_col=text_col)
+    ref = ray.put(vocab)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        n = batch.num_rows
+        texts = [(t or "").lower() for t in batch.column(text_col).to_pylist()]
+        big, cp, ws, we, dw = _word_span_arrays(texts, ascii_words=True)
+        if len(ws) == 0:
+            ids = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, dtype=np.int32), type=pa.int32()),
+                pa.array([], type=pa.int64()),
+            )
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "tokens": ids,
+                    "n_tok": pa.array(np.zeros(n, dtype=np.int64)),
+                }
+            )
+        wh = _span_hashes(cp, ws, we)
+        uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
+        tid_u = np.fromiter(
+            (v.get(big[ws[i] : we[i]], oov_id) for i in first_idx),
+            dtype=np.int64,
+            count=len(first_idx),
+        )
+        flat = tid_u[inv]
+        nw = np.bincount(dw, minlength=n).astype(np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nw, out=offsets[1:])
+        toks = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), type=pa.int32()),
+            pa.array(flat, type=pa.int64()),
+        )
+        return pa.table(
+            {id_col: batch.column(id_col), "tokens": toks, "n_tok": pa.array(nw)}
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

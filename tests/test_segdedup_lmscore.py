@@ -223,3 +223,42 @@ def test_deterministic_shuffle_is_exact_permutation(ray_session):
         want[int(i)] == int(r)
         for i, r in zip(got["doc_id"], got["shuffle_rank"])
     )
+
+
+def test_rank_vocab_and_tokenize(ray_session):
+    import ray.data
+
+    from grass_ray.stages.vocab import rank_vocab, tokenize_by_rank
+
+    texts = [
+        "b b b a a c",
+        "a d",
+        "",
+        "c c b",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df)
+    v = rank_vocab(ds)
+    # counts: b=4, a=3, c=3, d=1 -> rank by (cnt desc, word asc)
+    assert v == {"b": 0, "a": 1, "c": 2, "d": 3}
+    got = (
+        tokenize_by_rank(ray.data.from_pandas(df), vocab=v)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["tokens"].tolist()[0].tolist() == [0, 0, 0, 1, 1, 2]
+    assert got["tokens"].tolist()[1].tolist() == [1, 3]
+    assert got["tokens"].tolist()[2].tolist() == []
+    assert got["tokens"].tolist()[3].tolist() == [2, 2, 0]
+    assert got["n_tok"].tolist() == [6, 2, 0, 3]
+    # foreign vocab: unseen words -> oov_id
+    got2 = (
+        tokenize_by_rank(
+            ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a z"]})),
+            vocab=v,
+            oov_id=-1,
+        )
+        .to_pandas()
+    )
+    assert got2["tokens"].tolist()[0].tolist() == [1, -1]
