@@ -1756,6 +1756,19 @@ def _q_lm_score(sf_dir: str) -> pa.Table:
     return _round6_col(t, "avg_logprob")
 
 
+def _q_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed spherical k-means over the full embeddings table
+    (SemDeDup-style clustering primitive): per-iteration streaming pass
+    with broadcast centroids and bounded partial-sum folds — no SQL
+    analog (iterative fitted model), rows-only check."""
+    from grass_ray.stages.similarity import kmeans
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = kmeans(ds.materialize(), n_clusters=16, iters=10, seed=7)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["vec_id", "cluster"])
+
+
 def _q_freq_tokenize(sf_dir: str) -> pa.Table:
     """Frequency-rank vocabulary tokenization (word2vec-era count
     vocab): token id = corpus frequency rank (count desc, word asc).
@@ -1943,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_rollup": _q_tokenize_rollup,
         "approx_quantiles": _q_approx_quantiles,
         "multimodal_features": _q_multimodal,
+        "kmeans_clusters": _q_kmeans,
     }
 
 

@@ -151,6 +151,8 @@ def run_bench() -> dict:
         "lm_score",
         "mix_sources",
         "det_shuffle",
+        "freq_tokenize",
+        "kmeans_clusters",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

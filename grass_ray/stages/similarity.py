@@ -386,3 +386,107 @@ def embedding_dedup(
     )
     kept = anti_join(ds, drops, key_cols=(id_col,), keys_distinct=True)
     return kept, dup_pairs_ds.to_pandas()
+
+
+def kmeans_fit(
+    ds,
+    *,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    tol: float = 1e-6,
+    seed: int = 42,
+    sample_size: int = 2048,
+):
+    """Distributed spherical k-means (Lloyd's) over the FULL dataset —
+    the clustering primitive behind SemDeDup-style semantic dedup and
+    IVF index builds (``kmeans_lite`` fits only a driver-side sample;
+    this fits everything).
+
+    Each iteration is ONE streaming pass: centroids broadcast via
+    ``ray.put``; every batch computes assignments with a normalized
+    matmul and emits k partial rows (cluster, count, sum-vector); the
+    driver folds the bounded partial table (blocks × k rows — never the
+    vectors).  Converges when the max centroid shift < ``tol``.  Empty
+    clusters keep their previous centroid.
+
+    Returns ``(centroids float32 (k, d), n_iters, shift)``.
+    """
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()
+    X = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
+    rng = np.random.default_rng(seed)
+    k = min(n_clusters, len(X))
+    cent = X[rng.choice(len(X), size=k, replace=False)].astype(np.float64)
+    d = cent.shape[1]
+    shift = float("inf")
+    it = 0
+    for it in range(1, iters + 1):
+        cref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _normalize(_to_matrix(batch.column(vec_col))).astype(np.float64)
+            a = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(cnt),
+                    "s": pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(0, (k + 1) * d, d, dtype=np.int32),
+                            type=pa.int32(),
+                        ),
+                        pa.array(sums.ravel(), type=pa.float64()),
+                    ),
+                }
+            )
+
+        sums = np.zeros((k, d), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            cnt_b = b.column("n").to_numpy(zero_copy_only=False)
+            s = b.column("s")
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            mat = s.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+            np.add.at(sums, cl, mat)
+            np.add.at(cnt, cl, cnt_b)
+        new = cent.copy()
+        nz = cnt > 0
+        new[nz] = sums[nz] / cnt[nz, None]
+        new = _normalize(new).astype(np.float64)
+        shift = float(np.max(np.linalg.norm(new - cent, axis=1)))
+        cent = new
+        if shift < tol:
+            break
+    return cent.astype(np.float32), it, shift
+
+
+def kmeans(
+    ds,
+    *,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    tol: float = 1e-6,
+    seed: int = 42,
+):
+    """Fit + assign: (id, cluster) for every vector, clusters fitted on
+    the full dataset with :func:`kmeans_fit`."""
+    cent, _, _ = kmeans_fit(
+        ds, n_clusters=n_clusters, vec_col=vec_col, iters=iters, tol=tol,
+        seed=seed,
+    )
+    assigned = _assign_stage(ds, cent, vec_col, out_col="cluster")
+    return assigned.map_batches(
+        lambda b: b.select([id_col, "cluster"]), batch_format="pyarrow"
+    )

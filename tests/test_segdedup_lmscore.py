@@ -262,3 +262,62 @@ def test_rank_vocab_and_tokenize(ray_session):
         .to_pandas()
     )
     assert got2["tokens"].tolist()[0].tolist() == [1, -1]
+
+
+def test_kmeans_fit_matches_numpy_lloyd(ray_session):
+    """Distributed Lloyd's == single-node Lloyd's with identical init
+    (well-separated clusters so float fold order cannot flip an
+    assignment)."""
+    import ray.data
+
+    from grass_ray.stages.similarity import _normalize, kmeans, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    k, d, per = 4, 8, 200
+    centers = _normalize(rng.normal(size=(k, d)).astype(np.float64))
+    X = np.concatenate(
+        [c + 0.02 * rng.normal(size=(per, d)) for c in centers]
+    ).astype(np.float32)
+    ids = np.arange(len(X))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in X], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    cent, n_it, shift = kmeans_fit(
+        ds, n_clusters=k, iters=20, seed=7, sample_size=800
+    )
+    # reference: same init (sample = full table in row order), same rule
+    Xn = _normalize(X.astype(np.float32))
+    rr = np.random.default_rng(7)
+    ref = Xn[rr.choice(len(Xn), size=k, replace=False)].astype(np.float64)
+    for _ in range(20):
+        a = np.argmax(Xn.astype(np.float64) @ ref.T, axis=1)
+        new = ref.copy()
+        for c in range(k):
+            m = Xn[a == c]
+            if len(m):
+                new[c] = m.astype(np.float64).mean(axis=0)
+        new = _normalize(new)
+        if np.max(np.linalg.norm(new - ref, axis=1)) < 1e-6:
+            ref = new
+            break
+        ref = new
+    assert np.allclose(cent, ref.astype(np.float32), atol=1e-4)
+    got = kmeans(ds, n_clusters=k, iters=20, seed=7).to_pandas()
+    a_ref = np.argmax(Xn @ ref.T.astype(np.float32), axis=1)
+    got = got.sort_values("vec_id")
+    # same partition of points (cluster labels may permute — here init
+    # is identical so they should not, but compare as a partition)
+    lab = {}
+    ok = True
+    for g, r in zip(got["cluster"], a_ref):
+        if g in lab:
+            ok &= lab[g] == r
+        else:
+            lab[g] = r
+    assert ok and len(lab) == k
