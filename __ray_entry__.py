@@ -977,7 +977,9 @@ def _q_decontaminate_bloom(sf_dir: str) -> pa.Table:
         lambda b: b.filter(pc.invert(pc.equal(b.column("source"), "src0"))),
         batch_format="pyarrow",
     )
-    kept, _ids = decontaminate(train, bench, k=3, method="bloom")
+    kept, _ids = decontaminate(
+        train, bench, k=3, method="bloom", bloom_fp_rate=1e-12
+    )
     t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
     return t.select(["doc_id", "source"])
 

@@ -258,7 +258,7 @@ def decontaminate(
     text_col: str = "text",
     pattern: str = ASCII_WORD,
     method: str = "exact",
-    bloom_expected_n: int = 1 << 22,
+    bloom_expected_n: int | None = None,
     bloom_fp_rate: float = 1e-4,
 ):
     """Drop training docs sharing any word k-gram with the benchmark.
@@ -275,7 +275,11 @@ def decontaminate(
     map-side with NO gram exchange at all.  No false negatives (every
     contaminated doc is dropped); false positives over-drop at the
     configured rate — the safe direction for decontamination, and the
-    only direction that stays broadcastable at 100 TB."""
+    only direction that stays broadcastable at 100 TB.
+    ``bloom_expected_n=None`` (default) sizes the bitmap from a count
+    pass over the benchmark gram table (the bench side is small by
+    definition — a fixed 2^22-gram bitmap cost ~10 MB of alloc/OR/ship
+    per run even when the bench held 15 k grams)."""
     from grass_ray.stages.join import anti_join, distinct_keys, semi_join
 
     rx = re.compile(pattern)
@@ -325,6 +329,16 @@ def _decontaminate_bloom(
     )
     from grass_ray.stages.join import anti_join, distinct_keys
 
+    if expected_n is None:
+        # auto-size: per-doc-unique gram rows over the (small) bench
+        # side — an overcount of the distinct grams, i.e. conservative
+        expected_n = max(
+            _gram_table(
+                bench_ds, k=k, id_col=id_col, text_col=text_col, rx=rx,
+                with_id=False,
+            ).count(),
+            1 << 12,
+        )
     m_bits, n_hashes = bloom_params(expected_n, fp_rate)
 
     def partial_bitmap(batch: pa.Table) -> pa.Table:
