@@ -38,6 +38,7 @@ from grass_ray.stages.dedup import (
     exact_dedup,
     minhash_dedup,
     minhash_verified_pairs,
+    segment_dedup,
     verify_pairs_jaccard,
     simhash_candidates,
 )
@@ -69,13 +70,19 @@ from grass_ray.stages.similarity import (
     ivf_build,
     ivf_search,
     ivf_topk,
+    kmeans,
+    kmeans_fit,
 )
 from grass_ray.stages.vocab import (
     decontaminate,
+    lm_score,
+    rank_vocab,
+    tokenize_by_rank,
     vocab_heavy_hitters,
     vocab_topn,
     word_counts,
 )
+from grass_ray.stages.mix import deterministic_shuffle, mix_sources
 from grass_ray.stages.text_stage import analyze_text, scrub_text
 from grass_ray.sources.readers import read_parquet_sized, sized_num_blocks, tokenize_text
 from grass_ray.stages.univar import attr_univar, univar
@@ -141,6 +148,14 @@ __all__ = [
     "cascade",
     "embedding_dedup",
     "exact_dedup",
+    "mix_sources",
+    "deterministic_shuffle",
+    "tokenize_by_rank",
+    "rank_vocab",
+    "lm_score",
+    "kmeans_fit",
+    "kmeans",
+    "segment_dedup",
     "export_tier",
     "extract",
     "import_tier",

@@ -209,6 +209,91 @@ def cmd_decontaminate(args):
     ray.shutdown()
 
 
+def cmd_dedup_segments(args):
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.dedup import segment_dedup
+
+    ds = read_parquet_sized(args.docs)
+    out = segment_dedup(
+        ds, k=args.k, id_col=args.id_col, text_col=args.text_col
+    )
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "k": args.k}))
+    ray.shutdown()
+
+
+def cmd_lm_score(args):
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.vocab import lm_score
+
+    ds = read_parquet_sized(args.docs)
+    lm_score(ds, id_col=args.id_col, text_col=args.text_col).write_parquet(
+        args.out
+    )
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+
+
+def cmd_mix(args):
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.mix import mix_sources
+
+    rates = dict(
+        (s, float(r)) for s, r in (x.split(":") for x in args.rates)
+    )
+    ds = read_parquet_sized(args.docs)
+    out = mix_sources(
+        ds, rates, default_rate=args.default_rate, strat_col=args.strat_col,
+        seed=args.seed,
+    )
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rates": rates}))
+    ray.shutdown()
+
+
+def cmd_shuffle(args):
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.mix import deterministic_shuffle
+
+    ds = read_parquet_sized(args.docs)
+    deterministic_shuffle(
+        ds, id_col=args.id_col, seed=args.seed
+    ).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "seed": args.seed}))
+    ray.shutdown()
+
+
+def cmd_tokenize(args):
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.vocab import tokenize_by_rank
+
+    ds = read_parquet_sized(args.docs)
+    tokenize_by_rank(
+        ds, id_col=args.id_col, text_col=args.text_col
+    ).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+
+
+def cmd_kmeans(args):
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.similarity import kmeans
+
+    ds = read_parquet_sized(args.vectors).materialize()
+    kmeans(
+        ds, n_clusters=args.k, vec_col=args.vec_col, id_col=args.id_col,
+        iters=args.iters,
+    ).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "k": args.k}))
+    ray.shutdown()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="grass_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -302,6 +387,68 @@ def main(argv=None):
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
     d.set_defaults(fn=cmd_decontaminate)
+
+    sd = sub.add_parser(
+        "dedup-segments",
+        help="corpus-wide exact k-word-segment dedup (first occurrence wins)",
+    )
+    sd.add_argument("--docs", required=True)
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--k", type=int, default=8)
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--text-col", default="text")
+    sd.set_defaults(fn=cmd_dedup_segments)
+
+    lm = sub.add_parser(
+        "lm-score", help="unigram LM quality score per document"
+    )
+    lm.add_argument("--docs", required=True)
+    lm.add_argument("--out", required=True)
+    lm.add_argument("--id-col", default="doc_id")
+    lm.add_argument("--text-col", default="text")
+    lm.set_defaults(fn=cmd_lm_score)
+
+    mx = sub.add_parser(
+        "mix", help="deterministic per-source rate sampling (domain mixing)"
+    )
+    mx.add_argument("--docs", required=True)
+    mx.add_argument("--out", required=True)
+    mx.add_argument(
+        "--rates", nargs="+", required=True, help="source:rate pairs"
+    )
+    mx.add_argument("--default-rate", type=float, default=1.0)
+    mx.add_argument("--strat-col", default="source")
+    mx.add_argument("--seed", type=int, default=17)
+    mx.set_defaults(fn=cmd_mix)
+
+    sh = sub.add_parser(
+        "shuffle", help="seeded reproducible global shuffle ranks"
+    )
+    sh.add_argument("--docs", required=True)
+    sh.add_argument("--out", required=True)
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--seed", type=int, default=17)
+    sh.set_defaults(fn=cmd_shuffle)
+
+    tk = sub.add_parser(
+        "tokenize", help="frequency-rank vocabulary tokenization"
+    )
+    tk.add_argument("--docs", required=True)
+    tk.add_argument("--out", required=True)
+    tk.add_argument("--id-col", default="doc_id")
+    tk.add_argument("--text-col", default="text")
+    tk.set_defaults(fn=cmd_tokenize)
+
+    km = sub.add_parser(
+        "kmeans", help="distributed spherical k-means over an embedding column"
+    )
+    km.add_argument("--vectors", required=True)
+    km.add_argument("--out", required=True)
+    km.add_argument("--k", type=int, default=16)
+    km.add_argument("--iters", type=int, default=10)
+    km.add_argument("--vec-col", default="embedding")
+    km.add_argument("--id-col", default="vec_id")
+    km.set_defaults(fn=cmd_kmeans)
 
     args = p.parse_args(argv)
     args.fn(args)
