@@ -137,3 +137,31 @@ def test_attach_column_matches_lookup(ray_session, lk, rk):
             (int(r["k"]), list(r["v"])) for _i, r in got.iterrows()
         )
         assert got_pairs == sorted(want), (lk, rk, thresh)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lk=st.lists(st.integers(0, 9), min_size=1, max_size=14),
+    rk=st.lists(st.integers(0, 9), min_size=1, max_size=14),
+    how=st.sampled_from(["right", "outer"]),
+)
+def test_bucket_join_outer_schema_stable(ray_session, lk, rk, how):
+    """Outer/right joins produce join nulls in int payload columns in
+    SOME buckets only — every bucket must still emit the same wire
+    schema (Arrow int64 with validity, never a per-bucket float64
+    upcast), and the merged values must match pandas."""
+    l_t, r_t = _table(lk, "x"), _table(rk, "y")
+    ds = bucket_join(
+        ray.data.from_arrow(l_t),
+        ray.data.from_arrow(r_t),
+        key_cols=("k",),
+        how=how,
+        buckets=4,
+    )
+    tbl = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    assert tbl.schema.field("x").type == pa.int64()
+    assert tbl.schema.field("y").type == pa.int64()
+    want = l_t.to_pandas().merge(r_t.to_pandas(), on="k", how=how)
+    assert _sorted_records(tbl.to_pandas()) == _sorted_records(want)
