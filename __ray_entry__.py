@@ -1758,6 +1758,18 @@ def _q_lm_score(sf_dir: str) -> pa.Table:
     return _round6_col(t, "avg_logprob")
 
 
+def _q_normalize(sf_dir: str) -> pa.Table:
+    """Unicode NFC + whitespace normalization (C4-style cleanup):
+    Arrow utf8_normalize / RE2 collapse mirror DuckDB's nfc_normalize /
+    regexp_replace byte-for-byte (same regex engine, same standard)."""
+    from grass_ray.stages.text_stage import normalize_text
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = normalize_text(ds)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "text_norm", "norm_changed"])
+
+
 def _q_kmeans(sf_dir: str) -> pa.Table:
     """Distributed spherical k-means over the full embeddings table
     (SemDeDup-style clustering primitive): per-iteration streaming pass
@@ -1929,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": _q_mix_sources,
         "det_shuffle": _q_det_shuffle,
         "freq_tokenize": _q_freq_tokenize,
+        "normalize_text": _q_normalize,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -3134,6 +3147,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
     }
+    d["normalize_text"] = """
+        SELECT doc_id,
+               trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))
+                   AS text_norm,
+               (trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))
+                   <> text) AS norm_changed
+        FROM documents
+    """
     d["freq_tokenize"] = """
         WITH w AS (
             SELECT doc_id, unnest(ws) AS word,

@@ -153,6 +153,7 @@ def run_bench() -> dict:
         "det_shuffle",
         "freq_tokenize",
         "kmeans_clusters",
+        "normalize_text",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -83,7 +83,7 @@ from grass_ray.stages.vocab import (
     word_counts,
 )
 from grass_ray.stages.mix import deterministic_shuffle, mix_sources
-from grass_ray.stages.text_stage import analyze_text, scrub_text
+from grass_ray.stages.text_stage import analyze_text, normalize_text, scrub_text
 from grass_ray.sources.readers import read_parquet_sized, sized_num_blocks, tokenize_text
 from grass_ray.stages.univar import attr_univar, univar
 from grass_ray.stages.what import what
@@ -149,6 +149,7 @@ __all__ = [
     "embedding_dedup",
     "exact_dedup",
     "mix_sources",
+    "normalize_text",
     "deterministic_shuffle",
     "tokenize_by_rank",
     "rank_vocab",

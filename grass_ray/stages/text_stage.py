@@ -152,3 +152,54 @@ def scrub_text(
         return pa.table(cols)
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def normalize_text(
+    ds,
+    *,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    form: str = "NFC",
+    collapse_ws: bool = True,
+    strip: bool = True,
+):
+    """Unicode + whitespace normalization (the C4/RefinedWeb cleanup
+    step): canonical composition (``unicodedata.normalize`` — this
+    build's ``pc.utf8_normalize`` is a NO-OP, it returns decomposed
+    input unchanged for every form; the CPython UCD implementation
+    matches DuckDB's utf8proc by the standard), ASCII-whitespace-run
+    collapse (RE2 ``\\s+`` — DuckDB's regex engine too, so the oracle
+    is bit-identical), and edge trim.  ASCII rows skip the per-row
+    normalize entirely (``pc.string_is_ascii`` mask — web corpora are
+    ASCII-dominated, so the hot path stays vectorized).  Adds
+    ``out_col`` and a ``norm_changed`` flag; zero-shuffle map stage."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        is_ascii = pc.string_is_ascii(pc.fill_null(col, ""))
+        if pc.min(is_ascii).as_py() is False:
+            flags = is_ascii.to_numpy(zero_copy_only=False)
+            n = pa.array(
+                [
+                    t if (t is None or f) else unicodedata.normalize(form, t)
+                    for t, f in zip(col.to_pylist(), flags)
+                ],
+                type=pa.string(),
+            )
+        else:
+            n = col
+        if collapse_ws:
+            n = pc.replace_substring_regex(n, pattern=r"\s+", replacement=" ")
+        if strip:
+            n = pc.utf8_trim_whitespace(n)
+        changed = pc.fill_null(pc.not_equal(n, col), False)
+        return batch.append_column(out_col, n).append_column(
+            "norm_changed", changed
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -321,3 +321,37 @@ def test_kmeans_fit_matches_numpy_lloyd(ray_session):
         else:
             lab[g] = r
     assert ok and len(lab) == k
+
+
+def test_normalize_text_unicode(ray_session):
+    """NFC + RE2-whitespace collapse vs a literal python reference
+    (RE2 \\s is ASCII [\\t\\n\\f\\r ] — \\xa0 must survive)."""
+    import re
+    import unicodedata
+
+    import ray.data
+
+    from grass_ray.stages.text_stage import normalize_text
+
+    texts = [
+        "Café  double  space",   # combining accent -> é, collapse
+        "tab\there\nand newline",
+        "nbsp\xa0stays",
+        "  edges  ",
+        "ascii only",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = (
+        normalize_text(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for t, g, ch in zip(texts, got["text_norm"], got["norm_changed"]):
+        want = re.sub(r"[\t\n\f\r ]+", " ", unicodedata.normalize("NFC", t))
+        want = want.strip()
+        assert g == want, (t, g, want)
+        assert bool(ch) == (want != t)
+    assert got["text_norm"][2] == "nbsp\xa0stays"
+    assert got["text_norm"][0] == "Café double space"
