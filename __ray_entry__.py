@@ -1758,6 +1758,39 @@ def _q_lm_score(sf_dir: str) -> pa.Table:
     return _round6_col(t, "avg_logprob")
 
 
+def _q_curate_v2(sf_dir: str) -> pa.Table:
+    """Round-2 curation composition: normalize → mix → segment dedup →
+    LM filter → frequency-rank tokenize → split.  Rows-only (composes
+    hash-seeded and iterative stages)."""
+    from grass_ray.stages.curate import curate_v2
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    out = curate_v2(
+        ds,
+        mix_rates={"src0": 1.0, "src1": 0.5},
+        default_rate=0.8,
+        min_logprob=-5.0,
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "n_tok", "split"])
+
+
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_split(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test split by hash range — stateless,
+    resume-stable, integer-threshold exact on both sides."""
+    from grass_ray.stages.mix import split_dataset
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = split_dataset(ds, _SPLIT_FRACTIONS, seed=_MIX_SEED)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "split"])
+
+
 def _q_normalize(sf_dir: str) -> pa.Table:
     """Unicode NFC + whitespace normalization (C4-style cleanup):
     Arrow utf8_normalize / RE2 collapse mirror DuckDB's nfc_normalize /
@@ -1942,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "det_shuffle": _q_det_shuffle,
         "freq_tokenize": _q_freq_tokenize,
         "normalize_text": _q_normalize,
+        "split_assign": _q_split,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -1972,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,
         "multimodal_features": _q_multimodal,
         "kmeans_clusters": _q_kmeans,
+        "curate_v2": _q_curate_v2,
     }
 
 
@@ -3206,6 +3241,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source FROM h
         WHERE u < CASE source {_mix_cases}
                   ELSE {rate_threshold(_MIX_DEFAULT_RATE)} END
+    """
+    from grass_ray.stages.mix import split_thresholds
+
+    _sp_names, _sp_bounds = split_thresholds(_SPLIT_FRACTIONS)
+    _sp_case = " ".join(
+        f"WHEN u < {int(b)} THEN '{n}'"
+        for n, b in zip(_sp_names, _sp_bounds)
+    )
+    d["split_assign"] = f"""
+        WITH h AS (SELECT doc_id, {_mix_u} AS u FROM documents)
+        SELECT doc_id,
+               CASE {_sp_case} ELSE '{_sp_names[-1]}' END AS split
+        FROM h
     """
     d["det_shuffle"] = f"""
         WITH h AS (SELECT doc_id, {_mix_u} AS u FROM documents)

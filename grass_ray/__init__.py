@@ -55,7 +55,7 @@ from grass_ray.stages.join import (
     semi_join,
 )
 from grass_ray.stages.chunk import chunk_stats, chunk_tokens, doc_offsets
-from grass_ray.stages.curate import curate, pack_sequences, sample_stratified
+from grass_ray.stages.curate import curate, curate_v2, pack_sequences, sample_stratified
 from grass_ray.functions.sketch import KLLSketch, SpaceSaving
 from grass_ray.functions.topology import (
     compute_datetime_delta,
@@ -82,7 +82,7 @@ from grass_ray.stages.vocab import (
     vocab_topn,
     word_counts,
 )
-from grass_ray.stages.mix import deterministic_shuffle, mix_sources
+from grass_ray.stages.mix import deterministic_shuffle, mix_sources, split_dataset
 from grass_ray.stages.text_stage import analyze_text, normalize_text, scrub_text
 from grass_ray.sources.readers import read_parquet_sized, sized_num_blocks, tokenize_text
 from grass_ray.stages.univar import attr_univar, univar
@@ -150,6 +150,8 @@ __all__ = [
     "exact_dedup",
     "mix_sources",
     "normalize_text",
+    "split_dataset",
+    "curate_v2",
     "deterministic_shuffle",
     "tokenize_by_rank",
     "rank_vocab",

@@ -203,3 +203,66 @@ def curate(
     )
     packed = pack_sequences(corpus, block_len=block_len)
     return packed, report
+
+
+def curate_v2(
+    ds,
+    *,
+    mix_rates: dict | None = None,
+    default_rate: float = 1.0,
+    k_seg: int = 3,
+    min_logprob: float | None = None,
+    split_fractions: dict | None = None,
+    seed: int = 17,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The round-2 curation composition over a documents table:
+
+    normalize (NFC + whitespace) → deterministic domain mixing →
+    corpus-wide segment-level exact substring dedup → unigram-LM
+    quality filter → frequency-rank tokenization → deterministic
+    train/val/test split.
+
+    Every stage is one of the engine's named operators; the glue is
+    semi-joins on the surviving id set.  Returns a Dataset
+    ``(doc_id, tokens, n_tok, split)`` of surviving documents.
+    """
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.dedup import segment_dedup
+    from grass_ray.stages.join import semi_join
+    from grass_ray.stages.mix import mix_sources, split_dataset
+    from grass_ray.stages.text_stage import normalize_text
+    from grass_ray.stages.vocab import lm_score, tokenize_by_rank
+
+    cur = normalize_text(ds, text_col=text_col)
+    if mix_rates:
+        cur = mix_sources(
+            cur, mix_rates, default_rate=default_rate, id_col=id_col,
+            seed=seed,
+        )
+    sd = segment_dedup(cur, k=k_seg, id_col=id_col, text_col="text_norm")
+    sd = sd.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n_kept"), 0)),
+        batch_format="pyarrow",
+    ).materialize()  # feeds the LM filter AND the tokenizer
+    if min_logprob is not None:
+        lm = lm_score(sd, id_col=id_col, text_col="text_dedup")
+        good = lm.map_batches(
+            lambda b: b.filter(
+                pc.fill_null(
+                    pc.greater_equal(b.column("avg_logprob"), min_logprob),
+                    False,
+                )
+            ).select([id_col]),
+            batch_format="pyarrow",
+        )
+        sd = semi_join(sd, good, key_cols=(id_col,), keys_distinct=True)
+    toks = tokenize_by_rank(sd, id_col=id_col, text_col="text_dedup")
+    return split_dataset(
+        toks,
+        split_fractions or {"train": 0.9, "val": 0.05, "test": 0.05},
+        id_col=id_col,
+        seed=seed,
+    )

@@ -6,7 +6,7 @@ matrix, not corpus curation):
 
 * :func:`mix_sources` — Dolma/Pile-style domain mixing: down/up-weight
   each source to a target sampling rate with a DETERMINISTIC hash
-  threshold (seeded Knuth multiplicative hash of the doc id), so the
+  threshold (seeded murmur3-fmix32 hash of the doc id), so the
   mix is reproducible across runs, cluster layouts and resumes, and
   exactly expressible in SQL (the driver oracle re-derives it).
   Map-side only — no shuffle, no state.
@@ -163,3 +163,43 @@ def deterministic_shuffle(
         )
 
     return narrow.groupby("_part").map_groups(rank_part, batch_format="pyarrow")
+
+
+def split_dataset(
+    ds,
+    fractions: dict,
+    *,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    seed: int = 17,
+):
+    """Deterministic train/val/test assignment: the id's u32 hash falls
+    into consecutive ranges sized by ``fractions`` (e.g. ``{"train":
+    .9, "val": .05, "test": .05}``; must sum to ≤ 1 — any remainder
+    maps to the LAST label).  Stateless, shuffle-free, resume-stable,
+    and exactly reproducible in SQL via :func:`mix_sql_expr` +
+    integer thresholds (:func:`split_thresholds`)."""
+    names, bounds = split_thresholds(fractions)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        u = mix_hash_u32(ids, seed)
+        idx = np.searchsorted(bounds, u, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        lab = np.array(names, dtype=object)[idx]
+        return batch.append_column(out_col, pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def split_thresholds(fractions: dict):
+    """(names, cumulative integer u32 bounds) for :func:`split_dataset`
+    — bounds[i] is the EXCLUSIVE upper hash bound of names[i]; shared
+    with the SQL oracle so the two sides cannot drift."""
+    names = list(fractions)
+    cum = 0.0
+    bounds = []
+    for n in names:
+        cum += float(fractions[n])
+        bounds.append(rate_threshold(min(cum, 1.0)))
+    return names, np.array(bounds[:-1], dtype=np.uint64)

@@ -355,3 +355,43 @@ def test_normalize_text_unicode(ray_session):
         assert bool(ch) == (want != t)
     assert got["text_norm"][2] == "nbsp\xa0stays"
     assert got["text_norm"][0] == "Café double space"
+
+
+def test_split_dataset_deterministic(ray_session):
+    import ray.data
+
+    from grass_ray.stages.mix import split_dataset, split_thresholds
+
+    n = 5000
+    df = pd.DataFrame({"doc_id": np.arange(n)})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = (
+        split_dataset(ray.data.from_pandas(df), fr, seed=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    names, bounds = split_thresholds(fr)
+    want = []
+    for i in range(n):
+        u = _u32_ref(i, 3)
+        lab = names[-1]
+        for nm, b in zip(names, bounds):
+            if u < int(b):
+                lab = nm
+                break
+        want.append(lab)
+    assert got["split"].tolist() == want
+    frac = got["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    # rerun with a different block layout: identical assignment
+    got2 = (
+        split_dataset(
+            ray.data.from_pandas(df).repartition(7), fr, seed=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got2["split"].tolist() == want
