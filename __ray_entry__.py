@@ -1762,6 +1762,25 @@ def _q_lm_score(sf_dir: str) -> pa.Table:
     return _round6_col(t, "avg_logprob")
 
 
+def _q_series_delta(sf_dir: str) -> pa.Table:
+    """PromQL-style windowed delta rollup: per-series successive
+    difference (NULL-propagating lag), (cnt, sum, min, max) per 1m
+    window — exact int64 on both sides."""
+    from grass_ray.stages.seriesops import delta_rollup
+
+    out = delta_rollup(_corpus(sf_dir), 60)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_series_ffill(sf_dir: str) -> pa.Table:
+    """Forward-fill (last_value IGNORE NULLS per series) then windowed
+    (cnt, sum) rollup — the gap-carrying tier read path."""
+    from grass_ray.stages.seriesops import ffill_rollup
+
+    out = ffill_rollup(_corpus(sf_dir), 60)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_curate_v2(sf_dir: str) -> pa.Table:
     """Round-2 curation composition: normalize → mix → segment dedup →
     LM filter → frequency-rank tokenize → split.  Rows-only (composes
@@ -1980,6 +1999,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_tokenize": _q_freq_tokenize,
         "normalize_text": _q_normalize,
         "split_assign": _q_split,
+        "series_delta": _q_series_delta,
+        "series_ffill": _q_series_ffill,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -3186,6 +3207,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
     }
+    d["series_delta"] = f"""
+        WITH tok AS ({tok}),
+        dlt AS (
+            SELECT source, doc_id, pos,
+                   token - lag(token) OVER (
+                       PARTITION BY source, doc_id ORDER BY pos
+                   ) AS dv
+            FROM tok
+        )
+        SELECT source, doc_id, pos // 60 AS "window",
+               CAST(count(dv) AS BIGINT) AS cnt_d,
+               CAST(sum(dv) AS BIGINT) AS sum_d,
+               CAST(min(dv) AS BIGINT) AS min_d,
+               CAST(max(dv) AS BIGINT) AS max_d
+        FROM dlt GROUP BY 1, 2, 3
+    """
+    d["series_ffill"] = f"""
+        WITH tok AS ({tok}),
+        ff AS (
+            SELECT source, doc_id, pos,
+                   last_value(token IGNORE NULLS) OVER (
+                       PARTITION BY source, doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS fv
+            FROM tok
+        )
+        SELECT source, doc_id, pos // 60 AS "window",
+               CAST(count(fv) AS BIGINT) AS cnt_f,
+               CAST(sum(fv) AS BIGINT) AS sum_f
+        FROM ff GROUP BY 1, 2, 3
+    """
     d["normalize_text"] = """
         SELECT doc_id,
                trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))

@@ -154,6 +154,8 @@ def run_bench() -> dict:
         "freq_tokenize",
         "kmeans_clusters",
         "normalize_text",
+        "series_delta",
+        "series_ffill",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

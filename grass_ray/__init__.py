@@ -63,6 +63,7 @@ from grass_ray.functions.topology import (
 )
 from grass_ray.stages.grouped import approx_quantiles
 from grass_ray.stages.neighbors import neighbors
+from grass_ray.stages.seriesops import delta_rollup, ffill_rollup
 from grass_ray.stages.sample import events_time_report
 from grass_ray.stages.similarity import (
     ann_topk,
@@ -151,6 +152,8 @@ __all__ = [
     "mix_sources",
     "normalize_text",
     "split_dataset",
+    "delta_rollup",
+    "ffill_rollup",
     "curate_v2",
     "deterministic_shuffle",
     "tokenize_by_rank",

@@ -395,3 +395,48 @@ def test_split_dataset_deterministic(ray_session):
         .reset_index(drop=True)
     )
     assert got2["split"].tolist() == want
+
+
+def test_delta_and_ffill_rollup_literal(ray_session):
+    """Hand-computed edge cases: NULL at series head, NULL runs, lag
+    boundary, short final window."""
+    import ray.data
+
+    from grass_ray.stages.seriesops import delta_rollup, ffill_rollup
+
+    toks = [
+        [None, 5, 7, None, 10],  # head null; dv: -,-,2,-,-; ff: -,5,7,7,10
+        [1, 2],                  # dv: -,1 ; ff: 1,2
+        [],                      # no windows
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+            "source": pa.array(["s", "s", "s"]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    d = (
+        delta_rollup(ds, 3)
+        .to_pandas()
+        .sort_values(["doc_id", "window"])
+        .reset_index(drop=True)
+    )
+    # doc a windows: [0,1,2]=pos0..2 -> dv valid only pos2 (7-5=2);
+    # [3,4]=pos3..4 -> none valid (null on either side)
+    assert d.loc[0, ["cnt_d", "sum_d", "min_d", "max_d"]].tolist() == [1, 2, 2, 2]
+    assert d.loc[1, "cnt_d"] == 0 and pd.isna(d.loc[1, "sum_d"])
+    # doc b single window: dv = 1 at pos1
+    assert d.loc[2, ["cnt_d", "sum_d"]].tolist() == [1, 1]
+    assert len(d) == 3  # doc c emits nothing
+    f = (
+        ffill_rollup(ds, 3)
+        .to_pandas()
+        .sort_values(["doc_id", "window"])
+        .reset_index(drop=True)
+    )
+    # doc a w0: filled = -,5,7 -> cnt 2 sum 12; w1: 7,10 -> cnt 2 sum 17
+    assert f.loc[0, ["cnt_f", "sum_f"]].tolist() == [2, 12]
+    assert f.loc[1, ["cnt_f", "sum_f"]].tolist() == [2, 17]
+    assert f.loc[2, ["cnt_f", "sum_f"]].tolist() == [2, 3]
