@@ -1762,6 +1762,40 @@ def _q_lm_score(sf_dir: str) -> pa.Table:
     return _round6_col(t, "avg_logprob")
 
 
+def _q_jsonl_rank_rollup(sf_dir: str) -> pa.Table:
+    """JSONL ingest round trip with a fully SQL-expressible tokenizer:
+    documents staged as JSONL → `ray.data.read_json` → frequency-rank
+    tokenization → 16-position rollup.  The oracle re-derives rank ids
+    and the rollup straight from the documents table, so the reader
+    path itself is hash-verified (the blake-hash tokenizer variant
+    stays rows-only in tokenize_rollup)."""
+    import os
+
+    from grass_ray.stages.rollup import rollup
+    from grass_ray.stages.vocab import tokenize_by_rank
+
+    import ray.data
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/grassray_jsonl_{tag}"
+    if not os.path.isdir(path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        df = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        ).to_pandas()
+        df.to_json(
+            os.path.join(path, "docs.jsonl"), orient="records", lines=True
+        )
+    docs = ray.data.read_json(path)
+    corpus = tokenize_by_rank(docs, id_col="doc_id", text_col="text")
+    out = rollup(corpus, 16, ("count", "sum"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _rename(t, {"count": "cnt", "sum": "sum_tok"})
+
+
 def _q_series_delta(sf_dir: str) -> pa.Table:
     """PromQL-style windowed delta rollup: per-series successive
     difference (NULL-propagating lag), (cnt, sum, min, max) per 1m
@@ -2001,6 +2035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split,
         "series_delta": _q_series_delta,
         "series_ffill": _q_series_ffill,
+        "jsonl_rank_rollup": _q_jsonl_rank_rollup,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -3207,6 +3242,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
     }
+    d["jsonl_rank_rollup"] = """
+        WITH w AS (
+            SELECT doc_id, unnest(ws) AS word,
+                   generate_subscripts(ws, 1) - 1 AS wi
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9_'']+') AS ws
+                  FROM documents)
+        ),
+        c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+        v AS (
+            SELECT word,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, word) - 1
+                        AS BIGINT) AS tid
+            FROM c
+        ),
+        t AS (
+            SELECT w.doc_id, d0.source, w.wi, v.tid
+            FROM w JOIN v USING (word)
+            JOIN documents d0 ON w.doc_id = d0.doc_id
+        )
+        SELECT source, doc_id, wi // 16 AS "window",
+               CAST(count(tid) AS BIGINT) AS cnt,
+               CAST(sum(tid) AS DOUBLE) AS sum_tok
+        FROM t GROUP BY 1, 2, 3
+    """
     d["series_delta"] = f"""
         WITH tok AS ({tok}),
         dlt AS (

@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "normalize_text",
         "series_delta",
         "series_ffill",
+        "jsonl_rank_rollup",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

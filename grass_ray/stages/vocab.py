@@ -651,6 +651,7 @@ def tokenize_by_rank(
     def kernel(batch: pa.Table) -> pa.Table:
         v = ray.get(ref)
         n = batch.num_rows
+        base = batch.drop_columns([text_col])
         texts = [(t or "").lower() for t in batch.column(text_col).to_pylist()]
         big, cp, ws, we, dw = _word_span_arrays(texts, ascii_words=True)
         if len(ws) == 0:
@@ -658,12 +659,8 @@ def tokenize_by_rank(
                 pa.array(np.zeros(n + 1, dtype=np.int32), type=pa.int32()),
                 pa.array([], type=pa.int64()),
             )
-            return pa.table(
-                {
-                    id_col: batch.column(id_col),
-                    "tokens": ids,
-                    "n_tok": pa.array(np.zeros(n, dtype=np.int64)),
-                }
+            return base.append_column("tokens", ids).append_column(
+                "n_tok", pa.array(np.zeros(n, dtype=np.int64))
             )
         wh = _span_hashes(cp, ws, we)
         uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
@@ -680,8 +677,8 @@ def tokenize_by_rank(
             pa.array(offsets.astype(np.int32), type=pa.int32()),
             pa.array(flat, type=pa.int64()),
         )
-        return pa.table(
-            {id_col: batch.column(id_col), "tokens": toks, "n_tok": pa.array(nw)}
+        return base.append_column("tokens", toks).append_column(
+            "n_tok", pa.array(nw)
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
