@@ -1796,6 +1796,35 @@ def _q_jsonl_rank_rollup(sf_dir: str) -> pa.Table:
     return _rename(t, {"count": "cnt", "sum": "sum_tok"})
 
 
+def _q_csv_rank_rollup(sf_dir: str) -> pa.Table:
+    """CSV ingest round trip, same contract as jsonl_rank_rollup:
+    stage → `ray.data.read_csv` → rank tokenize → rollup, hash-matched
+    to the SQL derivation (shares the oracle)."""
+    import os
+
+    from grass_ray.stages.rollup import rollup
+    from grass_ray.stages.vocab import tokenize_by_rank
+
+    import ray.data
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/grassray_csv_{tag}"
+    if not os.path.isdir(path):
+        import pyarrow.csv as pacsv
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+        pacsv.write_csv(t, os.path.join(path, "docs.csv"))
+    docs = ray.data.read_csv(path)
+    corpus = tokenize_by_rank(docs, id_col="doc_id", text_col="text")
+    out = rollup(corpus, 16, ("count", "sum"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _rename(t, {"count": "cnt", "sum": "sum_tok"})
+
+
 def _q_series_delta(sf_dir: str) -> pa.Table:
     """PromQL-style windowed delta rollup: per-series successive
     difference (NULL-propagating lag), (cnt, sum, min, max) per 1m
@@ -2036,6 +2065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_delta": _q_series_delta,
         "series_ffill": _q_series_ffill,
         "jsonl_rank_rollup": _q_jsonl_rank_rollup,
+        "csv_rank_rollup": _q_csv_rank_rollup,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -3267,6 +3297,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(tid) AS DOUBLE) AS sum_tok
         FROM t GROUP BY 1, 2, 3
     """
+    d["csv_rank_rollup"] = d["jsonl_rank_rollup"]
     d["series_delta"] = f"""
         WITH tok AS ({tok}),
         dlt AS (
