@@ -440,3 +440,67 @@ def test_delta_and_ffill_rollup_literal(ray_session):
     assert f.loc[0, ["cnt_f", "sum_f"]].tolist() == [2, 12]
     assert f.loc[1, ["cnt_f", "sum_f"]].tolist() == [2, 17]
     assert f.loc[2, ["cnt_f", "sum_f"]].tolist() == [2, 3]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PIECES = st.sampled_from(
+    ["agg", "The", "ROW", "a", "b2", "_x", "don't", "café", "naïve",
+     ",", ".", "!", "  ", "\t", "\n", "…", "—", "ß", "東京", ""]
+)
+_TEXTS = st.lists(
+    st.lists(_PIECES, min_size=0, max_size=30).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_TEXTS)
+def test_segment_dedup_fuzz_messy_text(ray_session, texts):
+    """Messy text (punctuation, unicode words, odd whitespace) through
+    the vectorized span kernel must match the literal re.findall
+    reference.  NOTE: the engine's ascii_words class is [a-z0-9_'];
+    non-ASCII letters are separators on BOTH sides here."""
+    import ray.data
+
+    from grass_ray.stages.dedup import segment_dedup
+
+    want = _ref_segment_dedup(texts, k=2)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    )
+    got = (
+        segment_dedup(ds, k=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for w, (_, g) in zip(want, got.iterrows()):
+        assert g["text_dedup"] == w["text_dedup"], (texts, w["doc_id"])
+        assert g["n_segs"] == w["n_segs"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_TEXTS)
+def test_lm_score_fuzz_messy_text(ray_session, texts):
+    import ray.data
+
+    from grass_ray.stages.vocab import lm_score
+
+    want = _ref_lm(texts)
+    got = (
+        lm_score(
+            ray.data.from_pandas(
+                pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for w, (_, g) in zip(want, got.iterrows()):
+        assert g["n_words"] == w["n_words"], texts
+        assert g["logcnt_sum_micro"] == w["logcnt_sum_micro"], texts
