@@ -1687,15 +1687,24 @@ def _q_curate(sf_dir: str) -> pa.Table:
 
 
 def _q_approx_quantiles(sf_dir: str) -> pa.Table:
-    """Sketch-based grouped quantiles (scale plan for holistic methods)."""
+    """Sketch-based grouped quantiles.  At driver scale the capacity is
+    sized so no compaction fires — every sketch stays level-0 and the
+    answers are EXACT rank statistics (asserted via the `exact` column),
+    so the sketch plumbing itself gets a DuckDB rank oracle; the
+    compaction regime is covered by pytest recall bounds."""
+    import pyarrow.compute as pc
+
     from grass_ray.stages.grouped import approx_quantiles
     from grass_ray.stages.rollup import explode_tokens
 
     pts = explode_tokens(_corpus(sf_dir))
     out = approx_quantiles(
-        pts, key_cols=("source",), val_col="token", quantiles=(0.5, 0.9)
+        pts, key_cols=("source",), val_col="token", quantiles=(0.5, 0.9),
+        k_cap=1 << 19,
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    assert pc.all(t.column("exact")).as_py()
+    return t.drop_columns(["exact"])
 
 
 def _q_tokenize_rollup(sf_dir: str) -> pa.Table:
@@ -3296,6 +3305,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(tid) AS BIGINT) AS cnt,
                CAST(sum(tid) AS DOUBLE) AS sum_tok
         FROM t GROUP BY 1, 2, 3
+    """
+    # exact-regime sketch rule: rank = first r with r >= q·n (left
+    # searchsorted on the unit-weight cumsum) == ceil(q·n), identical
+    # float arithmetic on both sides
+    d["approx_quantiles"] = f"""
+        WITH tok AS ({tok}),
+        vals AS (SELECT source, token FROM tok WHERE token IS NOT NULL),
+        c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM vals GROUP BY 1),
+        r AS (
+            SELECT source, token,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY token
+                   ) AS rk
+            FROM vals
+        ),
+        h AS (
+            SELECT r.source, CAST(token AS DOUBLE) AS q50
+            FROM r JOIN c USING (source)
+            WHERE rk = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+        ),
+        i AS (
+            SELECT r.source, CAST(token AS DOUBLE) AS q90
+            FROM r JOIN c USING (source)
+            WHERE rk = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+        )
+        SELECT c.source, c.n, h.q50, i.q90
+        FROM c JOIN h USING (source) JOIN i USING (source)
     """
     d["csv_rank_rollup"] = d["jsonl_rank_rollup"]
     d["series_delta"] = f"""

@@ -555,6 +555,12 @@ def approx_quantiles(
             cols[f"q{int(q * 100):02d}"] = pa.array(
                 [sk.quantile(q)], type=pa.float64()
             )
+        # a sketch that never compacted holds every point at level 0 —
+        # its quantiles are EXACT rank statistics (the oracle-checkable
+        # regime, like vocab_heavy's err == 0 contract)
+        cols["exact"] = pa.array(
+            [all(len(a) == 0 for a in sk.levels[1:])], type=pa.bool_()
+        )
         return pa.table(cols)
 
     return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
