@@ -1853,6 +1853,35 @@ def _q_series_ffill(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_quantile_filter(sf_dir: str) -> pa.Table:
+    """Percentile quality cut: drop the bottom decile of docs by mean
+    unigram log-count.  The ranking value is lp/(1e6·n) — a single
+    IEEE division of exact integers, bit-identical on both sides (the
+    ln(N) shift is constant and dropped, so no libm parity risk) — and
+    the threshold is the exact-regime sketch rank statistic."""
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.curate import quantile_filter
+    from grass_ray.stages.vocab import lm_score
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lm = lm_score(ds)
+
+    def add_mean(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_words").to_numpy(zero_copy_only=False)
+        lp = batch.column("logcnt_sum_micro").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = lp / (1e6 * n)
+        return batch.append_column(
+            "mean_lc", pa.array(np.where(n > 0, v, 0.0), mask=n == 0)
+        )
+
+    scored = lm.map_batches(add_mean, batch_format="pyarrow")
+    kept, _t = quantile_filter(scored, val_col="mean_lc", q=0.1)
+    t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "n_words"])
+
+
 def _q_curate_v2(sf_dir: str) -> pa.Table:
     """Round-2 curation composition: normalize → mix → segment dedup →
     LM filter → frequency-rank tokenize → split.  Rows-only (composes
@@ -2075,6 +2104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_ffill": _q_series_ffill,
         "jsonl_rank_rollup": _q_jsonl_rank_rollup,
         "csv_rank_rollup": _q_csv_rank_rollup,
+        "quantile_filter": _q_quantile_filter,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -3335,6 +3365,36 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN h USING (source) JOIN i USING (source)
     """
     d["csv_rank_rollup"] = d["jsonl_rank_rollup"]
+    d["quantile_filter"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS word
+            FROM documents
+        ),
+        c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        s AS (
+            SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(CAST(floor(1e6 * ln(CAST(c.cnt AS DOUBLE)))
+                                 AS BIGINT)) AS BIGINT) AS lp
+            FROM w JOIN c ON w.word = c.word GROUP BY 1
+        ),
+        m AS (
+            SELECT doc_id, n_words,
+                   CAST(lp AS DOUBLE) / (1e6 * n_words) AS v
+            FROM s WHERE n_words > 0
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+        r AS (
+            SELECT doc_id, v,
+                   row_number() OVER (ORDER BY v) AS rk
+            FROM m
+        ),
+        t AS (
+            SELECT v AS thr FROM r, n
+            WHERE rk = GREATEST(1, CAST(ceil(0.1 * n.n) AS BIGINT))
+        )
+        SELECT m.doc_id, m.n_words FROM m, t WHERE m.v >= t.thr
+    """
     d["series_delta"] = f"""
         WITH tok AS ({tok}),
         dlt AS (

@@ -157,6 +157,7 @@ def run_bench() -> dict:
         "series_delta",
         "series_ffill",
         "jsonl_rank_rollup",
+        "quantile_filter",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

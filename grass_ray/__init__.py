@@ -55,7 +55,7 @@ from grass_ray.stages.join import (
     semi_join,
 )
 from grass_ray.stages.chunk import chunk_stats, chunk_tokens, doc_offsets
-from grass_ray.stages.curate import curate, curate_v2, pack_sequences, sample_stratified
+from grass_ray.stages.curate import curate, curate_v2, pack_sequences, quantile_filter, sample_stratified
 from grass_ray.functions.sketch import KLLSketch, SpaceSaving
 from grass_ray.functions.topology import (
     compute_datetime_delta,
@@ -155,6 +155,7 @@ __all__ = [
     "delta_rollup",
     "ffill_rollup",
     "curate_v2",
+    "quantile_filter",
     "deterministic_shuffle",
     "tokenize_by_rank",
     "rank_vocab",

@@ -266,3 +266,54 @@ def curate_v2(
         id_col=id_col,
         seed=seed,
     )
+
+
+def quantile_filter(
+    ds,
+    *,
+    val_col: str,
+    q: float,
+    keep: str = "above",
+    k_cap: int = 1 << 19,
+):
+    """Percentile-threshold filter (the CCNet/Gopher "cut the worst
+    decile" step): the corpus-wide q-quantile of ``val_col`` is computed
+    with ONE mergeable KLL sketch (exact rank statistic while the
+    sketch stays level-0 — driver scale; the approximate regime at
+    corpus scale over-/under-cuts by the sketch's rank error, never by
+    value), broadcast as a plain threshold, and applied map-side.
+
+    NULL values are excluded from the quantile and always dropped.
+    ``keep="above"`` keeps rows with ``val >= t``; ``"below"`` keeps
+    ``val <= t``.  Returns ``(kept_ds, threshold)``."""
+    import pyarrow.compute as pc
+
+    from grass_ray.functions.sketch import KLLSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).to_numpy(zero_copy_only=False)
+        sk = KLLSketch(k_cap).update_many(np.asarray(v, dtype=np.float64))
+        return pa.table({"sketch": pa.array([sk.to_bytes()], type=pa.binary())})
+
+    sk = None
+    for b in (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for blob in b.column("sketch").to_pylist():
+            s = KLLSketch.from_bytes(blob)
+            sk = s if sk is None else sk.merge(s)
+    if sk is None or sk.n == 0:
+        return ds.limit(0), float("nan")
+    t = sk.quantile(q)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch.column(val_col)
+        m = (
+            pc.greater_equal(col, t)
+            if keep == "above"
+            else pc.less_equal(col, t)
+        )
+        return batch.filter(pc.fill_null(m, False))
+
+    return ds.map_batches(kernel, batch_format="pyarrow"), t

@@ -504,3 +504,26 @@ def test_lm_score_fuzz_messy_text(ray_session, texts):
     for w, (_, g) in zip(want, got.iterrows()):
         assert g["n_words"] == w["n_words"], texts
         assert g["logcnt_sum_micro"] == w["logcnt_sum_micro"], texts
+
+
+def test_quantile_filter_exact_and_nulls(ray_session):
+    import ray.data
+
+    from grass_ray.stages.curate import quantile_filter
+
+    vals = [float(x) for x in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]]
+    tbl = pa.table(
+        {
+            "id": pa.array(list(range(10)) + [99]),
+            "v": pa.array(vals + [None], type=pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    kept, t = quantile_filter(ds, val_col="v", q=0.3)
+    # rank = ceil(0.3*10) = 3 -> threshold = 3rd smallest = 3.0
+    assert t == 3.0
+    got = sorted(kept.to_pandas()["v"].tolist())
+    assert got == [3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]  # null dropped
+    kept_b, t_b = quantile_filter(ds, val_col="v", q=0.7, keep="below")
+    assert t_b == 7.0
+    assert sorted(kept_b.to_pandas()["v"].tolist()) == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
