@@ -1853,6 +1853,19 @@ def _q_series_ffill(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_approx_distinct(sf_dir: str) -> pa.Table:
+    """HLL per-source distinct token counts (the fixed-size scale plan
+    for distinct counting; exact path = distinct_keys + count).
+    Inherently approximate — rows-only; the error bound and
+    layout-invariance are pytest-checked."""
+    from grass_ray.stages.grouped import approx_distinct
+    from grass_ray.stages.rollup import explode_tokens
+
+    pts = explode_tokens(_corpus(sf_dir))
+    out = approx_distinct(pts, key_cols=("source",), val_col="token")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_quantile_filter(sf_dir: str) -> pa.Table:
     """Percentile quality cut: drop the bottom decile of docs by mean
     unigram log-count.  The ranking value is lp/(1e6·n) — a single
@@ -2105,6 +2118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_rank_rollup": _q_jsonl_rank_rollup,
         "csv_rank_rollup": _q_csv_rank_rollup,
         "quantile_filter": _q_quantile_filter,
+        "approx_distinct": _q_approx_distinct,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,

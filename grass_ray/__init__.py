@@ -56,12 +56,12 @@ from grass_ray.stages.join import (
 )
 from grass_ray.stages.chunk import chunk_stats, chunk_tokens, doc_offsets
 from grass_ray.stages.curate import curate, curate_v2, pack_sequences, quantile_filter, sample_stratified
-from grass_ray.functions.sketch import KLLSketch, SpaceSaving
+from grass_ray.functions.sketch import HyperLogLog, KLLSketch, SpaceSaving
 from grass_ray.functions.topology import (
     compute_datetime_delta,
     infer_granularity_absolute,
 )
-from grass_ray.stages.grouped import approx_quantiles
+from grass_ray.stages.grouped import approx_distinct, approx_quantiles
 from grass_ray.stages.neighbors import neighbors
 from grass_ray.stages.seriesops import delta_rollup, ffill_rollup
 from grass_ray.stages.sample import events_time_report
@@ -156,6 +156,8 @@ __all__ = [
     "ffill_rollup",
     "curate_v2",
     "quantile_filter",
+    "HyperLogLog",
+    "approx_distinct",
     "deterministic_shuffle",
     "tokenize_by_rank",
     "rank_vocab",

@@ -204,3 +204,74 @@ class SpaceSaving:
         true frequency lies in [count-err, count]."""
         order = sorted(self.counts, key=lambda key: (-self.counts[key], key))
         return [(key, self.counts[key], self.errs.get(key, 0)) for key in order[:k]]
+
+
+class HyperLogLog:
+    """HyperLogLog distinct-count sketch over 64-bit hashes (Flajolet
+    et al. 2007, with the standard small-range linear-counting
+    correction).  2^p byte registers, OR-mergeable by element-wise max
+    — the fixed-size broadcastable form of an exact distinct count
+    (the engine's exact path is ``join.distinct_keys`` + count).
+
+    Vectorized: ``add_many`` takes an int64/uint64 hash array and folds
+    the whole batch with one ``np.maximum.at``.  Standard error ≈
+    1.04/sqrt(2^p) (p=12 → ~1.6%)."""
+
+    def __init__(self, p: int = 12):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = int(p)
+        self.m = 1 << self.p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_many(self, hashes: np.ndarray) -> "HyperLogLog":
+        if len(hashes) == 0:
+            return self
+        h = np.asarray(hashes).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # re-avalanche so low-entropy inputs (sequential ids) spread
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(33)
+            h = h * np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(29)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1
+        lz = np.zeros(len(rest), dtype=np.uint8)
+        x = rest.copy()
+        bit = np.uint64(1) << np.uint64(63)
+        # vectorized leading-zero count via float exponent: for x>0,
+        # 63 - floor(log2(x)) leading zeros; rest is never 0 (guard bit)
+        exp = np.frexp(x.astype(np.float64))[1]  # x = f * 2^exp
+        lz = (64 - exp).astype(np.uint8)
+        rank = lz + 1
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs of different p")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        if self.p >= 7:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        else:
+            alpha = {4: 0.673, 5: 0.697, 6: 0.709}[self.p]
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        e = alpha * m * m / float(inv.sum())
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * float(np.log(m / zeros))  # linear counting
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        out = cls(data[0])
+        out.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
+        return out

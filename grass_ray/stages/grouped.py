@@ -564,3 +564,57 @@ def approx_quantiles(
         return pa.table(cols)
 
     return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
+
+
+def approx_distinct(
+    ds,
+    *,
+    key_cols,
+    val_col: str,
+    p: int = 12,
+):
+    """Approximate per-group distinct count via mergeable HyperLogLog
+    sketches: one fixed 2^p-byte sketch per key per batch (map_batches
+    partial over vectorized 64-bit value hashes), a tiny ``groupby``
+    over serialized sketches, max-merge + estimate in ``map_groups``.
+    The shuffle moves 4 KB sketches, not values — the scale plan for
+    distinct counts (exact path: `join.distinct_keys` + count).
+    Standard error ≈ 1.04/sqrt(2^p) (p=12 → ~1.6%)."""
+    from grass_ray.functions.sketch import HyperLogLog
+    from grass_ray.stages.join import _hash_rows
+
+    keys = list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = _hash_rows(batch, [val_col]).astype(np.int64)
+        df = batch.select(keys).to_pandas()
+        df["_h"] = h
+        rows_k = {k: [] for k in keys}
+        blobs = []
+        for kv, grp in df.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            sk = HyperLogLog(p).add_many(grp["_h"].to_numpy())
+            for k, v in zip(keys, kv):
+                rows_k[k].append(v)
+            blobs.append(sk.to_bytes())
+        cols = {k: pa.array(rows_k[k]) for k in keys}
+        cols["sketch"] = pa.array(blobs, type=pa.binary())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        sk = None
+        for blob in batch.column("sketch").to_pylist():
+            s = HyperLogLog.from_bytes(blob)
+            sk = s if sk is None else sk.merge(s)
+        cols = {k: batch.column(k).slice(0, 1) for k in keys}
+        cols["approx_distinct"] = pa.array(
+            [int(round(sk.estimate()))], type=pa.int64()
+        )
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
