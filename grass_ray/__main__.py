@@ -294,6 +294,31 @@ def cmd_kmeans(args):
     ray.shutdown()
 
 
+def cmd_normalize(args):
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.text_stage import normalize_text
+
+    ds = read_parquet_sized(args.docs)
+    normalize_text(ds, text_col=args.text_col).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+
+
+def cmd_split(args):
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.mix import split_dataset
+
+    fr = dict((s, float(r)) for s, r in (x.split(":") for x in args.fractions))
+    ds = read_parquet_sized(args.docs)
+    split_dataset(ds, fr, id_col=args.id_col, seed=args.seed).write_parquet(
+        args.out
+    )
+    print(json.dumps({"out": args.out, "fractions": fr}))
+    ray.shutdown()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="grass_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -449,6 +474,26 @@ def main(argv=None):
     km.add_argument("--vec-col", default="embedding")
     km.add_argument("--id-col", default="vec_id")
     km.set_defaults(fn=cmd_kmeans)
+
+    nm = sub.add_parser(
+        "normalize", help="unicode NFC + whitespace normalization"
+    )
+    nm.add_argument("--docs", required=True)
+    nm.add_argument("--out", required=True)
+    nm.add_argument("--text-col", default="text")
+    nm.set_defaults(fn=cmd_normalize)
+
+    sp = sub.add_parser(
+        "split", help="deterministic train/val/test split labels"
+    )
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--fractions", nargs="+", default=["train:0.9", "val:0.05", "test:0.05"]
+    )
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--seed", type=int, default=17)
+    sp.set_defaults(fn=cmd_split)
 
     args = p.parse_args(argv)
     args.fn(args)
