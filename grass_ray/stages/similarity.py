@@ -420,6 +420,26 @@ def kmeans_fit(
     k = min(n_clusters, len(X))
     cent = X[rng.choice(len(X), size=k, replace=False)].astype(np.float64)
     d = cent.shape[1]
+
+    # normalize + widen ONCE: the iterations re-read the narrow
+    # materialized matrix from the object store instead of re-decoding
+    # and re-normalizing the list column every pass
+    def widen(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column(vec_col))).astype(np.float64)
+        return pa.table(
+            {
+                "v": pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (len(m) + 1) * d, d, dtype=np.int32),
+                        type=pa.int32(),
+                    ),
+                    pa.array(m.ravel(), type=pa.float64()),
+                )
+            }
+        )
+
+    narrow = ds.map_batches(widen, batch_format="pyarrow").materialize()
+
     shift = float("inf")
     it = 0
     for it in range(1, iters + 1):
@@ -427,7 +447,10 @@ def kmeans_fit(
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
-            m = _normalize(_to_matrix(batch.column(vec_col))).astype(np.float64)
+            col = batch.column("v")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            m = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
             a = np.argmax(m @ c.T, axis=1)
             sums = np.zeros((k, d), dtype=np.float64)
             np.add.at(sums, a, m)
@@ -448,9 +471,9 @@ def kmeans_fit(
 
         sums = np.zeros((k, d), dtype=np.float64)
         cnt = np.zeros(k, dtype=np.int64)
-        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        ):
+        for b in narrow.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
             cl = b.column("cluster").to_numpy(zero_copy_only=False)
             cnt_b = b.column("n").to_numpy(zero_copy_only=False)
             s = b.column("s")
