@@ -44,13 +44,15 @@ def _corpus(sf_dir: str):
     return corpus_from_documents(sf_dir)
 
 
-def _read(path: str, columns=None):
+def _read(path: str, columns=None, **kw):
     """Sized parquet read: block count from bytes, not the CPU floor —
     tiny sf tables read as 1–2 blocks (downstream exchanges stop paying
-    64 empty-block constants), huge tables split at 64 MB/block."""
+    64 empty-block constants), huge tables split at 64 MB/block.
+    Extra kwargs (e.g. ``filter=`` pushdown expressions) pass through
+    to ``ray.data.read_parquet``."""
     from grass_ray.sources.readers import read_parquet_sized
 
-    return read_parquet_sized(path, columns=columns)
+    return read_parquet_sized(path, columns=columns, **kw)
 
 
 def _round6_np(x: np.ndarray) -> np.ndarray:
@@ -935,22 +937,21 @@ def _q_vocab_top100(sf_dir: str) -> pa.Table:
 
 def _q_decontaminate(sf_dir: str) -> pa.Table:
     """Benchmark decontamination: drop training docs (source != src0)
-    sharing any word 3-gram with the benchmark set (source == src0)."""
-    import pyarrow.compute as pc
-    import ray.data
+    sharing any word 3-gram with the benchmark set (source == src0).
+    Both sides read with parquet predicate PUSHDOWN (row groups prune
+    at the scan, nothing irrelevant leaves storage)."""
+    import pyarrow.dataset as pads
 
     from grass_ray.stages.vocab import decontaminate
 
-    ds = _read(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    cols = ["doc_id", "source", "text"]
+    bench = _read(
+        f"{sf_dir}/documents.parquet", columns=cols,
+        filter=pads.field("source") == "src0",
     )
-    bench = ds.map_batches(
-        lambda b: b.filter(pc.equal(b.column("source"), "src0")),
-        batch_format="pyarrow",
-    )
-    train = ds.map_batches(
-        lambda b: b.filter(pc.invert(pc.equal(b.column("source"), "src0"))),
-        batch_format="pyarrow",
+    train = _read(
+        f"{sf_dir}/documents.parquet", columns=cols,
+        filter=pads.field("source") != "src0",
     )
     kept, _ids = decontaminate(train, bench, k=3)
     t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
@@ -961,21 +962,20 @@ def _q_decontaminate_bloom(sf_dir: str) -> pa.Table:
     """Bloom-regime decontamination (fixed-size broadcast bitmap, no
     gram exchange).  Oracled against the SAME SQL as the exact regime:
     the filter is sized so the deterministic false-positive probability
-    is ~1e-12 — any over-drop would fail the hash check loudly."""
-    import pyarrow.compute as pc
+    is ~1e-12 — any over-drop would fail the hash check loudly.
+    Pushdown reads as in the exact regime."""
+    import pyarrow.dataset as pads
 
     from grass_ray.stages.vocab import decontaminate
 
-    ds = _read(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    cols = ["doc_id", "source", "text"]
+    bench = _read(
+        f"{sf_dir}/documents.parquet", columns=cols,
+        filter=pads.field("source") == "src0",
     )
-    bench = ds.map_batches(
-        lambda b: b.filter(pc.equal(b.column("source"), "src0")),
-        batch_format="pyarrow",
-    )
-    train = ds.map_batches(
-        lambda b: b.filter(pc.invert(pc.equal(b.column("source"), "src0"))),
-        batch_format="pyarrow",
+    train = _read(
+        f"{sf_dir}/documents.parquet", columns=cols,
+        filter=pads.field("source") != "src0",
     )
     kept, _ids = decontaminate(
         train, bench, k=3, method="bloom", bloom_fp_rate=1e-12
