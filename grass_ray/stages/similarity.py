@@ -423,9 +423,10 @@ def kmeans_fit(
 
     # normalize + widen ONCE: the iterations re-read the narrow
     # materialized matrix from the object store instead of re-decoding
-    # and re-normalizing the list column every pass
+    # and re-normalizing the list column every pass (stored float32 —
+    # half the object-store footprint; each pass casts for the matmul)
     def widen(batch: pa.Table) -> pa.Table:
-        m = _normalize(_to_matrix(batch.column(vec_col))).astype(np.float64)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
         return pa.table(
             {
                 "v": pa.ListArray.from_arrays(
@@ -433,7 +434,7 @@ def kmeans_fit(
                         np.arange(0, (len(m) + 1) * d, d, dtype=np.int32),
                         type=pa.int32(),
                     ),
-                    pa.array(m.ravel(), type=pa.float64()),
+                    pa.array(m.ravel(), type=pa.float32()),
                 )
             }
         )
@@ -450,7 +451,12 @@ def kmeans_fit(
             col = batch.column("v")
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            m = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+            m = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, d)
+                .astype(np.float64)
+            )
             a = np.argmax(m @ c.T, axis=1)
             sums = np.zeros((k, d), dtype=np.float64)
             np.add.at(sums, a, m)
