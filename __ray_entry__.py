@@ -1853,6 +1853,18 @@ def _q_series_ffill(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_tfidf(sf_dir: str) -> pa.Table:
+    """Per-doc top TF-IDF term: score = tf · floor(1e6·ln(N/df)) —
+    exact int64 (idf quantized once per vocab word, N/df division and
+    ln formula-identical on both sides), word-asc tie rule."""
+    from grass_ray.stages.vocab import tfidf_top
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = tfidf_top(ds)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "top_word", "tf", "df", "score_micro"])
+
+
 def _q_approx_distinct(sf_dir: str) -> pa.Table:
     """HLL per-source distinct token counts (the fixed-size scale plan
     for distinct counting; exact path = distinct_keys + count).
@@ -2119,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_rank_rollup": _q_csv_rank_rollup,
         "quantile_filter": _q_quantile_filter,
         "approx_distinct": _q_approx_distinct,
+        "tfidf_top": _q_tfidf,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -3379,6 +3392,36 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN h USING (source) JOIN i USING (source)
     """
     d["csv_rank_rollup"] = d["jsonl_rank_rollup"]
+    d["tfidf_top"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS word
+            FROM documents
+        ),
+        dfq AS (
+            SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM w GROUP BY 1
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        tfq AS (
+            SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+            FROM w GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT tfq.doc_id, tfq.word, tfq.tf, dfq.df,
+                   tfq.tf * CAST(floor(1e6 * ln((SELECT nd FROM nn) / dfq.df))
+                                 AS BIGINT) AS score_micro
+            FROM tfq JOIN dfq USING (word)
+        ),
+        top AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score_micro DESC, word
+            ) AS rk
+            FROM sc
+        )
+        SELECT doc_id, word AS top_word, tf, df, score_micro
+        FROM top WHERE rk = 1
+    """
     d["quantile_filter"] = """
         WITH w AS (
             SELECT doc_id,

@@ -158,6 +158,7 @@ def run_bench() -> dict:
         "series_ffill",
         "jsonl_rank_rollup",
         "quantile_filter",
+        "tfidf_top",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

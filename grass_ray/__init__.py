@@ -78,6 +78,7 @@ from grass_ray.stages.vocab import (
     decontaminate,
     lm_score,
     rank_vocab,
+    tfidf_top,
     tokenize_by_rank,
     vocab_heavy_hitters,
     vocab_topn,
@@ -158,6 +159,7 @@ __all__ = [
     "quantile_filter",
     "HyperLogLog",
     "approx_distinct",
+    "tfidf_top",
     "deterministic_shuffle",
     "tokenize_by_rank",
     "rank_vocab",

@@ -682,3 +682,130 @@ def tokenize_by_rank(
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def tfidf_top(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_threshold: int = 4_000_000,
+):
+    """Per-document top TF-IDF term (the classic keyword extractor):
+    ``score = tf · floor(1e6 · ln(N / df))`` — an EXACT int64 (tf and
+    df are counts; the idf factor is quantized once per vocabulary
+    word), ties broken by word ascending.
+
+    Two passes: (1) document frequencies via per-batch per-doc-unique
+    word partials + one pre-combined `bucket_agg` exchange (the df
+    table is vocabulary-bounded — Heaps' law); (2) a zero-shuffle
+    map_batches scores every (doc, word) pair against the broadcast
+    ``word → (idf_micro, alpha_rank)`` dict and keeps each doc's argmax
+    (alpha_rank makes the tie-break a pure integer lexsort).
+
+    Returns ``(doc_id, top_word, tf, df, score_micro)`` — one row per
+    document with ≥1 word."""
+    import ray
+
+    from grass_ray.functions.textstats import _span_hashes, _word_span_arrays
+    from grass_ray.stages.join import bucket_agg
+
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = [(t or "").lower() for t in batch.column(text_col).to_pylist()]
+        big, cp, ws, we, dw = _word_span_arrays(texts, ascii_words=True)
+        if len(ws) == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], type=pa.string()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+        wh = _span_hashes(cp, ws, we)
+        uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
+        # distinct (doc, word) pairs: a document is one row, so
+        # batch-local distinct IS globally distinct
+        key = dw.astype(np.int64) * len(uniq) + inv
+        ku = np.unique(key)
+        wcodes = (ku % len(uniq)).astype(np.int64)
+        cnts = np.bincount(wcodes, minlength=len(uniq)).astype(np.int64)
+        reps = [big[ws[i] : we[i]] for i in first_idx]
+        return pa.table(
+            {
+                "word": pa.array(reps, type=pa.string()),
+                "df": pa.array(cnts),
+            }
+        )
+
+    df_tbl = bucket_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["word"],
+        [("df", "sum", "df")],
+    ).materialize()
+    if df_tbl.count() > broadcast_threshold:
+        raise NotImplementedError(
+            "vocabulary exceeds the broadcast threshold; a word-keyed "
+            "exchange scoring path is required at this size"
+        )
+    words: list = []
+    dfs: list = []
+    for b in df_tbl.iter_batches(batch_format="pyarrow", batch_size=None):
+        words.extend(b.column("word").to_pylist())
+        dfs.append(b.column("df").to_numpy(zero_copy_only=False))
+    dfv = np.concatenate(dfs) if dfs else np.empty(0, np.int64)
+    warr = np.array(words, dtype=object)
+    order = np.argsort(warr)
+    alpha_rank = np.empty(len(warr), dtype=np.int64)
+    alpha_rank[order] = np.arange(len(warr))
+    idf = np.floor(
+        1e6 * np.log(float(n_docs) / dfv.astype(np.float64))
+    ).astype(np.int64)
+    lookup = {
+        w: (int(i), int(r), int(d))
+        for w, i, r, d in zip(words, idf, alpha_rank, dfv)
+    }
+    ref = ray.put(lookup)
+
+    def top_kernel(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        texts = [(t or "").lower() for t in batch.column(text_col).to_pylist()]
+        big, cp, ws, we, dw = _word_span_arrays(texts, ascii_words=True)
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=batch.schema.field(id_col).type),
+                "top_word": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+                "score_micro": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(ws) == 0:
+            return empty
+        wh = _span_hashes(cp, ws, we)
+        uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
+        reps = np.array([big[ws[i] : we[i]] for i in first_idx], dtype=object)
+        trip = np.array([m[w] for w in reps], dtype=np.int64)  # (u, 3)
+        key = dw.astype(np.int64) * len(uniq) + inv
+        ku, tf = np.unique(key, return_counts=True)
+        doc_of = ku // len(uniq)
+        wcode = ku % len(uniq)
+        score = tf.astype(np.int64) * trip[wcode, 0]
+        # argmax per doc by (score desc, alpha_rank asc): single lexsort
+        srt = np.lexsort((trip[wcode, 1], -score, doc_of))
+        first = np.concatenate(
+            [[True], doc_of[srt][1:] != doc_of[srt][:-1]]
+        )
+        pick = srt[first]
+        take = pa.array(doc_of[pick])
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(take),
+                "top_word": pa.array(reps[wcode[pick]], type=pa.string()),
+                "tf": pa.array(tf[pick].astype(np.int64)),
+                "df": pa.array(trip[wcode[pick], 2]),
+                "score_micro": pa.array(score[pick]),
+            }
+        )
+
+    return ds.map_batches(top_kernel, batch_format="pyarrow")

@@ -553,3 +553,36 @@ def test_approx_distinct_error_bound(ray_session):
         )
         for g, n in truth.items():
             assert abs(got[g] - n) / n < 0.08, (g, got[g], n, nparts)
+
+
+def test_tfidf_top_literal(ray_session):
+    import math
+
+    import ray.data
+
+    from grass_ray.stages.vocab import tfidf_top
+
+    texts = [
+        "apple apple banana",   # tf apple=2
+        "banana cherry",
+        "apple cherry cherry",
+        "",                     # wordless: no output row
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = (
+        tfidf_top(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    N = 4.0  # wordless doc counts toward N (it is a document)
+    def idf(dfc):
+        return int(math.floor(1e6 * math.log(N / dfc)))
+    # df: apple 2, banana 2, cherry 2 -> idf equal; doc0 argmax = apple (tf2)
+    assert got.loc[0, "top_word"] == "apple" and got.loc[0, "tf"] == 2
+    assert got.loc[0, "score_micro"] == 2 * idf(2)
+    # doc1: tie tf=1, idf equal -> word asc => banana
+    assert got.loc[1, "top_word"] == "banana"
+    # doc2: cherry tf2 wins
+    assert got.loc[2, "top_word"] == "cherry"
+    assert len(got) == 3  # wordless doc emits nothing
