@@ -1853,6 +1853,18 @@ def _q_series_ffill(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_pmi(sf_dir: str) -> pa.Table:
+    """Top-50 adjacent-bigram collocations by quantized PMI — exact
+    int64 score (fixed float association order both sides), unique
+    total order so the cut is deterministic."""
+    from grass_ray.stages.vocab import pmi_collocations
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = pmi_collocations(ds, top_n=50, min_count=5)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["w1", "w2", "c12", "pmi_micro"])
+
+
 def _q_tfidf(sf_dir: str) -> pa.Table:
     """Per-doc top TF-IDF term: score = tf · floor(1e6·ln(N/df)) —
     exact int64 (idf quantized once per vocab word, N/df division and
@@ -2132,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": _q_quantile_filter,
         "approx_distinct": _q_approx_distinct,
         "tfidf_top": _q_tfidf,
+        "pmi_collocations": _q_pmi,
         "sample_stratified": _q_sample_stratified,
         # rows-only checks (non-SQL-expressible)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -3421,6 +3434,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, word AS top_word, tf, df, score_micro
         FROM top WHERE rk = 1
+    """
+    d["pmi_collocations"] = """
+        WITH w AS (
+            SELECT doc_id, unnest(ws) AS word,
+                   generate_subscripts(ws, 1) - 1 AS wi
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9_'']+') AS ws
+                  FROM documents)
+        ),
+        bi AS (
+            SELECT a.word AS w1, b.word AS w2
+            FROM w a JOIN w b
+              ON a.doc_id = b.doc_id AND b.wi = a.wi + 1
+        ),
+        p AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bi GROUP BY 1, 2
+        ),
+        u AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM w),
+        sc AS (
+            SELECT p.w1, p.w2, p.c12,
+                   CAST(floor(1e6 * ln(
+                       ((SELECT nd FROM nn) * p.c12)
+                       / (CAST(a.c AS DOUBLE) * b.c)
+                   )) AS BIGINT) AS pmi_micro
+            FROM p JOIN u a ON p.w1 = a.word JOIN u b ON p.w2 = b.word
+            WHERE p.c12 >= 5
+        )
+        SELECT w1, w2, c12, pmi_micro
+        FROM sc ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
     """
     d["quantile_filter"] = """
         WITH w AS (

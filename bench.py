@@ -159,6 +159,7 @@ def run_bench() -> dict:
         "jsonl_rank_rollup",
         "quantile_filter",
         "tfidf_top",
+        "pmi_collocations",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -78,6 +78,7 @@ from grass_ray.stages.vocab import (
     decontaminate,
     lm_score,
     rank_vocab,
+    pmi_collocations,
     tfidf_top,
     tokenize_by_rank,
     vocab_heavy_hitters,
@@ -160,6 +161,7 @@ __all__ = [
     "HyperLogLog",
     "approx_distinct",
     "tfidf_top",
+    "pmi_collocations",
     "deterministic_shuffle",
     "tokenize_by_rank",
     "rank_vocab",

@@ -809,3 +809,125 @@ def tfidf_top(
         )
 
     return ds.map_batches(top_kernel, batch_format="pyarrow")
+
+
+def pmi_collocations(
+    ds,
+    *,
+    text_col: str = "text",
+    top_n: int = 50,
+    min_count: int = 5,
+    broadcast_threshold: int = 4_000_000,
+):
+    """Corpus-wide top collocations by pointwise mutual information:
+    ``pmi_micro = floor(1e6 · ln(N·c12 / (c1·c2)))`` over adjacent word
+    bigrams (N = total words).  The score is an exact quantized int64
+    — counts are integers and the float ratio is computed with one
+    fixed association order on both sides — ordered (pmi desc, w1 asc,
+    w2 asc): a unique total order, so the top-N cut is deterministic.
+
+    Plan: per-batch Acero bigram partials → one `bucket_agg` exchange
+    (pair table is vocabulary²-bounded but sparse); unigram counts
+    broadcast as a dict (Heaps-bounded); map-side PMI + ``min_count``
+    filter; distributed local-top-N trim + one bounded final group."""
+    import ray
+
+    from grass_ray.functions.textstats import _span_hashes, _word_span_arrays
+    from grass_ray.stages.join import bucket_agg
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        texts = [(t or "").lower() for t in batch.column(text_col).to_pylist()]
+        big, cp, ws, we, dw = _word_span_arrays(texts, ascii_words=True)
+        empty = pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "c12": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(ws) < 2:
+            return empty
+        wh = _span_hashes(cp, ws, we)
+        uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
+        reps = np.array([big[ws[i] : we[i]] for i in first_idx], dtype=object)
+        words = reps[inv]
+        adj = dw[:-1] == dw[1:]
+        if not adj.any():
+            return empty
+        t = pa.table(
+            {
+                "w1": pa.array(words[:-1][adj], type=pa.string()),
+                "w2": pa.array(words[1:][adj], type=pa.string()),
+            }
+        )
+        g = t.group_by(["w1", "w2"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "c12"])
+
+    pairs = bucket_agg(
+        ds.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        [("c12", "sum", "c12")],
+    )
+
+    counts = word_counts(ds, text_col=text_col).materialize()
+    if counts.count() > broadcast_threshold:
+        raise NotImplementedError(
+            "vocabulary exceeds the broadcast threshold; attach unigram "
+            "counts by a word-keyed exchange at this size"
+        )
+    cmap: dict = {}
+    total = 0
+    for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+        w = b.column("word").to_pylist()
+        c = b.column("cnt").to_numpy(zero_copy_only=False)
+        total += int(c.sum())
+        cmap.update(zip(w, (int(x) for x in c)))
+    nd = float(total)
+    ref = ray.put(cmap)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = ray.get(ref)
+        batch = batch.filter(
+            pc.greater_equal(batch.column("c12"), min_count)
+        )
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "pmi_micro", pa.array([], type=pa.int64())
+            )
+        w1 = batch.column("w1").to_pylist()
+        w2 = batch.column("w2").to_pylist()
+        c12 = batch.column("c12").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = np.fromiter((m[x] for x in w1), dtype=np.float64, count=len(w1))
+        c2 = np.fromiter((m[x] for x in w2), dtype=np.float64, count=len(w2))
+        pmi = np.floor(1e6 * np.log((nd * c12) / (c1 * c2))).astype(np.int64)
+        return batch.append_column("pmi_micro", pa.array(pmi))
+
+    scored = pairs.map_batches(score, batch_format="pyarrow")
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["pmi_micro", "w1", "w2"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.head(top_n).assign(_g=0), preserve_index=False
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["pmi_micro", "w1", "w2"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.head(top_n).drop(columns=["_g"]), preserve_index=False
+        )
+
+    return (
+        scored.map_batches(local, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(final, batch_format="pyarrow")
+    )

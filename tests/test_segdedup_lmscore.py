@@ -586,3 +586,25 @@ def test_tfidf_top_literal(ray_session):
     # doc2: cherry tf2 wins
     assert got.loc[2, "top_word"] == "cherry"
     assert len(got) == 3  # wordless doc emits nothing
+
+
+def test_pmi_collocations_literal(ray_session):
+    import math
+
+    import ray.data
+
+    from grass_ray.stages.vocab import pmi_collocations
+
+    # "x y" always adjacent (strong collocation); "a b" sometimes
+    texts = ["x y a c", "x y b a", "a x y c b", "c a x y", "b c x y a"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = (
+        pmi_collocations(
+            ray.data.from_pandas(df), top_n=3, min_count=5
+        ).to_pandas()
+    )
+    # only (x, y) reaches c12 = 5; N = 22 words, c(x) = c(y) = 5
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["w1"], r["w2"], r["c12"]) == ("x", "y", 5)
+    assert r["pmi_micro"] == int(math.floor(1e6 * math.log((22.0 * 5) / (5.0 * 5))))
