@@ -2083,57 +2083,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordering contract: the driver only records CORRECTNESS rows for
+    the FIRST 50 entries.  Round-2 verified the first 50 of the old
+    order; round-3 front-loads the 41 entries that have never had a
+    driver row (28 of them exact-oracled), then the most
+    important already-driver-green flagships fill out the window.
+    tools/check_oracle.py still sweeps all entries regardless of order.
+    """
     return {
-        "rollup_1m": lambda sf: _q_rollup(sf, 60),
-        "rollup_1h": lambda sf: _q_rollup(sf, 3600),
-        "rollup_propagate_nulls": _q_rollup_propagate,
-        "rollup_range_filter": _q_rollup_range,
-        "rollup_weighted": _q_rollup_weighted,
-        "rollup_argminmax": _q_rollup_argminmax,
-        "rollup_regression": _q_rollup_regression,
-        "rollup_moments": _q_rollup_moments,
-        "rollup_mode": _q_rollup_mode,
-        "window_holistic": _q_window_holistic,
-        "rollup_extras": _q_rollup_extras,
-        "algebra_if": _q_algebra_if,
-        "algebra_topo": _q_algebra_topo,
-        "cascade_1h": _q_cascade_1h,
-        "series_stats": _q_series,
-        "series_enriched": _q_series_enriched,
-        "join_documents": _q_join_documents,
-        "series_holistic": _q_series_holistic,
-        "univar": _q_univar,
-        "univar_zones": _q_univar_zones,
-        "events_1h": _q_events_1h,
-        "events_salted": _q_events_salted,
-        "events_monthly": _q_events_monthly,
-        "events_sessions": _q_sessions,
-        "events_asof": _q_events_asof,
-        "events_median": _q_events_median,
-        "events_weighted": _q_events_weighted,
-        "events_topk": _q_events_topk,
-        "events_hopping": _q_events_hopping,
-        "vocab_top100": _q_vocab_top100,
-        "decontaminate": _q_decontaminate,
-        "decontaminate_bloom": _q_decontaminate_bloom,
-        "vocab_heavy": _q_vocab_heavy,
-        "interval_sessions": _q_interval_sessions,
-        "allen_relations": _q_allen_relations,
-        "neighbors_avg3": _q_neighbors,
-        "interp_positions": _q_interp,
-        "what_lookup": _q_what,
-        "extract_mapcalc": _q_extract_mapcalc,
-        "gapfill_linear": _q_gapfill,
-        "gap_list": _q_gaps,
-        "accumulate_running": _q_accum,
-        "accdetect_ranges": _q_accdetect,
-        "algebra_shift": _q_algebra_shift,
-        "dedup_exact": _q_dedup_exact,
-        "token_counts": _q_token_counts,
-        "segment_dedup": _q_segment_dedup,
-        "lm_score": _q_lm_score,
-        "mix_sources": _q_mix_sources,
-        "det_shuffle": _q_det_shuffle,
+        # --- never driver-checked before round 3 (exact-oracled) ---
         "freq_tokenize": _q_freq_tokenize,
         "normalize_text": _q_normalize,
         "split_assign": _q_split,
@@ -2146,24 +2104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top": _q_tfidf,
         "pmi_collocations": _q_pmi,
         "sample_stratified": _q_sample_stratified,
-        # rows-only checks (non-SQL-expressible)
-        "codec_roundtrip": _q_codec_roundtrip,
-        "retention_trim": _q_retention_trim,
-        "register_resume": _q_register_resume,
-        "catalog_list": _q_catalog_list,
-        "export_import_roundtrip": _q_export_import,
-        "events_time_report": _q_time_report,
-        "pack_sequences": _q_pack_sequences,
-        "curate_pipeline": _q_curate,
-        "minhash_dedup": _q_minhash,
-        "minhash_components": _q_minhash_components,
-        "simhash_candidates": _q_simhash,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "jaccard_adjacent": _q_jaccard_adjacent,
-        "components_chain": _q_components_chain,
-        "ann_topk": _q_ann,
-        "ivf_topk": _q_ivf,
-        "embedding_dedup": _q_embedding_dedup,
         "langid_quality": _q_langid_quality,
         "quality_features": _q_quality_features,
         "langid": _q_langid,
@@ -2173,9 +2113,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attr_univar": _q_attr_univar,
         "tokenize_rollup": _q_tokenize_rollup,
         "approx_quantiles": _q_approx_quantiles,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "jaccard_adjacent": _q_jaccard_adjacent,
+        "components_chain": _q_components_chain,
+        "retention_trim": _q_retention_trim,
+        "register_resume": _q_register_resume,
+        "catalog_list": _q_catalog_list,
+        "export_import_roundtrip": _q_export_import,
+        "codec_roundtrip": _q_codec_roundtrip,
+        # --- never driver-checked (rows-only / non-SQL-expressible) ---
+        "events_time_report": _q_time_report,
+        "pack_sequences": _q_pack_sequences,
+        "curate_pipeline": _q_curate,
+        "minhash_dedup": _q_minhash,
+        "minhash_components": _q_minhash_components,
+        "simhash_candidates": _q_simhash,
+        "ann_topk": _q_ann,
+        "ivf_topk": _q_ivf,
+        "embedding_dedup": _q_embedding_dedup,
         "multimodal_features": _q_multimodal,
         "kmeans_clusters": _q_kmeans,
         "curate_v2": _q_curate_v2,
+        # --- already driver-green in r2; flagships re-checked in the
+        # --- remaining window slots ---
+        "rollup_1m": lambda sf: _q_rollup(sf, 60),
+        "cascade_1h": _q_cascade_1h,
+        "events_1h": _q_events_1h,
+        "dedup_exact": _q_dedup_exact,
+        "segment_dedup": _q_segment_dedup,
+        "lm_score": _q_lm_score,
+        "mix_sources": _q_mix_sources,
+        "det_shuffle": _q_det_shuffle,
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        # --- already driver-green in r2 (past the 50-row window) ---
+        "rollup_1h": lambda sf: _q_rollup(sf, 3600),
+        "rollup_propagate_nulls": _q_rollup_propagate,
+        "rollup_range_filter": _q_rollup_range,
+        "rollup_weighted": _q_rollup_weighted,
+        "rollup_argminmax": _q_rollup_argminmax,
+        "rollup_regression": _q_rollup_regression,
+        "rollup_moments": _q_rollup_moments,
+        "rollup_mode": _q_rollup_mode,
+        "window_holistic": _q_window_holistic,
+        "rollup_extras": _q_rollup_extras,
+        "algebra_if": _q_algebra_if,
+        "algebra_topo": _q_algebra_topo,
+        "series_stats": _q_series,
+        "series_enriched": _q_series_enriched,
+        "join_documents": _q_join_documents,
+        "series_holistic": _q_series_holistic,
+        "univar": _q_univar,
+        "univar_zones": _q_univar_zones,
+        "events_salted": _q_events_salted,
+        "events_monthly": _q_events_monthly,
+        "events_sessions": _q_sessions,
+        "events_asof": _q_events_asof,
+        "events_median": _q_events_median,
+        "events_weighted": _q_events_weighted,
+        "events_topk": _q_events_topk,
+        "events_hopping": _q_events_hopping,
+        "vocab_top100": _q_vocab_top100,
+        "decontaminate": _q_decontaminate,
+        "vocab_heavy": _q_vocab_heavy,
+        "interval_sessions": _q_interval_sessions,
+        "allen_relations": _q_allen_relations,
+        "neighbors_avg3": _q_neighbors,
+        "interp_positions": _q_interp,
+        "what_lookup": _q_what,
+        "extract_mapcalc": _q_extract_mapcalc,
+        "gapfill_linear": _q_gapfill,
+        "gap_list": _q_gaps,
+        "accumulate_running": _q_accum,
+        "accdetect_ranges": _q_accdetect,
+        "algebra_shift": _q_algebra_shift,
+        "token_counts": _q_token_counts,
     }
 
 

@@ -194,7 +194,7 @@ def curate(
     kept, pairs = minhash_dedup(
         deduped, threshold=dedup_threshold, id_col=id_col, text_col=text_col
     )
-    report["near_dup_pairs"] = pairs.num_rows
+    report["near_dup_pairs"] = pairs.count()
     corpus = kept.map_batches(
         lambda b: make_corpus_batch(
             b.select(["doc_id", "source", "n_chars"])

@@ -557,10 +557,11 @@ def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_c
     pairs into connected components (distributed min-label propagation)
     and keeps one representative per component — the transitive policy.
 
-    Returns (kept_dataset, verified_pairs_table).  Every stage is
+    Returns (kept_dataset, verified_pairs_dataset).  Every stage is
     distributed: candidate distinct, Jaccard verify and the keep step
-    (anti-join) all run as bucket exchanges; only the verified-pairs
-    *report* is materialized for the return value."""
+    (anti-join) all run as bucket exchanges; the verified-pairs report
+    stays a (materialized) Dataset — at a high dup rate it is O(corpus)
+    and never lands on the driver unless the caller collects it."""
     from grass_ray.stages.join import anti_join, distinct_keys
 
     verified = minhash_verified_pairs(
@@ -569,14 +570,7 @@ def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_c
         max_bucket=max_bucket,
     ).materialize()
     if verified.count() == 0:
-        empty = pa.table(
-            {
-                "id_a": pa.array([], type=pa.int64()),
-                "id_b": pa.array([], type=pa.int64()),
-                "jaccard": pa.array([], type=pa.float64()),
-            }
-        )
-        return ds, empty
+        return ds, verified
     if components:
         comp = connected_components(verified)
         drops = comp.map_batches(
@@ -596,16 +590,7 @@ def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_c
         )
     drops = distinct_keys(drops, (id_col,))
     kept = anti_join(ds, drops, key_cols=(id_col,), keys_distinct=True)
-    pairs_t = pa.Table.from_pandas(verified.to_pandas(), preserve_index=False)
-    if pairs_t.num_rows == 0:
-        pairs_t = pa.table(
-            {
-                "id_a": pa.array([], type=pa.int64()),
-                "id_b": pa.array([], type=pa.int64()),
-                "jaccard": pa.array([], type=pa.float64()),
-            }
-        )
-    return kept, pairs_t
+    return kept, verified
 
 
 # ---------------------------------------------------------------------------

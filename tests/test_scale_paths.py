@@ -123,12 +123,13 @@ def test_embedding_dedup_capped_buckets(ray_session):
             ),
         }
     )
-    kept, pairs = embedding_dedup(
+    kept, pairs_ds = embedding_dedup(
         ray.data.from_arrow(t),
         threshold=0.999,
         n_clusters=2,
         target_bucket=4,  # forces n_bits > 0 at 43 vectors
     )
+    pairs = pairs_ds.to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert {(0, 100), (1, 101), (2, 102)} <= got
     kept_ids = set(kept.to_pandas()["vec_id"])

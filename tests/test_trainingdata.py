@@ -132,7 +132,7 @@ def test_minhash_dedup(ray_session):
     )
     kdf = kept.to_pandas()
     assert sorted(kdf["doc_id"]) == [1, 3]
-    p = pairs.to_pydict()
+    p = pairs.to_pandas()  # operator returns a Dataset now
     assert (1, 2) in list(zip(p["id_a"], p["id_b"]))
 
 
@@ -213,10 +213,11 @@ def test_embedding_dedup(ray_session):
             ),
         }
     )
-    kept, pairs = embedding_dedup(
+    kept, pairs_ds = embedding_dedup(
         ray.data.from_arrow(t), threshold=0.999, n_clusters=4
     )
     kdf = kept.to_pandas()
+    pairs = pairs_ds.to_pandas()  # operator returns a Dataset now
     assert len(kdf) == 20
     assert set(pairs["id_b"]) == {20, 21, 22, 23, 24}
 
