@@ -78,6 +78,7 @@ from grass_ray.stages.vocab import (
     decontaminate,
     lm_score,
     rank_vocab,
+    rank_vocab_ds,
     pmi_collocations,
     tfidf_top,
     tokenize_by_rank,
@@ -165,6 +166,7 @@ __all__ = [
     "deterministic_shuffle",
     "tokenize_by_rank",
     "rank_vocab",
+    "rank_vocab_ds",
     "lm_score",
     "kmeans_fit",
     "kmeans",

@@ -591,28 +591,9 @@ def lm_score(
 # ---------------------------------------------------------------------------
 
 
-def rank_vocab(
-    ds,
-    *,
-    text_col: str = "text",
-    broadcast_threshold: int = 4_000_000,
-) -> dict:
-    """word → token id where the id is the word's corpus frequency rank
-    (count desc, word asc — deterministic under ties): the classic
-    count-based vocabulary (word2vec-era tokenization).  The vocabulary
-    is Heaps'-law bounded, so the distributed part is the count
-    (`word_counts`: per-batch partials + one pre-combined exchange) and
-    the rank itself is a bounded driver-side lexsort.  Vocabularies
-    above ``broadcast_threshold`` would need a distributed rank (sort +
-    prefix scan) — raise loudly rather than degrade silently."""
-    counts = word_counts(ds, text_col=text_col).materialize()
-    n_vocab = counts.count()
-    if n_vocab > broadcast_threshold:
-        raise NotImplementedError(
-            f"vocabulary of {n_vocab} words exceeds the bounded-rank "
-            f"threshold ({broadcast_threshold}); a distributed rank "
-            "(sort + prefix scan) is required at this size"
-        )
+def _rank_dict_from_counts(counts) -> dict:
+    """Driver-side (count desc, word asc) rank of a BOUNDED counts
+    Dataset → word→id dict (the broadcast-regime vocabulary)."""
     words: list = []
     cnts: list = []
     for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
@@ -626,6 +607,228 @@ def rank_vocab(
     return {w: i for i, w in enumerate(warr[order])}
 
 
+def _counts_total(counts) -> int:
+    """Distributed Σcnt over a word-counts Dataset (one partial-sum
+    row per block folds on the driver — never the vocabulary)."""
+    total = 0
+    for b in counts.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.array(
+                    [int(np.sum(t.column("cnt").to_numpy(zero_copy_only=False)))]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        total += int(np.sum(b.column("s").to_numpy(zero_copy_only=False)))
+    return total
+
+
+def rank_vocab(
+    ds,
+    *,
+    text_col: str = "text",
+    broadcast_threshold: int = 4_000_000,
+) -> dict:
+    """word → token id where the id is the word's corpus frequency rank
+    (count desc, word asc — deterministic under ties): the classic
+    count-based vocabulary (word2vec-era tokenization).  The vocabulary
+    is Heaps'-law bounded, so the distributed part is the count
+    (`word_counts`: per-batch partials + one pre-combined exchange) and
+    the rank itself is a bounded driver-side lexsort.
+
+    A Python dict is inherently driver-bounded; above
+    ``broadcast_threshold`` this raises and points at
+    :func:`rank_vocab_ds`, the distributed-rank regime that returns the
+    same mapping as a ``(word, cnt, token_id)`` Dataset
+    (:func:`tokenize_by_rank` switches to it automatically)."""
+    counts = word_counts(ds, text_col=text_col).materialize()
+    n_vocab = counts.count()
+    if n_vocab > broadcast_threshold:
+        raise NotImplementedError(
+            f"a driver-side dict of {n_vocab} words exceeds the broadcast "
+            f"threshold ({broadcast_threshold}); use rank_vocab_ds (the "
+            "distributed rank, identical mapping as a Dataset) — "
+            "tokenize_by_rank already switches regimes itself"
+        )
+    return _rank_dict_from_counts(counts)
+
+
+def _prefix_codes(word_col, prefix_chars: int) -> np.ndarray:
+    """Order-preserving int64 bucket code of each word's first
+    ``prefix_chars`` code points: the first 8 UTF-8 bytes zero-padded
+    big-endian, shifted right one bit (so the top byte of a 4-byte
+    code point cannot flip the int64 sign; the shift merges at most
+    adjacent codes, which only COARSENS buckets — order by (code, word)
+    still equals order by word)."""
+    import pyarrow.compute as pc
+
+    if isinstance(word_col, pa.ChunkedArray):
+        word_col = word_col.combine_chunks()
+    pre = pc.utf8_slice_codeunits(word_col, 0, prefix_chars)
+    enc = pre.dictionary_encode()
+    dvals = enc.dictionary.to_pylist()
+    codes = np.fromiter(
+        (
+            int.from_bytes((s or "").encode()[:8].ljust(8, b"\0"), "big") >> 1
+            for s in dvals
+        ),
+        dtype=np.int64,
+        count=len(dvals),
+    )
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return codes[idx]
+
+
+def rank_vocab_ds(
+    ds,
+    *,
+    text_col: str = "text",
+    counts=None,
+    prefix_chars: int = 2,
+    buckets: int = 64,
+):
+    """Distributed frequency-rank vocabulary: Dataset ``(word, cnt,
+    token_id)`` with ``token_id`` = rank by (count desc, word asc) —
+    bit-identical to :func:`rank_vocab`'s dict, with no driver
+    materialization of the vocabulary (the unbounded regime).
+
+    Plan (no Ray sort):
+
+    1. **count-class histogram** ``(cnt, n_words)``: k distinct
+       positive counts summing to N tokens satisfy k(k+1)/2 ≤ N, so the
+       class table is ≤ √(2N) rows (~1.4 M at 10¹² tokens) — a bounded
+       driver fold; a prefix scan over classes sorted cnt-desc gives
+       each class its base rank, broadcast as two parallel arrays
+       (searchsorted lookup, not a dict).
+    2. words tagged with an order-preserving **prefix bucket**
+       (:func:`_prefix_codes`); per-(cnt, bucket) sizes →
+       within-class cumulative offsets via a distributed
+       ``groupby(cnt)`` scan (group = one class's bucket list, bounded
+       by the distinct-prefix count, not the class size).
+    3. offsets join back by (cnt, bucket) and one final
+       (cnt, bucket)-keyed group sorts its words asc:
+       ``token_id = class_base + bucket_offset + position``.
+
+    Group sizes in step 3 are bounded by words sharing BOTH a count
+    value and a ``prefix_chars``-char prefix — raise ``prefix_chars``
+    for web-scale tails (the cnt=1 class is the big one)."""
+    import ray
+
+    from grass_ray.stages.join import bucket_agg, bucket_join
+
+    if counts is None:
+        counts = word_counts(ds, text_col=text_col)
+    counts = counts.materialize()
+
+    # 1. class histogram → driver prefix scan (√(2N)-bounded)
+    ones = counts.map_batches(
+        lambda b: pa.table(
+            {
+                "cnt": b.column("cnt"),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    classes = bucket_agg(
+        ones, ["cnt"], [("n", "sum", "n")], buckets=buckets
+    ).to_pandas()
+    if len(classes) == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "word": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                    "token_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    classes = classes.sort_values("cnt", ascending=False)
+    cvals_desc = classes["cnt"].to_numpy(dtype=np.int64)
+    sizes = classes["n"].to_numpy(dtype=np.int64)
+    bases_desc = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    # ascending order for searchsorted lookups
+    cnt_asc = cvals_desc[::-1].copy()
+    base_asc = bases_desc[::-1].copy()
+    base_ref = ray.put((cnt_asc, base_asc))
+
+    # 2. prefix-bucket tag + within-class offsets
+    def tag(batch: pa.Table) -> pa.Table:
+        pb = _prefix_codes(batch.column("word"), prefix_chars)
+        return pa.table(
+            {
+                "word": batch.column("word"),
+                "cnt": batch.column("cnt"),
+                "_pb": pa.array(pb),
+            }
+        )
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow").materialize()
+    pb_sizes = bucket_agg(
+        tagged.map_batches(
+            lambda b: pa.table(
+                {
+                    "cnt": b.column("cnt"),
+                    "_pb": b.column("_pb"),
+                    "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["cnt", "_pb"],
+        [("n", "sum", "n")],
+        buckets=buckets,
+    )
+
+    def class_scan(batch: pa.Table) -> pa.Table:
+        pb = batch.column("_pb").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(pb, kind="stable")
+        boff = np.zeros(len(pb), dtype=np.int64)
+        boff[order[1:]] = np.cumsum(n[order])[:-1]
+        return pa.table(
+            {
+                "cnt": batch.column("cnt"),
+                "_pb": batch.column("_pb"),
+                "_boff": pa.array(boff),
+            }
+        )
+
+    boffs = pb_sizes.groupby("cnt").map_groups(
+        class_scan, batch_format="pyarrow"
+    )
+
+    # 3. join offsets back, final per-(class, bucket) word sort
+    joined = bucket_join(
+        tagged, boffs, key_cols=["cnt", "_pb"], how="inner", buckets=buckets
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cnt_a, base_a = ray.get(base_ref)
+        cnt = int(batch.column("cnt")[0].as_py())
+        boff = int(batch.column("_boff")[0].as_py())
+        base = int(base_a[np.searchsorted(cnt_a, cnt)])
+        words = np.asarray(batch.column("word").to_pylist(), dtype=object)
+        order = np.argsort(words, kind="stable")  # word asc
+        tid = np.empty(len(words), dtype=np.int64)
+        tid[order] = np.arange(len(words), dtype=np.int64) + base + boff
+        return pa.table(
+            {
+                "word": batch.column("word"),
+                "cnt": batch.column("cnt"),
+                "token_id": pa.array(tid),
+            }
+        )
+
+    return joined.groupby(["cnt", "_pb"]).map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
 def tokenize_by_rank(
     ds,
     *,
@@ -633,19 +836,41 @@ def tokenize_by_rank(
     text_col: str = "text",
     vocab: dict | None = None,
     oov_id: int = -1,
+    broadcast_threshold: int = 4_000_000,
+    buckets: int = 64,
 ):
-    """(id, tokens list<int64>, n_tok) — tokenize text with a
-    frequency-rank vocabulary (see :func:`rank_vocab`; built from `ds`
-    itself when not supplied).  The vocab ships once via ``ray.put``;
-    the per-batch kernel is the shared word-span pass with dictionary
-    lookups on UNIQUE words only.  Out-of-vocabulary words (a supplied
-    foreign vocab) map to ``oov_id``."""
+    """(base columns minus text, tokens list<int64>, n_tok) — tokenize
+    text with a frequency-rank vocabulary (built from `ds` itself when
+    not supplied).  Out-of-vocabulary words (a supplied foreign vocab)
+    map to ``oov_id``.
+
+    Regimes, chosen by the MEASURED vocabulary size when ``vocab`` is
+    not supplied (a passed dict is by definition broadcast-sized):
+
+    * **broadcast** (vocab ≤ ``broadcast_threshold``): dict ships once
+      via ``ray.put``; one zero-shuffle ``map_batches`` with dictionary
+      lookups on UNIQUE words only;
+    * **exchange** (larger vocabularies): the :func:`rank_vocab_ds`
+      distributed rank, then ``(doc, pos, word)`` rows attach their
+      token id by a word-keyed exchange and one doc-keyed rebuild
+      exchange reassembles each document's token list (the lm_score /
+      segment_dedup plan shape — text never moves, only word rows)."""
     import ray
 
     from grass_ray.functions.textstats import _span_hashes, _word_span_arrays
 
     if vocab is None:
-        vocab = rank_vocab(ds, text_col=text_col)
+        counts = word_counts(ds, text_col=text_col).materialize()
+        if counts.count() > broadcast_threshold:
+            return _tokenize_exchange(
+                ds,
+                counts,
+                id_col=id_col,
+                text_col=text_col,
+                oov_id=oov_id,
+                buckets=buckets,
+            )
+        vocab = _rank_dict_from_counts(counts)
     ref = ray.put(vocab)
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -682,6 +907,158 @@ def tokenize_by_rank(
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _tokenize_exchange(
+    ds,
+    counts,
+    *,
+    id_col: str,
+    text_col: str,
+    oov_id: int,
+    buckets: int,
+    prefix_chars: int = 2,
+):
+    """Unbounded-vocabulary tokenization (see :func:`tokenize_by_rank`):
+    word-keyed token-id attach + doc-keyed list rebuild.  Output rows,
+    columns and values are identical to the broadcast kernel."""
+    import pyarrow.compute as pc
+
+    from grass_ray.functions.textstats import _span_hashes, _word_span_arrays
+    from grass_ray.stages.join import _bucket_ids, attach_column
+
+    vocab_ds = rank_vocab_ds(
+        None, counts=counts, prefix_chars=prefix_chars, buckets=buckets
+    ).map_batches(
+        lambda b: b.select(["word", "token_id"]), batch_format="pyarrow"
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = [(t or "").lower() for t in batch.column(text_col).to_pylist()]
+        big, cp, ws, we, dw = _word_span_arrays(texts, ascii_words=True)
+        if len(ws) == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col).slice(0, 0),
+                    "_pos": pa.array([], type=pa.int64()),
+                    "word": pa.array([], type=pa.string()),
+                }
+            )
+        wh = _span_hashes(cp, ws, we)
+        uniq, first_idx, inv = np.unique(
+            wh, return_index=True, return_inverse=True
+        )
+        reps = np.array([big[ws[i] : we[i]] for i in first_idx], dtype=object)
+        n = batch.num_rows
+        nw = np.bincount(dw, minlength=n).astype(np.int64)
+        first_w = np.zeros(n, dtype=np.int64)
+        np.cumsum(nw[:-1], out=first_w[1:])
+        pos = np.arange(len(dw), dtype=np.int64) - first_w[dw]
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(dw)),
+                "_pos": pa.array(pos),
+                "word": pa.array(reps[inv], type=pa.string()),
+            }
+        )
+
+    words = ds.map_batches(explode, batch_format="pyarrow")
+    att = attach_column(
+        words,
+        vocab_ds,
+        key_col="word",
+        lookup_key="word",
+        value_col="token_id",
+        out_col="_tid",
+        how="left",
+        buckets=buckets,
+    )
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "_pos": batch.column("_pos"),
+                "_tid": pc.fill_null(
+                    pc.cast(batch.column("_tid"), pa.int64()), oov_id
+                ),
+                "_bucket": pa.array(_bucket_ids(batch, [id_col], buckets)),
+            }
+        )
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = batch.column("_pos").to_numpy(zero_copy_only=False)
+        tid = batch.column("_tid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        sid, stid = ids[order], tid[order].astype(np.int64)
+        new = np.empty(len(sid), dtype=bool)
+        new[0] = True
+        new[1:] = sid[1:] != sid[:-1]
+        starts = np.flatnonzero(new)
+        nw = np.diff(np.append(starts, len(sid))).astype(np.int64)
+        offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(nw, out=offsets[1:])
+        if offsets[-1] > np.iinfo(np.int32).max:
+            raise ValueError(
+                "token bucket exceeds int32 list offsets; raise `buckets`"
+            )
+        toks = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), type=pa.int32()),
+            pa.array(stid, type=pa.int64()),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(order[starts])),
+                "tokens": toks,
+                "n_tok": pa.array(nw),
+            }
+        )
+
+    toks = (
+        att.map_batches(narrow, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .materialize()  # consumed by two attaches below
+    )
+
+    base = ds.map_batches(
+        lambda b: b.drop_columns([text_col]), batch_format="pyarrow"
+    )
+    out = attach_column(
+        base,
+        toks,
+        key_col=id_col,
+        lookup_key=id_col,
+        value_col="tokens",
+        out_col="tokens",
+        how="left",
+        buckets=buckets,
+    )
+    out = attach_column(
+        out,
+        toks,
+        key_col=id_col,
+        lookup_key=id_col,
+        value_col="n_tok",
+        out_col="n_tok",
+        how="left",
+        buckets=buckets,
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        toks_col = batch.column("tokens")
+        if isinstance(toks_col, pa.ChunkedArray):
+            toks_col = toks_col.combine_chunks()
+        filled = pc.fill_null(toks_col, pa.scalar([], pa.list_(pa.int64())))
+        nt = pc.fill_null(pc.cast(batch.column("n_tok"), pa.int64()), 0)
+        i_t = batch.column_names.index("tokens")
+        i_n = batch.column_names.index("n_tok")
+        return batch.set_column(i_t, "tokens", filled).set_column(
+            i_n, "n_tok", nt
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow")
 
 
 def tfidf_top(

@@ -608,3 +608,69 @@ def test_pmi_collocations_literal(ray_session):
     r = got.iloc[0]
     assert (r["w1"], r["w2"], r["c12"]) == ("x", "y", 5)
     assert r["pmi_micro"] == int(math.floor(1e6 * math.log((22.0 * 5) / (5.0 * 5))))
+
+
+def _vocab_corpus(n_docs: int = 60, seed: int = 7) -> pd.DataFrame:
+    """Deterministic corpus with heavy count ties and shared prefixes
+    (the hard cases for the distributed rank: many words in one count
+    class, many sharing a 2-char prefix bucket)."""
+    rng = np.random.default_rng(seed)
+    words = (
+        [f"aa{c}" for c in "bcdefgh"]
+        + [f"ab{c}" for c in "xyz"]
+        + ["zeta", "zet", "z", "aa", "a"]
+        + [f"w{i:03d}" for i in range(40)]
+    )
+    texts = []
+    for d in range(n_docs):
+        k = int(rng.integers(0, 12))
+        texts.append(" ".join(rng.choice(words, size=k).tolist()))
+    return pd.DataFrame({"doc_id": np.arange(n_docs), "text": texts})
+
+
+def test_rank_vocab_ds_matches_dict(ray_session):
+    """Distributed rank == driver-side lexsort rank, word for word."""
+    import ray.data
+
+    from grass_ray.stages.vocab import rank_vocab, rank_vocab_ds
+
+    df = _vocab_corpus()
+    want = rank_vocab(ray.data.from_pandas(df))
+    got_df = (
+        rank_vocab_ds(ray.data.from_pandas(df), prefix_chars=2, buckets=8)
+        .to_pandas()
+    )
+    got = dict(zip(got_df["word"], got_df["token_id"].astype(int)))
+    assert got == want
+    # token_id is a permutation of 0..V-1
+    assert sorted(got_df["token_id"].tolist()) == list(range(len(want)))
+
+
+def test_tokenize_exchange_matches_broadcast(ray_session):
+    """Unbounded-vocabulary tokenization (word-keyed exchange + doc
+    rebuild) is row/column/value-identical to the broadcast kernel."""
+    import ray.data
+
+    from grass_ray.stages.vocab import tokenize_by_rank
+
+    df = _vocab_corpus(n_docs=80, seed=11)
+    df["source"] = np.where(df["doc_id"] % 3 == 0, "web", "books")
+    bc = (
+        tokenize_by_rank(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ex = (
+        tokenize_by_rank(
+            ray.data.from_pandas(df), broadcast_threshold=0, buckets=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(bc.columns) == list(ex.columns)
+    assert bc["n_tok"].tolist() == ex["n_tok"].tolist()
+    assert bc["source"].tolist() == ex["source"].tolist()
+    for a, b in zip(bc["tokens"], ex["tokens"]):
+        assert list(a) == list(b)
