@@ -1067,6 +1067,7 @@ def tfidf_top(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_threshold: int = 4_000_000,
+    buckets: int = 64,
 ):
     """Per-document top TF-IDF term (the classic keyword extractor):
     ``score = tf · floor(1e6 · ln(N / df))`` — an EXACT int64 (tf and
@@ -1121,9 +1122,8 @@ def tfidf_top(
         [("df", "sum", "df")],
     ).materialize()
     if df_tbl.count() > broadcast_threshold:
-        raise NotImplementedError(
-            "vocabulary exceeds the broadcast threshold; a word-keyed "
-            "exchange scoring path is required at this size"
+        return _tfidf_exchange(
+            ds, df_tbl, n_docs, id_col=id_col, text_col=text_col, buckets=buckets
         )
     words: list = []
     dfs: list = []
@@ -1162,9 +1162,19 @@ def tfidf_top(
         wh = _span_hashes(cp, ws, we)
         uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
         reps = np.array([big[ws[i] : we[i]] for i in first_idx], dtype=object)
-        trip = np.array([m[w] for w in reps], dtype=np.int64)  # (u, 3)
+        # .get, not [] — a nondeterministic upstream stage between the
+        # df pass and this pass must drop the unseen word, not crash
+        trips = [m.get(w) for w in reps]
+        known = np.array([t is not None for t in trips], dtype=bool)
+        trip = np.array(
+            [t if t is not None else (0, 0, 0) for t in trips], dtype=np.int64
+        )  # (u, 3)
         key = dw.astype(np.int64) * len(uniq) + inv
         ku, tf = np.unique(key, return_counts=True)
+        keep = known[(ku % len(uniq)).astype(np.int64)]
+        ku, tf = ku[keep], tf[keep]
+        if len(ku) == 0:
+            return empty
         doc_of = ku // len(uniq)
         wcode = ku % len(uniq)
         score = tf.astype(np.int64) * trip[wcode, 0]
@@ -1188,6 +1198,118 @@ def tfidf_top(
     return ds.map_batches(top_kernel, batch_format="pyarrow")
 
 
+def _tfidf_exchange(
+    ds,
+    df_tbl,
+    n_docs: int,
+    *,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+):
+    """Unbounded-vocabulary TF-IDF (see :func:`tfidf_top`): ``(doc,
+    word, tf)`` rows attach their document frequency by a word-keyed
+    exchange, score map-side with the identical ``floor(1e6·ln(N/df))``
+    quantization, pre-reduce to one candidate per doc per batch, and a
+    doc-keyed bucket exchange picks the final (score desc, word asc)
+    argmax.  The word→df dict never exists anywhere."""
+    from grass_ray.functions.textstats import _span_hashes, _word_span_arrays
+    from grass_ray.stages.join import _bucket_ids, attach_column
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        texts = [(t or "").lower() for t in batch.column(text_col).to_pylist()]
+        big, cp, ws, we, dw = _word_span_arrays(texts, ascii_words=True)
+        if len(ws) == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col).slice(0, 0),
+                    "top_word": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        wh = _span_hashes(cp, ws, we)
+        uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
+        reps = np.array([big[ws[i] : we[i]] for i in first_idx], dtype=object)
+        key = dw.astype(np.int64) * len(uniq) + inv
+        ku, tf = np.unique(key, return_counts=True)
+        doc_of = ku // len(uniq)
+        wcode = (ku % len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(doc_of)),
+                "top_word": pa.array(reps[wcode], type=pa.string()),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(tf_rows, batch_format="pyarrow")
+    att = attach_column(
+        rows,
+        df_tbl,
+        key_col="top_word",
+        lookup_key="word",
+        value_col="df",
+        out_col="df",
+        how="inner",
+        buckets=buckets,
+    )
+
+    def score_and_reduce(batch: pa.Table) -> pa.Table:
+        """Map-side score + per-batch per-doc argmax partial: each
+        batch contributes at most one candidate row per document it
+        holds, so the doc exchange moves ≤ docs×batches rows."""
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "top_word": batch.column("top_word"),
+                    "tf": batch.column("tf"),
+                    "df": batch.column("df"),
+                    "score_micro": pa.array([], type=pa.int64()),
+                    "_bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        df = batch.to_pandas()
+        dfv = df["df"].to_numpy(dtype=np.float64)
+        idf = np.floor(1e6 * np.log(float(n_docs) / dfv)).astype(np.int64)
+        df["score_micro"] = df["tf"].to_numpy(dtype=np.int64) * idf
+        df = df.sort_values(
+            [id_col, "score_micro", "top_word"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby(id_col, sort=False).head(1)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column(
+            "_bucket", pa.array(_bucket_ids(out, [id_col], buckets))
+        )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            [id_col, "score_micro", "top_word"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby(id_col, sort=False).head(1)
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col]),
+                "top_word": pa.array(df["top_word"], type=pa.string()),
+                "tf": pa.array(df["tf"].to_numpy(dtype=np.int64)),
+                "df": pa.array(df["df"].to_numpy(dtype=np.int64)),
+                "score_micro": pa.array(
+                    df["score_micro"].to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        att.map_batches(score_and_reduce, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
 def pmi_collocations(
     ds,
     *,
@@ -1195,6 +1317,7 @@ def pmi_collocations(
     top_n: int = 50,
     min_count: int = 5,
     broadcast_threshold: int = 4_000_000,
+    buckets: int = 64,
 ):
     """Corpus-wide top collocations by pointwise mutual information:
     ``pmi_micro = floor(1e6 · ln(N·c12 / (c1·c2)))`` over adjacent word
@@ -1248,40 +1371,48 @@ def pmi_collocations(
 
     counts = word_counts(ds, text_col=text_col).materialize()
     if counts.count() > broadcast_threshold:
-        raise NotImplementedError(
-            "vocabulary exceeds the broadcast threshold; attach unigram "
-            "counts by a word-keyed exchange at this size"
+        scored = _pmi_exchange_scored(
+            pairs, counts, min_count=min_count, buckets=buckets
         )
-    cmap: dict = {}
-    total = 0
-    for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
-        w = b.column("word").to_pylist()
-        c = b.column("cnt").to_numpy(zero_copy_only=False)
-        total += int(c.sum())
-        cmap.update(zip(w, (int(x) for x in c)))
-    nd = float(total)
-    ref = ray.put(cmap)
+    else:
+        cmap: dict = {}
+        total = 0
+        for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+            w = b.column("word").to_pylist()
+            c = b.column("cnt").to_numpy(zero_copy_only=False)
+            total += int(c.sum())
+            cmap.update(zip(w, (int(x) for x in c)))
+        nd = float(total)
+        ref = ray.put(cmap)
 
-    def score(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def score(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        m = ray.get(ref)
-        batch = batch.filter(
-            pc.greater_equal(batch.column("c12"), min_count)
-        )
-        if batch.num_rows == 0:
-            return batch.append_column(
-                "pmi_micro", pa.array([], type=pa.int64())
+            m = ray.get(ref)
+            batch = batch.filter(
+                pc.greater_equal(batch.column("c12"), min_count)
             )
-        w1 = batch.column("w1").to_pylist()
-        w2 = batch.column("w2").to_pylist()
-        c12 = batch.column("c12").to_numpy(zero_copy_only=False).astype(np.float64)
-        c1 = np.fromiter((m[x] for x in w1), dtype=np.float64, count=len(w1))
-        c2 = np.fromiter((m[x] for x in w2), dtype=np.float64, count=len(w2))
-        pmi = np.floor(1e6 * np.log((nd * c12) / (c1 * c2))).astype(np.int64)
-        return batch.append_column("pmi_micro", pa.array(pmi))
+            if batch.num_rows == 0:
+                return batch.append_column(
+                    "pmi_micro", pa.array([], type=pa.int64())
+                )
+            w1 = batch.column("w1").to_pylist()
+            w2 = batch.column("w2").to_pylist()
+            c12 = (
+                batch.column("c12").to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+            # .get, not [] — drop bigrams whose unigram vanished (see
+            # tfidf_top's kernel note on nondeterministic upstreams)
+            c1 = np.fromiter((m.get(x, 0) for x in w1), dtype=np.float64, count=len(w1))
+            c2 = np.fromiter((m.get(x, 0) for x in w2), dtype=np.float64, count=len(w2))
+            ok = (c1 > 0) & (c2 > 0)
+            if not ok.all():
+                batch = batch.filter(pa.array(ok))
+                c12, c1, c2 = c12[ok], c1[ok], c2[ok]
+            pmi = np.floor(1e6 * np.log((nd * c12) / (c1 * c2))).astype(np.int64)
+            return batch.append_column("pmi_micro", pa.array(pmi))
 
-    scored = pairs.map_batches(score, batch_format="pyarrow")
+        scored = pairs.map_batches(score, batch_format="pyarrow")
 
     def local(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values(
@@ -1308,3 +1439,58 @@ def pmi_collocations(
         .groupby("_g")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def _pmi_exchange_scored(
+    pairs,
+    counts,
+    *,
+    min_count: int,
+    buckets: int,
+):
+    """Unbounded-vocabulary PMI scoring (see :func:`pmi_collocations`):
+    the ``min_count``-filtered bigram table attaches ``c1`` then ``c2``
+    by two word-keyed exchanges; the total-words N is a distributed
+    partial-sum fold.  Quantization is formula-identical to the
+    broadcast kernel."""
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.join import attach_column
+
+    nd = float(_counts_total(counts))
+
+    trimmed = pairs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("c12"), min_count)),
+        batch_format="pyarrow",
+    )
+    att = attach_column(
+        trimmed,
+        counts,
+        key_col="w1",
+        lookup_key="word",
+        value_col="cnt",
+        out_col="_c1",
+        how="inner",
+        buckets=buckets,
+    )
+    att = attach_column(
+        att,
+        counts,
+        key_col="w2",
+        lookup_key="word",
+        value_col="cnt",
+        out_col="_c2",
+        how="inner",
+        buckets=buckets,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        c12 = batch.column("c12").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = batch.column("_c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = batch.column("_c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.floor(1e6 * np.log((nd * c12) / (c1 * c2))).astype(np.int64)
+        return batch.drop_columns(["_c1", "_c2"]).append_column(
+            "pmi_micro", pa.array(pmi)
+        )
+
+    return att.map_batches(score, batch_format="pyarrow")

@@ -674,3 +674,48 @@ def test_tokenize_exchange_matches_broadcast(ray_session):
     assert bc["source"].tolist() == ex["source"].tolist()
     for a, b in zip(bc["tokens"], ex["tokens"]):
         assert list(a) == list(b)
+
+
+def test_tfidf_exchange_matches_broadcast(ray_session):
+    import ray.data
+
+    from grass_ray.stages.vocab import tfidf_top
+
+    df = _vocab_corpus(n_docs=80, seed=13)
+    bc = (
+        tfidf_top(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ex = (
+        tfidf_top(ray.data.from_pandas(df), broadcast_threshold=0, buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(bc.columns) == list(ex.columns)
+    for c in bc.columns:
+        assert bc[c].tolist() == ex[c].tolist(), c
+
+
+def test_pmi_exchange_matches_broadcast(ray_session):
+    import ray.data
+
+    from grass_ray.stages.vocab import pmi_collocations
+
+    texts = ["x y a c", "x y b a", "a x y c b", "c a x y", "b c x y a"] * 3
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    bc = pmi_collocations(
+        ray.data.from_pandas(df), top_n=5, min_count=3
+    ).to_pandas()
+    ex = pmi_collocations(
+        ray.data.from_pandas(df),
+        top_n=5,
+        min_count=3,
+        broadcast_threshold=0,
+        buckets=4,
+    ).to_pandas()
+    assert list(bc.columns) == list(ex.columns)
+    for c in bc.columns:
+        assert bc[c].tolist() == ex[c].tolist(), c
