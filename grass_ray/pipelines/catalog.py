@@ -30,12 +30,17 @@ def list_tier(
     columns=("source", "doc_id", "gran", "wstart", "wend", "n_points"),
     fmt: str = "table",
     limit: int | None = None,
+    max_rows: int = 1_000_000,
 ):
     """Per-key listing of a committed tier (t.rast.list analog).
 
     `where`: fn(pa.Table) -> BooleanArray predicate over the scalar
     columns; `fmt`: table | csv | json.
-    """
+
+    A listing is a driver-side artifact by contract, so its size must
+    be bounded: pass ``limit`` for top-N, else the stream is collected
+    up to ``max_rows`` and raises loudly past it (never a silent
+    whole-tier materialization)."""
     import os
 
     import ray.data
@@ -62,7 +67,22 @@ def list_tier(
         ds = ds.sort(order_by)
     if limit:
         ds = ds.limit(limit)
-    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    batches = []
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        n += b.num_rows
+        if limit is None and n > max_rows:
+            raise ValueError(
+                f"tier listing exceeds max_rows={max_rows}; pass limit= "
+                "(top-N) or raise max_rows explicitly"
+            )
+        batches.append(b)
+    t = (
+        pa.concat_tables(batches).combine_chunks()
+        if batches
+        else pa.Table.from_pylist([], schema=ds.schema().base_schema)
+    )
+    t = pa.Table.from_pandas(t.to_pandas(), preserve_index=False)
     if fmt == "table":
         return t
     if fmt == "csv":
@@ -78,50 +98,74 @@ def list_tier(
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-def merge_tiers(store: TierStore, sources: list[str], dest: str):
+def merge_tiers(store: TierStore, sources: list[str], dest: str, *, buckets: int = 64):
     """`t.merge`: union several tiers' keys into a new tier; a key
     registered in an earlier source wins (duplicate registration is
-    skipped, like the catalog PK check ``base.py:248-265``)."""
+    skipped, like the catalog PK check ``base.py:248-265``).
+
+    Distributed plan — no whole-tier driver materialization: each tier
+    tags its registration priority, a narrow (source, doc_id, prio)
+    ``bucket_agg`` Min exchange finds each key's winning source, and a
+    distributed ``semi_join`` on (source, doc_id, prio) keeps exactly
+    the winning rows; full rows move once, through the semi-join pass.
+    Output stage-writes partitioned by ``part`` and commits atomically
+    (the `_write_and_commit` shape, without re-encoding)."""
+    import numpy as np
     import ray.data
 
     from grass_ray.pipelines.tiers import _keep_partitions
+    from grass_ray.stages.join import bucket_agg, semi_join
 
-    seen_schema = None
-    seen: set = set()
-    frames = []
-    for tier in sources:
+    tagged = []
+    for i, tier in enumerate(sources):
         ds = ray.data.read_parquet(store.tier_dir(tier))
         ds = _keep_partitions(ds, store.committed_partitions(tier))
-        df = ds.to_pandas()
-        key = list(zip(df["source"], df["doc_id"]))
-        keep = [k not in seen for k in key]
-        seen.update(k for k, kp in zip(key, keep) if kp)
-        frames.append(df[keep])
-        seen_schema = df.columns
-    import pandas as pd
-
-    merged = pd.concat(frames, ignore_index=True)
-    out_dir = store.staging_dir(dest)
-    os.makedirs(out_dir, exist_ok=True)
-    by_part = merged.groupby("part") if "part" in merged.columns else [(0, merged)]
-    committed = []
-    for p, grp in by_part:
-        staged = os.path.join(out_dir, f"part={int(p)}")
-        os.makedirs(staged, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(grp.drop(columns=["part"]), preserve_index=False),
-            os.path.join(staged, "data.parquet"),
+        ds = ds.map_batches(
+            lambda b, _i=i: b.append_column(
+                "_prio", pa.array(np.full(b.num_rows, _i, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
         )
+        tagged.append(ds)
+    uni = tagged[0]
+    for d in tagged[1:]:
+        uni = uni.union(d)
+    keys = uni.map_batches(
+        lambda b: b.select(["source", "doc_id", "_prio"]),
+        batch_format="pyarrow",
+    )
+    winners = bucket_agg(
+        keys, ["source", "doc_id"], [("_prio", "min", "_prio")], buckets=buckets
+    )
+    kept = semi_join(
+        uni,
+        winners,
+        key_cols=("source", "doc_id", "_prio"),
+        buckets=buckets,
+        keys_distinct=True,
+    )
+    out = kept.map_batches(
+        lambda b: b.drop_columns(["_prio"]), batch_format="pyarrow"
+    )
+
+    staging = store.staging_dir(dest)
+    out.write_parquet(staging, partition_cols=["part"], compression="zstd")
+    committed = []
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("part="):
+            continue
+        p = int(d.split("=", 1)[1])
+        staged = os.path.join(staging, d)
         stats = store.partition_stats_from_files(staged)
         store.commit_partition(
             dest,
-            int(p),
+            p,
             staged,
             agg_type="merge",
             lineage=json.dumps({"inputs": sources}),
             stats=stats,
         )
-        committed.append(int(p))
+        committed.append(p)
     store.clean_staging(dest)
     return committed
 

@@ -193,3 +193,36 @@ def test_reference_disaggregation_during():
     assert out[14] == 100 and out[26] == 100
     assert out[28] == 200
     assert out[14 + 14 * 6] is None  # NULL map replicates NULL
+
+
+def test_merge_tiers_earlier_source_wins(ray_session, tmp_path):
+    """t.merge PK semantics: a key already registered by an earlier
+    source is skipped — the earlier tier's row (here: its n_points)
+    survives, in BOTH merge orders."""
+    import ray.data
+
+    from grass_ray.pipelines.catalog import list_tier, merge_tiers
+    from grass_ray.pipelines.tiers import build_tiers
+    from grass_ray.sources.corpus import synth_corpus_table
+    from grass_ray.state.manifest import TierStore
+
+    root = str(tmp_path / "store_mw")
+    # same seed => identical (source, doc_id) keys; different n_tok =>
+    # distinguishable n_points per key after the 1m rollup
+    ta = synth_corpus_table(12, seed=5, n_tok=100)
+    tb = synth_corpus_table(12, seed=5, n_tok=200)
+    build_tiers(ray.data.from_arrow(ta), root, tier_specs=(("a", 60),), num_partitions=3)
+    build_tiers(ray.data.from_arrow(tb), root, tier_specs=(("b", 60),), num_partitions=3)
+    store = TierStore(root)
+
+    def keyed(tier):
+        t = list_tier(store, tier).to_pandas()
+        g = t.groupby(["source", "doc_id"])["n_points"].sum()
+        return g.to_dict()
+
+    ka, kb = keyed("a"), keyed("b")
+    assert set(ka) == set(kb) and ka != kb
+    merge_tiers(store, ["a", "b"], "m_ab")
+    merge_tiers(store, ["b", "a"], "m_ba")
+    assert keyed("m_ab") == ka
+    assert keyed("m_ba") == kb
