@@ -276,7 +276,32 @@ def _q_algebra_topo(sf_dir: str) -> pa.Table:
     pts = explode_nested(out, value_cols=("average",))
     t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
     t = _rename(t, {"average": "v"})
-    return t.drop_columns([c for c in ("gran",) if c in t.column_names])
+    return t.drop_columns(
+        [c for c in ("gran", "worigin") if c in t.column_names]
+    )
+
+
+def _q_algebra_topo_during(sf_dir: str) -> pa.Table:
+    """Bare `during` qualifier + `r` side modifier through the full
+    algebra front end: ``C = A {+, during, r} B`` — `during` expands to
+    the reference builder's inclusive during|starts|finishes list
+    (`spatio_temporal_relationships.py:625-655`), so every minute
+    window folds with its hour window, and the result lands on the
+    RIGHT operand's granules (`temporal_operator.py` 'r' extent) with
+    duplicate windows kept."""
+    from grass_ray.stages.algebra import algebra
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.stages.rollup import rollup
+
+    a = rollup(_corpus(sf_dir), 60, ("average",), nested=True)
+    b = rollup(_corpus(sf_dir), 3600, ("average",), nested=True)
+    _nm, out = algebra("C = A {+, during, r} B", {"A": a, "B": b})
+    pts = explode_nested(out, value_cols=("average",))
+    t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    t = _rename(t, {"average": "v"})
+    return t.drop_columns(
+        [c for c in ("gran", "worigin") if c in t.column_names]
+    )
 
 
 def _q_cascade_1h(sf_dir: str) -> pa.Table:
@@ -2121,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_list": _q_catalog_list,
         "export_import_roundtrip": _q_export_import,
         "codec_roundtrip": _q_codec_roundtrip,
+        "algebra_topo_during": _q_algebra_topo_during,
         # --- never driver-checked (rows-only / non-SQL-expressible) ---
         "events_time_report": _q_time_report,
         "pack_sequences": _q_pack_sequences,
@@ -2488,6 +2514,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM tok GROUP BY 1, 2, 3
             )
             SELECT a.source, a.doc_id, a.w AS "window", a.av + b.bv AS v
+            FROM a JOIN b
+              ON a.source = b.source AND a.doc_id = b.doc_id
+             AND a.w // 60 = b.wb
+        """,
+        "algebra_topo_during": f"""
+            WITH tok AS ({tok}),
+            a AS (
+                SELECT source, doc_id, pos // 60 AS w, avg(token) AS av
+                FROM tok GROUP BY 1, 2, 3
+            ),
+            b AS (
+                SELECT source, doc_id, pos // 3600 AS wb, avg(token) AS bv
+                FROM tok GROUP BY 1, 2, 3
+            )
+            SELECT a.source, a.doc_id, b.wb AS "window", a.av + b.bv AS v
             FROM a JOIN b
               ON a.source = b.source AND a.doc_id = b.doc_id
              AND a.w // 60 = b.wb

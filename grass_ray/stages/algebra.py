@@ -20,13 +20,16 @@ per key, parallel ``windows``/value lists, equal granularity):
 * temporal neighborhood indexing ``A[-1] + A[1]``
   (``...raster_algebra.py:587``);
 * selection ``A : B`` / ``A !: B`` and ``tshift`` / ``tsnap`` / ``buff``;
-* topology-qualified ``A {op, relation[|relation...]} B`` across
-  granularities at statement level (:func:`tier_topo`: Allen-matched
-  granule folds, ``#`` counts, ``:``/``!:`` selection); ``equal``
-  reduces to the aligned fast path; a qualifier nested inside a larger
-  expression or a side modifier other than ``l`` raises
-  ``NotImplementedError`` loudly rather than silently computing the
-  wrong topology.
+* topology-qualified ``A {op, relation[|relation...][, side]} B``
+  across granularities (:func:`tier_topo`: Allen-matched granule folds,
+  ``#`` counts, ``:``/``!:`` selection) — at statement level AND nested
+  inside larger expressions (rewritten into synthetic tiers,
+  :func:`_rewrite_topo`); ``during``/``contains`` expand to the
+  reference builder's inclusive lists
+  (``spatio_temporal_relationships.py:625-655``); side modifiers
+  ``l``/``r`` compose, ``u``/``d``/``i`` produce flat interval rows at
+  statement level only; ``equal`` with side ``l`` reduces to the
+  aligned fast path.
 
 Partitioning: expression evaluation unions the tagged operand tiers and
 exchanges ONE bucket groupby on ``hash(key) % B`` — every key's rows
@@ -60,15 +63,51 @@ _FUNCS_1 = {
 _QUAL = re.compile(r"\{\s*([+\-*/%#]|&&|\|\||!?:)\s*(?:,\s*([\w|]+)\s*)?(?:,\s*[lriudw|]+\s*)?\}")
 _INDEX = re.compile(r"\b(\w+)\s*\[\s*(-?\d+)\s*\]")
 
+# the reference's topology BUILDER files starts/finishes matches under
+# DURING and started/finished under CONTAINS
+# (spatio_temporal_relationships.py:625-655) — the algebra grammar sees
+# those inclusive lists, while the per-extent Allen predicates stay
+# strict; expansion therefore happens at the algebra() front end only
+_REL_EXPAND = {
+    "during": ("during", "starts", "finishes"),
+    "contains": ("contains", "started", "finished"),
+}
+
+_SIDE_ALIASES = {
+    None: "l",
+    "l": "l",
+    "left": "l",
+    "r": "r",
+    "right": "r",
+    "u": "u",
+    "union": "u",
+    "d": "d",
+    "disjoint": "d",
+    "i": "i",
+    "intersect": "i",
+}
+
+
+def _expand_rels(rels):
+    out = []
+    for r in rels:
+        for x in _REL_EXPAND.get(r, (r,)):
+            if x not in out:
+                out.append(x)
+    return out
+
 
 def _preprocess(expr: str) -> str:
     out = _reduce_qualifiers(expr)
     out = _INDEX.sub(r"tindex(\1, \2)", out)
-    out = out.replace("&&", "&").replace("||", "|")
+    # `and`/`or`, not `&`/`|`: Python's bitwise ops bind TIGHTER than
+    # comparisons, so `a < 2 & b == 1` would parse as a chained
+    # comparison; the reference's &&/|| bind looser (BoolOp matches)
+    out = out.replace("&&", " and ").replace("||", " or ")
     # `if` is a Python keyword: parse it as the `where` call (same trick
     # as the mapcalc compiler)
     out = re.sub(r"\bif\s*\(", "where(", out)
-    return out
+    return out.strip()
 
 
 def _reduce_qualifiers(expr: str) -> str:
@@ -191,6 +230,14 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                 _AST_CMP[type(node.ops[0])], ev(node.left, env),
                 ev(node.comparators[0], env),
             )
+        if isinstance(node, ast.BoolOp):
+            # && / || — trivalent numeric fold, no short-circuit
+            bop = "&" if isinstance(node.op, ast.And) else "|"
+            vals = [ev(v, env) for v in node.values]
+            out = vals[0]
+            for v in vals[1:]:
+                out = _binop(bop, out, v)
+            return out
         if isinstance(node, ast.Call):
             if not isinstance(node.func, ast.Name):
                 raise ValueError("only simple function calls allowed")
@@ -200,25 +247,47 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                 if len(args) == 2:
                     args.append(float("nan"))
                 cond, then, els = args
-                series = [x for x in (cond, then, els) if isinstance(x, _Series)]
-                if not series:
+                if not isinstance(cond, _Series):
+                    # scalar condition: pick one branch wholesale
                     cf = float(cond)
                     if np.isnan(cf):
                         return float("nan")
-                    return float(then) if cf != 0 else float(els)
-                w = series[0].w
-                for s in series[1:]:
-                    w = np.intersect1d(w, s.w, assume_unique=True)
+                    return then if cf != 0 else els
+                # the CONDITION's time dimension rules (the reference's
+                # "conditional time dimension bug" golden,
+                # unittests_temporal_raster_algebra.py:403-430): result
+                # windows are cond's, a window is dropped only when its
+                # CHOSEN branch has no value there
+                w = cond.w
+                cf = cond.v
 
-                def aligned(x):
-                    if isinstance(x, _Series):
-                        return x.v[np.searchsorted(x.w, w)]
-                    return x
+                def at(x):
+                    """(values, present) of x sampled at cond's windows."""
+                    if not isinstance(x, _Series):
+                        return (
+                            np.full(len(w), float(x)),
+                            np.ones(len(w), dtype=bool),
+                        )
+                    if len(x.w) == 0:
+                        return (
+                            np.full(len(w), np.nan),
+                            np.zeros(len(w), dtype=bool),
+                        )
+                    idx = np.searchsorted(x.w, w)
+                    idx_c = np.minimum(idx, len(x.w) - 1)
+                    pres = (idx < len(x.w)) & (x.w[idx_c] == w)
+                    return np.where(pres, x.v[idx_c], np.nan), pres
 
-                cf = np.asarray(aligned(cond), dtype=np.float64)
-                r = np.where(cf != 0, aligned(then), aligned(els))
-                r = np.where(np.isnan(cf), np.nan, r)
-                return _Series(w, np.asarray(r, dtype=np.float64))
+                tv, tp = at(then)
+                ev_, ep = at(els)
+                truth = cf != 0
+                nanc = np.isnan(cf)
+                keep = np.where(nanc, True, np.where(truth, tp, ep))
+                r = np.where(truth, tv, ev_)
+                r = np.where(nanc, np.nan, r)
+                return _Series(
+                    w[keep], np.asarray(r[keep], dtype=np.float64)
+                )
             if fname == "isnull":
                 val = ev(node.args[0], env)
                 if isinstance(val, _Series):
@@ -305,6 +374,9 @@ def tier_expr(
 
     out_col = out_col or value_col
     keys = list(key_cols)
+    # topology-qualified sub-terms become synthetic tiers FIRST, so the
+    # remaining expression is pure aligned arithmetic
+    expr = _rewrite_topo(expr, tiers, value_col)
     # granularities resolved up front ONLY when the expression uses a
     # temporal function (each resolution is a partial pipeline execution
     # — limit(1).take(1) runs the operand's whole first block)
@@ -369,6 +441,8 @@ def tier_expr(
             res = fn(env)
             if not isinstance(res, _Series):
                 raise ValueError("expression reduced to a scalar")
+            if len(res.w) == 0:
+                continue  # empty temporal intersection: no result map
             for k, kv in zip(keys, key):
                 out_key[k].append(kv)
             out_gran.append(gran)
@@ -414,9 +488,14 @@ _TOPO_Q = re.compile(
 
 
 def _find_topo_split(rhs: str):
-    """Top-level ``LHS {op, relation[, side]} RHS`` with a non-equal
-    relation -> (lhs, op, relations, side, rhs); None otherwise."""
+    """LAST top-level ``LHS {op, relation[, side]} RHS`` that needs the
+    topology machinery (non-equal relation, or an extent side modifier)
+    -> (lhs, op, relations, side, rhs); None otherwise.  Splitting at
+    the LAST qualifier makes chains left-associative, matching the
+    reference grammar (``A {*,during} A {+,during} A`` evaluates as
+    ``(A {*,during} A) {+,during} A``)."""
     depth = 0
+    found = None
     for i, ch in enumerate(rhs):
         if ch in "([":
             depth += 1
@@ -426,15 +505,115 @@ def _find_topo_split(rhs: str):
             m = _TOPO_Q.match(rhs, i)
             if m:
                 rels = m.group(2).split("|")
-                if set(rels) - {"equal"}:
-                    return (
-                        rhs[: i],
+                side = _SIDE_ALIASES.get(m.group(3), m.group(3))
+                if set(rels) - {"equal"} or side != "l":
+                    found = (
+                        rhs[:i],
                         m.group(1),
                         rels,
                         m.group(3),
                         rhs[m.end():],
                     )
-    return None
+    return found
+
+
+def _scan_left_operand(s: str, i: int) -> int:
+    """Start index of the operand ending just before position ``i`` —
+    a name, a parenthesized group, or a function call."""
+    j = i
+    while j > 0 and s[j - 1].isspace():
+        j -= 1
+    if j > 0 and s[j - 1] == ")":
+        depth = 0
+        k = j - 1
+        while k >= 0:
+            if s[k] == ")":
+                depth += 1
+            elif s[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            raise ValueError(f"unbalanced parentheses before qualifier: {s!r}")
+        m = re.search(r"(\w+)\s*$", s[:k])
+        if m and not s[m.end():k].strip():
+            return m.start()  # function call: name(...)
+        return k
+    m = re.search(r"(\w+)\s*$", s[:j])
+    if not m:
+        raise ValueError(f"no operand before topology qualifier in {s!r}")
+    return m.start()
+
+
+def _scan_right_operand(s: str, i: int) -> int:
+    """End index (exclusive) of the operand starting at/after ``i``."""
+    n = len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    if i < n and s[i] == "(":
+        depth = 0
+        k = i
+        while k < n:
+            if s[k] == "(":
+                depth += 1
+            elif s[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    return k + 1
+            k += 1
+        raise ValueError(f"unbalanced parentheses after qualifier: {s!r}")
+    m = re.match(r"\w+", s[i:])
+    if not m:
+        raise ValueError(f"no operand after topology qualifier in {s!r}")
+    end = i + m.end()
+    rest = s[end:]
+    lead = len(rest) - len(rest.lstrip())
+    if end + lead < n and s[end + lead] == "(":
+        return _scan_right_operand(s, end + lead)  # function call
+    return end
+
+
+def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:
+    """Inline topology-qualified sub-terms anywhere in an expression:
+    evaluate each ``LHS {op, rels[, side]} RHS`` (leftmost-innermost
+    first, so chains bind left-associatively) into a synthetic tier via
+    :func:`tier_topo` and substitute its name — the expression-level
+    form of the reference grammar
+    (``temporal_algebra.py:2320-3371``).  Qualified operators bind
+    tighter than bare arithmetic here; parenthesize to override.
+
+    Extent-changing side modifiers (u/d/i) produce flat interval rows
+    and are therefore statement-level only (see :func:`algebra`)."""
+    while True:
+        m = None
+        for mm in _TOPO_Q.finditer(expr):
+            rels = mm.group(2).split("|")
+            side = _SIDE_ALIASES.get(mm.group(3), mm.group(3))
+            if set(rels) - {"equal"} or side != "l":
+                m = mm
+                break
+        if m is None:
+            return expr
+        op = m.group(1)
+        rels = _expand_rels(m.group(2).split("|"))
+        side = _SIDE_ALIASES.get(m.group(3), m.group(3))
+        if side not in ("l", "r"):
+            raise NotImplementedError(
+                f"extent side modifier {m.group(3)!r} changes result "
+                "extents to arbitrary intervals; it is supported at "
+                "statement level only (A {op,rel," + str(m.group(3)) + "} B)"
+            )
+        ls = _scan_left_operand(expr, m.start())
+        re_end = _scan_right_operand(expr, m.end())
+        lds = _operand(expr[ls : m.start()], tiers, value_col)
+        rds = _operand(expr[m.end() : re_end], tiers, value_col)
+        nm = f"_topo{len(tiers)}"
+        res = tier_topo(
+            lds, rds, op, rels, value_col=value_col, side=side
+        ).materialize()
+        tiers[nm] = (res, "hash_count" if op == "#" else value_col)
+        expr = f"{expr[:ls]} {nm} {expr[re_end:]}"
 
 
 def algebra(statement: str, tiers: dict, value_col: str = "average"):
@@ -455,17 +634,17 @@ def algebra(statement: str, tiers: dict, value_col: str = "average"):
     topo = _find_topo_split(rhs.strip())
     if topo is not None:
         left, op, rels, side, right = topo
-        if side not in (None, "l"):
-            raise NotImplementedError(
-                f"topology side modifier {side!r}: only 'l' (result on the "
-                "left operand's granules) is implemented"
-            )
+        side_n = _SIDE_ALIASES.get(side)
+        if side_n is None:
+            raise ValueError(f"unknown topology side modifier {side!r}")
         lds = _operand(left, tiers, value_col)
         rds = _operand(right, tiers, value_col)
         return name, tier_topo(
-            lds, rds, op, rels, value_col=value_col
+            lds, rds, op, _expand_rels(rels), value_col=value_col, side=side_n
         )
-    rhs = _reduce_qualifiers(rhs.strip())
+    # nested topology qualifiers become synthetic tiers, THEN the
+    # remaining equal-qualifiers reduce to plain operators
+    rhs = _reduce_qualifiers(_rewrite_topo(rhs.strip(), tiers, value_col))
 
     m = _TSHIFT.match(rhs)
     if m:
@@ -592,12 +771,12 @@ _TOPO_PREDS = {
 }
 
 
-def _topo_matches(wa, ga, wb, gb, relations):
+def _topo_matches(wa, ga, wb, gb, relations, oa=0, ob=0):
     """(ia, ib) index pairs of A windows x B windows whose nominal
-    extents [w·g, (w+1)·g) satisfy ANY of the requested relations.
-    Chunked over A so the pair grid stays bounded."""
-    as_all = wa * ga
-    bs = wb * gb
+    extents [o + w·g, o + (w+1)·g) satisfy ANY of the requested
+    relations.  Chunked over A so the pair grid stays bounded."""
+    as_all = wa * ga + oa
+    bs = wb * gb + ob
     be = bs + gb
     ia_parts, ib_parts = [], []
     chunk = max(1, (4 << 20) // max(len(wb), 1))
@@ -668,6 +847,32 @@ def _topo_fold(op, a_vals, b_vals, ia, ib, na):
     return out, matched
 
 
+def _extent_fold(side, wa, ga, oa, wb, gb, ob, ia, ib):
+    """Per-A-granule (start, end) position extents after the successive
+    side fold over matched B extents, in B-chronological order — the
+    reference applies each pair's extent operation onto the map's
+    CURRENT extent (``temporal_algebra.py:1941-1967``), and intersect /
+    union return None (extent unchanged) for empty / disjoint results
+    (``temporal_extent.py:91-140,399-429``)."""
+    s = (wa * ga + oa).astype(np.int64)
+    e = (s + ga).astype(np.int64)
+    bs_all = wb * gb + ob
+    for i, j in zip(ia, ib):
+        bs, be = int(bs_all[j]), int(bs_all[j] + gb)
+        if side == "r":
+            s[i], e[i] = bs, be
+        elif side == "i":
+            ns, ne = max(s[i], bs), min(e[i], be)
+            if ns <= ne:
+                s[i], e[i] = ns, ne
+        elif side == "u":
+            if not (be < s[i] or bs > e[i]):
+                s[i], e[i] = min(s[i], bs), max(e[i], be)
+        elif side == "d":
+            s[i], e[i] = min(s[i], bs), max(e[i], be)
+    return s, e
+
+
 def tier_topo(
     ds_a,
     ds_b,
@@ -678,18 +883,40 @@ def tier_topo(
     value_col: str = "average",
     out_col: str | None = None,
     buckets: int = 64,
+    side: str = "l",
 ):
-    """``A {op, relation[|relation...]} B`` over nested tiers whose
-    granularities differ — the temporal-topology form of the algebra
-    (``temporal_raster_base_algebra.py`` build_spatio_temporal_topology
-    + successive operator application).  ``op``:
+    """``A {op, relation[|relation...][, side]} B`` over nested tiers
+    whose granularities differ — the temporal-topology form of the
+    algebra (``temporal_raster_base_algebra.py``
+    build_spatio_temporal_topology + successive operator application).
+    Relations are the STRICT Allen predicates (mirror of
+    functions/topology.py); the algebra front end expands the
+    reference's inclusive during/contains lists before calling here.
+    An optional per-row ``worigin`` column offsets a tier's window grid
+    (granule extent = [worigin + w·gran, worigin + (w+1)·gran)).
 
-    * arithmetic ``+ - * / % && ||`` — output on A's windows that have
-      at least one matching B window; value folds A's value with every
+    ``op``:
+
+    * arithmetic ``+ - * / % && ||`` — output granules are A windows
+      with ≥1 matching B window; value folds A's value with every
       matching B value in temporal order;
-    * ``#`` — per-A-window count of matching B windows (``hash_count``);
+    * ``#`` — per-A-window count of matching B windows (``hash_count``;
+      side 'l' only);
     * ``:`` / ``!:`` — selection: keep A windows with (without) any
-      matching B window, values unchanged.
+      matching B window, values unchanged (``!:`` ignores ``side`` —
+      kept granules have no matches, so extents never change).
+
+    ``side`` (reference ``temporal_operator.py`` extent operators)
+    controls each result granule's temporal extent, folded over its
+    matched B extents:
+
+    * ``l`` (default): A's extent — nested tier on A's grid;
+    * ``r``: the (last) matched B extent — nested tier on B's grid
+      (``gran``/``worigin`` from B; duplicate windows allowed, as in
+      the reference where the result topology check fails);
+    * ``u`` / ``d`` / ``i`` (union / disjoint union / intersection):
+      arbitrary intervals — FLAT output rows (key..., start, end,
+      <value>) in position units, statement-level only.
 
     Same scale shape as :func:`tier_hash`: ONE bucket exchange on the
     key hash; per-key pair grids chunked."""
@@ -699,19 +926,33 @@ def tier_topo(
     unknown = set(rels) - set(_TOPO_PREDS)
     if unknown:
         raise ValueError(f"unknown temporal relation(s) {sorted(unknown)}")
+    side = _SIDE_ALIASES.get(side)
+    if side is None:
+        raise ValueError("unknown topology side modifier")
     select_mode = op in (":", "!:")
     hash_mode = op == "#"
+    if hash_mode and side != "l":
+        raise NotImplementedError("'#' counts live on A granules: side 'l' only")
+    if op == "!:":
+        side = "l"
+    flat = side in ("u", "d", "i")
 
-    def tag(side, vc):
+    def tag(tag_side, vc):
         def kernel(batch: pa.Table) -> pa.Table:
             cols = {k: batch.column(k) for k in keys}
             cols["gran"] = batch.column("gran")
             cols["windows"] = batch.column("windows")
+            if "worigin" in batch.column_names:
+                cols["_o"] = batch.column("worigin")
+            else:
+                cols["_o"] = pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64)
+                )
             vcol = batch.column(vc)
             if isinstance(vcol, pa.ChunkedArray):
                 vcol = vcol.combine_chunks()
             cols["_v"] = vcol.cast(pa.list_(pa.float64()))
-            cols["_side"] = pa.array([side] * batch.num_rows)
+            cols["_side"] = pa.array([tag_side] * batch.num_rows)
             t = pa.table(cols)
             from grass_ray.stages.join import _bucket_ids
 
@@ -738,48 +979,81 @@ def tier_topo(
                 dtype=np.float64,
             )
             order = np.argsort(ws, kind="stable")
-            rec = (int(d["gran"][i]), ws[order], vs[order])
+            rec = (int(d["gran"][i]), int(d["_o"][i]), ws[order], vs[order])
             (rows_a if d["_side"][i] == "a" else rows_b)[key] = rec
         out_key = {k: [] for k in keys}
-        out_gran, out_w, out_v = [], [], []
+        out_gran, out_orig, out_w, out_v = [], [], [], []
+        out_s, out_e = [], []
 
-        def emit(key, gran, w, v, as_ints=False):
+        def emit(key, gran, orig, w, v, s=None, e=None, as_ints=False):
+            if len(w) == 0:
+                return  # a granule-less result map does not exist
+            vals = (
+                [int(x) for x in v]
+                if as_ints
+                else [None if np.isnan(x) else float(x) for x in v]
+            )
+            if flat:
+                for idx in range(len(w)):
+                    for k, kv in zip(keys, key):
+                        out_key[k].append(kv)
+                    out_s.append(int(s[idx]))
+                    out_e.append(int(e[idx]))
+                    out_v.append(vals[idx])
+                return
             for k, kv in zip(keys, key):
                 out_key[k].append(kv)
             out_gran.append(gran)
+            out_orig.append(orig)
             out_w.append(w.tolist())
-            if as_ints:
-                out_v.append([int(x) for x in v])
-            else:
-                out_v.append([None if np.isnan(x) else float(x) for x in v])
+            out_v.append(vals)
 
         for key in sorted(rows_a):
-            ga, wa, va = rows_a[key]
+            ga, oa, wa, va = rows_a[key]
             if key not in rows_b:
                 if select_mode and op == "!:":
-                    emit(key, ga, wa, va)
+                    emit(key, ga, oa, wa, va)
                 elif hash_mode:
                     # no B rows for this key: every A window counts 0
                     # (empty topology list), same as a zero-match key
-                    emit(key, ga, wa, np.zeros(len(wa), dtype=np.int64), as_ints=True)
+                    emit(
+                        key, ga, oa, wa,
+                        np.zeros(len(wa), dtype=np.int64), as_ints=True,
+                    )
                 continue
-            gb, wb, vb = rows_b[key]
-            ia, ib = _topo_matches(wa, ga, wb, gb, rels)
+            gb, ob, wb, vb = rows_b[key]
+            ia, ib = _topo_matches(wa, ga, wb, gb, rels, oa, ob)
             if hash_mode:
                 cnt = np.zeros(len(wa), dtype=np.int64)
                 np.add.at(cnt, ia, 1)
-                emit(key, ga, wa, cnt, as_ints=True)
+                emit(key, ga, oa, wa, cnt, as_ints=True)
                 continue
             matched = np.zeros(len(wa), dtype=bool)
             matched[ia] = True
             if select_mode:
                 keep = ~matched if op == "!:" else matched
-                emit(key, ga, wa[keep], va[keep])
-                continue
-            vals, matched = _topo_fold(op, va, vb, ia, ib, len(wa))
-            emit(key, ga, wa[matched], vals[matched])
+                vals = va
+            else:
+                vals, matched = _topo_fold(op, va, vb, ia, ib, len(wa))
+                keep = matched
+            if side == "l":
+                emit(key, ga, oa, wa[keep], vals[keep])
+            elif side == "r":
+                lastb = np.full(len(wa), -1, dtype=np.int64)
+                lastb[ia] = ib  # ascending b order: last match wins
+                emit(key, gb, ob, wb[lastb[keep]], vals[keep])
+            else:
+                s, e = _extent_fold(side, wa, ga, oa, wb, gb, ob, ia, ib)
+                emit(key, ga, oa, wa[keep], vals[keep], s=s[keep], e=e[keep])
+
         cols = {k: pa.array(out_key[k]) for k in keys}
+        if flat:
+            cols["start"] = pa.array(out_s, type=pa.int64())
+            cols["end"] = pa.array(out_e, type=pa.int64())
+            cols[res_col] = pa.array(out_v, type=pa.float64())
+            return pa.table(cols)
         cols["gran"] = pa.array(out_gran, type=pa.int64())
+        cols["worigin"] = pa.array(out_orig, type=pa.int64())
         cols["windows"] = pa.array(out_w, type=pa.list_(pa.int64()))
         cols[res_col] = pa.array(
             out_v,

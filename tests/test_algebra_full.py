@@ -85,17 +85,22 @@ def test_qualified_equal_op(tiers):
     assert v == [2.0, 3.0, 4.0, 5.0]
 
 
-def test_unsupported_topology_forms_raise(tiers):
-    # top-level non-equal relations are now evaluated by tier_topo
-    # (test_algebra_topo.py); the still-unsupported forms stay loud:
-    # a topo qualifier NESTED inside an expression, and side modifiers
-    # other than 'l' (raster_algebra.py:731 grammar breadth)
+def test_nested_topology_qualifier(tiers):
+    # a topo qualifier NESTED inside an expression rewrites to a
+    # synthetic tier (temporal_algebra.py:2320-3371 grammar breadth);
+    # u/d/i extent modifiers stay statement-level only
     from grass_ray.stages.algebra import algebra
 
+    # A precedes D at windows 1 (a2 meets d at w2 -> 2+3) and 2
+    # (a3 meets d at w3 -> 3+4); A + synth intersects to those windows
+    _, res = algebra("R = A + (A {+,precedes} D)", dict(tiers))
+    w, v = _vals(res)
+    assert list(zip(w, v)) == [(1, 7.0), (2, 10.0)]
+    # self-during is empty (equal extents are never during-inclusive)
+    _, res = algebra("R = A + (A {+,during} A)", dict(tiers))
+    assert res.count() == 0
     with pytest.raises(NotImplementedError):
-        algebra("R = A + (A {+,during} D)", tiers)
-    with pytest.raises(NotImplementedError):
-        algebra("R = A {+,during,r} D", tiers)
+        algebra("R = A + (A {+,during,u} A)", dict(tiers))
 
 
 def test_hash_in_expression(tiers):

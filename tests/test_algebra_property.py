@@ -55,11 +55,27 @@ def _oracle_eval(node, env):
         table = dict(zip(s.w.tolist(), s.v.tolist()))
         return set(s.w.tolist()), (lambda w, _t=table: _t[w])
     if kind == "if":
+        # the CONDITION's time dimension rules (reference "conditional
+        # time dimension bug" golden): result windows are cond's, a
+        # window drops only when its CHOSEN branch is missing there
         wc, fc = _oracle_eval(node[1], env)
         wa, fa = _oracle_eval(node[2], env)
         wb, fb = _oracle_eval(node[3], env)
-        ws = [x for x in (wc, wa, wb) if x is not None]
-        inter = set.intersection(*ws) if ws else None
+        if wc is None:
+            c = fc(0)
+            if np.isnan(c):
+                return None, (lambda w: float("nan"))
+            return (wa, fa) if c > 0 else (wb, fb)
+        keep = set()
+        for w in wc:
+            c = fc(w)
+            if np.isnan(c):
+                keep.add(w)
+            elif c > 0:
+                if wa is None or w in wa:
+                    keep.add(w)
+            elif wb is None or w in wb:
+                keep.add(w)
 
         def f(w):
             c = fc(w)
@@ -68,7 +84,7 @@ def _oracle_eval(node, env):
             # the generated expression wraps the condition as `c > 0`
             return fa(w) if c > 0 else fb(w)
 
-        return inter, f
+        return keep, f
     op = kind
     wa, fa = _oracle_eval(node[1], env)
     wb, fb = _oracle_eval(node[2], env)

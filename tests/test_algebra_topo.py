@@ -44,8 +44,19 @@ def _vals(out, col="average"):
 
 
 def test_topo_plus_during(ab):
+    # the algebra front end expands `during` to the reference builder's
+    # inclusive list during|starts|finishes
+    # (spatio_temporal_relationships.py:625-655) — full cover here
     a, b = ab
     _n, out = algebra("C = A {+, during} B", {"A": a, "B": b})
+    assert _vals(out) == {0: 110.0, 1: 120.0, 2: 130.0, 3: 240.0, 4: 250.0, 5: 260.0}
+
+
+def test_topo_strict_during_via_tier_topo(ab):
+    # direct tier_topo keeps the STRICT Allen predicates (the engine's
+    # relation primitives, mirror of functions/topology.py)
+    a, b = ab
+    out = tier_topo(a, b, "+", ["during"])
     assert _vals(out) == {1: 120.0, 4: 250.0}
 
 
@@ -57,9 +68,11 @@ def test_topo_plus_full_cover(ab):
 
 def test_topo_contains_reversed(ab):
     a, b = ab
-    # Allen relations are mutually exclusive: strict `contains` matches
-    # only the middle A window; started/finished cover the edge ones
+    # `contains` expands to started|contains|finished at the algebra
+    # level; the strict primitive stays available via tier_topo
     _n, out = algebra("C = B {+, contains} A", {"A": a, "B": b})
+    assert _vals(out) == {0: 160.0, 1: 350.0}
+    out = tier_topo(b, a, "+", ["contains"])
     assert _vals(out) == {0: 120.0, 1: 250.0}
     _n, out = algebra("C = B {+, started|contains|finished} A", {"A": a, "B": b})
     assert _vals(out) == {0: 160.0, 1: 350.0}
@@ -70,6 +83,8 @@ def test_topo_hash_counts(ab):
     _n, out = algebra("C = B {#, started|contains|finished} A", {"A": a, "B": b})
     assert _vals(out, "hash_count") == {0: 3, 1: 3}
     _n, out = algebra("C = A {#, during} B", {"A": a, "B": b})
+    assert _vals(out, "hash_count") == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    out = tier_topo(a, b, "#", ["during"])
     assert _vals(out, "hash_count") == {0: 0, 1: 1, 2: 0, 3: 0, 4: 1, 5: 0}
 
 
@@ -83,9 +98,9 @@ def test_topo_selection(ab):
 
 def test_topo_product_and_division(ab):
     a, b = ab
-    _n, out = algebra("C = A {*, during} B", {"A": a, "B": b})
+    out = tier_topo(a, b, "*", ["during"])
     assert _vals(out) == {1: 2000.0, 4: 10000.0}
-    _n, out = algebra("C = A {/, during} B", {"A": a, "B": b})
+    out = tier_topo(a, b, "/", ["during"])
     assert _vals(out) == {1: 0.2, 4: 0.25}
 
 
@@ -118,10 +133,54 @@ def test_topo_missing_operand_key(ray_session):
     assert _vals(out) == {0: 1.0, 1: 2.0}
 
 
-def test_topo_side_modifier_raises(ab):
+def test_topo_side_modifier_r(ab):
+    # side 'r': result granules take the (last) matched B extent —
+    # nested output on B's grid (temporal_operator.py 'r' semantics)
     a, b = ab
-    with pytest.raises(NotImplementedError):
-        algebra("C = A {+, during, r} B", {"A": a, "B": b})
+    _n, out = algebra("C = A {+, during, r} B", {"A": a, "B": b})
+    t = out.to_pandas()
+    assert t["gran"].tolist() == [180]
+    # six A windows fold, landing on their B window (duplicates kept)
+    w = t["windows"].tolist()[0]
+    v = t["average"].tolist()[0]
+    assert sorted(zip(w, v)) == [
+        (0, 110.0), (0, 120.0), (0, 130.0),
+        (1, 240.0), (1, 250.0), (1, 260.0),
+    ]
+
+
+def test_topo_side_modifier_flat_intersection(ab):
+    # side 'i': flat interval rows (start, end, value) in position
+    # units — for A during B the intersection is A's own extent
+    a, b = ab
+    _n, out = algebra("C = A {+, during, i} B", {"A": a, "B": b})
+    t = out.to_pandas().sort_values("start").reset_index(drop=True)
+    assert t["start"].tolist() == [0, 60, 120, 180, 240, 300]
+    assert t["end"].tolist() == [60, 120, 180, 240, 300, 360]
+    assert t["average"].tolist() == [110.0, 120.0, 130.0, 240.0, 250.0, 260.0]
+
+
+def test_topo_side_modifier_union(ray_session):
+    # overlapping granules with a union side: min start / max end
+    # (disjoint pairs leave the extent unchanged — union returns None)
+    a = _tier(180, [0], [5.0])
+    b = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": ["s"],
+                "doc_id": ["d1"],
+                "gran": pa.array([180], type=pa.int64()),
+                "worigin": pa.array([90], type=pa.int64()),
+                "windows": pa.array([[0]], type=pa.list_(pa.int64())),
+                "average": pa.array([[7.0]], type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    _n, out = algebra("C = A {+, overlaps, u} B", {"A": a, "B": b})
+    t = out.to_pandas()
+    assert t["start"].tolist() == [0]
+    assert t["end"].tolist() == [270]
+    assert t["average"].tolist() == [12.0]
 
 
 def test_equal_relation_still_inline(ab):
@@ -170,3 +229,98 @@ def test_topo_hash_missing_operand_counts_zero(ray_session):
     )
     _n, out = algebra("C = A {#, during} B", {"A": a, "B": b_other})
     assert _vals(out, "hash_count") == {0: 0, 1: 0}
+
+
+# ---------------------------------------------------------------------------
+# reference-testsuite goldens
+# (unittests_temporal_raster_algebra.py map layout: A = a1..a4 (1,2,3,4)
+# on days 1..4, B = b1,b2 (5,6) on 2-day granules, C = c1 (7) covering
+# [Jan2,Jan4) — a worigin=1 offset on the 2-day grid, D = d1..d3 on
+# days 3..5.  Position unit = 1 day, Jan1 = 0.)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ref_maps(ray_session):
+    def mk(gran, windows, values, origin=0):
+        cols = {
+            "source": ["s"],
+            "doc_id": ["d1"],
+            "gran": pa.array([gran], type=pa.int64()),
+            "windows": pa.array([windows], type=pa.list_(pa.int64())),
+            "average": pa.array([values], type=pa.list_(pa.float64())),
+        }
+        if origin:
+            cols["worigin"] = pa.array([origin], type=pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
+
+    return {
+        "A": mk(1, [0, 1, 2, 3], [1.0, 2.0, 3.0, 4.0]),
+        "B": mk(2, [0, 1], [5.0, 6.0]),
+        "C": mk(2, [0], [7.0], origin=1),
+        "D": mk(1, [2, 3, 4], [8.0, 9.0, 10.0]),
+    }
+
+
+def _flat(out):
+    t = out.to_pandas().sort_values("start").reset_index(drop=True)
+    return list(zip(t["start"], t["end"], t["average"]))
+
+
+def test_ref_intersection_2(ref_maps):
+    # R = A {+,during,i} B -> 4 maps, 6..10 (testsuite:479-491)
+    _n, out = algebra("R = A {+,during,i} B", ref_maps)
+    assert _flat(out) == [(0, 1, 6.0), (1, 2, 7.0), (2, 3, 9.0), (3, 4, 10.0)]
+
+
+def test_ref_intersection_3_4_5(ref_maps):
+    # R = A {+,starts,i} B -> 2 maps 6, 9 (testsuite:493-505)
+    _n, out = algebra("R = A {+,starts,i} B", ref_maps)
+    assert _flat(out) == [(0, 1, 6.0), (2, 3, 9.0)]
+    # R = A {+,finishes,intersect} B -> 2 maps 7, 10 (testsuite:507-521)
+    _n, out = algebra("R = A {+,finishes,intersect} B", ref_maps)
+    assert _flat(out) == [(1, 2, 7.0), (3, 4, 10.0)]
+    # R = A {+,starts|finishes,i} B -> 4 maps 6..10 (testsuite:523-537)
+    _n, out = algebra("R = A {+,starts|finishes,i} B", ref_maps)
+    assert _flat(out) == [(0, 1, 6.0), (1, 2, 7.0), (2, 3, 9.0), (3, 4, 10.0)]
+
+
+def test_ref_intersection_6_7_union(ref_maps):
+    # R = B {+,overlaps,u} C -> 1 map 12 on [Jan1,Jan4) (testsuite:539-551)
+    _n, out = algebra("R = B {+,overlaps,u} C", ref_maps)
+    assert _flat(out) == [(0, 3, 12.0)]
+    # R = B {+,overlapped,u} C -> 1 map 13 on [Jan2,Jan5) (testsuite:553-565)
+    _n, out = algebra("R = B {+,overlapped,u} C", ref_maps)
+    assert _flat(out) == [(1, 4, 13.0)]
+
+
+def test_ref_temporal_extent1(ref_maps):
+    # R = A {:,during,r} C -> 2 maps (2, 3), both on C's [Jan2,Jan4)
+    # extent, granularity 2 days, topology check False (testsuite:131-154)
+    _n, out = algebra("R = A {:,during,r} C", ref_maps)
+    t = out.to_pandas()
+    assert t["gran"].tolist() == [2]
+    assert t["worigin"].tolist() == [1]
+    w = list(t["windows"].tolist()[0])
+    v = list(t["average"].tolist()[0])
+    assert w == [0, 0] and sorted(v) == [2.0, 3.0]
+
+
+def test_ref_simple_arith_2_empty(ref_maps):
+    # R = A {*,during} A {+,during} A -> empty strds (testsuite:448-456)
+    _n, out = algebra("R = A {*, during} A {+, during} A", ref_maps)
+    assert out.count() == 0
+
+
+def test_ref_complex_arith_if(ref_maps):
+    # R = if(start_time(A) < 2 && A # A == 1, A{+,starts,l}C, A{+,finishes,l}C)
+    # -> 2 maps: 9 = a2+c1 on [Jan2,Jan3), 10 = a3+c1 on [Jan3,Jan4)
+    # (testsuite:403-430; start_date < "2001-01-03" == start pos < 2)
+    _n, out = algebra(
+        "R = if(start_time(A) < 2 && A # A == 1, A{+, starts,l}C, A{+, finishes,l}C)",
+        ref_maps,
+    )
+    t = out.to_pandas()
+    assert len(t) == 1
+    got = dict(zip(t["windows"].tolist()[0], t["average"].tolist()[0]))
+    assert got == {1: 9.0, 2: 10.0}
