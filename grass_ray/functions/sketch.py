@@ -144,33 +144,51 @@ class SpaceSaving:
     driver never sees more than m entries.
     """
 
-    __slots__ = ("m", "n", "counts", "errs")
+    __slots__ = ("m", "n", "counts", "errs", "_heap")
 
     def __init__(self, m: int = 4096):
         self.m = m
         self.n = 0
         self.counts: dict = {}
         self.errs: dict = {}
+        # lazily-invalidated min-heap of (count, item): counts only
+        # grow, so the top is valid iff it matches the live count —
+        # O(log m) amortized eviction instead of an O(m) scan per
+        # insert (the classic Stream-Summary behavior)
+        self._heap: list = []
 
     def add_many(self, items, weights=None):
-        counts, errs, m = self.counts, self.errs, self.m
+        import heapq
+
+        counts, errs, m, heap = self.counts, self.errs, self.m, self._heap
         if weights is None:
             weights = np.ones(len(items), dtype=np.int64)
         self.n += int(np.sum(weights))
         for it, w in zip(items, weights):
             w = int(w)
             if it in counts:
-                counts[it] += w
+                c = counts[it] + w
+                counts[it] = c
+                heapq.heappush(heap, (c, it))
             elif len(counts) < m:
                 counts[it] = w
                 errs[it] = 0
+                heapq.heappush(heap, (w, it))
             else:
                 # evict the current minimum, inherit its count as error
-                evict = min(counts, key=counts.get)
+                while heap and counts.get(heap[0][1]) != heap[0][0]:
+                    heapq.heappop(heap)
+                evict = heap[0][1] if heap else min(counts, key=counts.get)
+                if heap:
+                    heapq.heappop(heap)
                 floor = counts.pop(evict)
                 errs.pop(evict, None)
                 counts[it] = floor + w
                 errs[it] = floor
+                heapq.heappush(heap, (floor + w, it))
+            if len(heap) > 8 * m:  # compact stale entries
+                heap[:] = [(c, k) for k, c in counts.items()]
+                heapq.heapify(heap)
         return self
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
@@ -197,6 +215,10 @@ class SpaceSaving:
             merged = {k: merged[k] for k in top}
             merrs = {k: merrs[k] for k in top}
         out.counts, out.errs = merged, merrs
+        import heapq
+
+        out._heap = [(c, k) for k, c in merged.items()]
+        heapq.heapify(out._heap)
         return out
 
     def topk(self, k: int):
@@ -236,15 +258,13 @@ class HyperLogLog:
             h ^= h >> np.uint64(29)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # rank = leading zeros of the remaining bits + 1
-        lz = np.zeros(len(rest), dtype=np.uint8)
-        x = rest.copy()
-        bit = np.uint64(1) << np.uint64(63)
         # vectorized leading-zero count via float exponent: for x>0,
-        # 63 - floor(log2(x)) leading zeros; rest is never 0 (guard bit)
-        exp = np.frexp(x.astype(np.float64))[1]  # x = f * 2^exp
-        lz = (64 - exp).astype(np.uint8)
-        rank = lz + 1
+        # 63 - floor(log2(x)) leading zeros; rest is never 0 (guard bit).
+        # Values within half-ulp below 2^64 round UP in float64 (exp 65
+        # -> rank 0 via uint8 wrap), so clip the int rank into the valid
+        # [1, 64-p+1] band before the uint8 cast
+        exp = np.frexp(rest.astype(np.float64))[1].astype(np.int64)
+        rank = np.clip(64 - exp + 1, 1, 64 - self.p + 1).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
         return self
 

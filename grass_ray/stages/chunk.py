@@ -189,14 +189,23 @@ def chunk_tokens(corpus_ds, seq_len: int, *, docs_per_partition: int = 2000,
         c_s = chunk[order]
         newc = np.concatenate([[True], c_s[1:] != c_s[:-1]])
         counts = np.diff(np.concatenate([np.flatnonzero(newc), [len(c_s)]]))
-        offsets = pa.array(
-            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-        )
+        off64 = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         values = tok.take(pa.array(order))
+        if off64[-1] > np.iinfo(np.int32).max:
+            # int32 list offsets overflow past 2^31 tokens per bucket;
+            # a silent wrap would corrupt every chunk after it
+            raise ValueError(
+                f"chunk bucket holds {int(off64[-1])} tokens, past the "
+                "int32 list-offset limit; raise `buckets` so each "
+                "bucket stays under 2^31 tokens"
+            )
+        toks = pa.ListArray.from_arrays(
+            pa.array(off64.astype(np.int32), type=pa.int32()), values
+        )
         return pa.table(
             {
                 "chunk_id": pa.array(c_s[newc]),
-                "tokens": pa.ListArray.from_arrays(offsets, values),
+                "tokens": toks,
             }
         )
 

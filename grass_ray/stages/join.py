@@ -276,18 +276,27 @@ def _broadcast_join(right_mat, ds_left, keys, lpay, rpay_src, rpay, how, wire):
 
 
 _ATTACH_IDX_CACHE: dict = {}
+_ATTACH_IDX_CACHE_MAX = 8  # each entry can hold ~broadcast_threshold keys
 
 
 def _key_index_map(tbl: pa.Table, key_col: str, cache_key=None) -> dict:
     """key value -> row index dict for a lookup table (memoized per
-    worker process when ``cache_key`` is stable, e.g. an ObjectRef hex)."""
+    worker process when ``cache_key`` is stable, e.g. an ObjectRef hex).
+    LRU-bounded: each cached index can hold up to ``broadcast_threshold``
+    keys, so long-lived workers must evict stale maps rather than pin
+    GBs across many attach_column pipelines."""
     if cache_key is not None:
         m = _ATTACH_IDX_CACHE.get(cache_key)
         if m is not None:
+            # refresh recency (dict preserves insertion order)
+            _ATTACH_IDX_CACHE.pop(cache_key)
+            _ATTACH_IDX_CACHE[cache_key] = m
             return m
     keys = tbl.column(key_col).to_pylist()
     m = {k: i for i, k in enumerate(keys)}
-    if cache_key is not None and len(_ATTACH_IDX_CACHE) < 64:
+    if cache_key is not None:
+        while len(_ATTACH_IDX_CACHE) >= _ATTACH_IDX_CACHE_MAX:
+            _ATTACH_IDX_CACHE.pop(next(iter(_ATTACH_IDX_CACHE)))
         _ATTACH_IDX_CACHE[cache_key] = m
     return m
 
