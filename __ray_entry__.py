@@ -537,6 +537,37 @@ def _q_what(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_what_col(sf_dir: str) -> pa.Table:
+    """t.rast.what "col" layout (one row per time step carrying every
+    point's value — t.rast.what.py:434-505): list columns don't hash in
+    the driver compare, so the per-position value vector is serialized
+    as an integer CSV in ascending key order (DuckDB reproduces it with
+    an ORDER BY'd string_agg)."""
+    from grass_ray.stages.what import what_col
+
+    import math
+
+    out = what_col(_corpus(sf_dir), positions=list(_WHAT_POSITIONS))
+    df = out.to_pandas()
+    # NULL samples stay in n_points (count(*)) but drop out of the CSV,
+    # exactly like DuckDB's string_agg skipping NULLs
+    csv = [
+        ",".join(
+            str(int(v))
+            for v in vals
+            if v is not None and not (isinstance(v, float) and math.isnan(v))
+        )
+        for vals in df["values"]
+    ]
+    return pa.table(
+        {
+            "pos": pa.array(df["pos"].to_numpy(dtype="int64")),
+            "n_points": pa.array(df["n_points"].to_numpy(dtype="int64")),
+            "values_csv": pa.array(csv, type=pa.string()),
+        }
+    )
+
+
 def _q_extract_mapcalc(sf_dir: str) -> pa.Table:
     import pyarrow.compute as pc
 
@@ -2147,6 +2178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_import_roundtrip": _q_export_import,
         "codec_roundtrip": _q_codec_roundtrip,
         "algebra_topo_during": _q_algebra_topo_during,
+        "what_col": _q_what_col,
         # --- never driver-checked (rows-only / non-SQL-expressible) ---
         "events_time_report": _q_time_report,
         "pack_sequences": _q_pack_sequences,
@@ -2857,6 +2889,14 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS ({tok})
             SELECT source, doc_id, pos, CAST(token AS DOUBLE) AS token
             FROM tok WHERE pos IN {_WHAT_POSITIONS}
+        """,
+        "what_col": f"""
+            WITH tok AS ({tok})
+            SELECT pos, CAST(count(*) AS BIGINT) AS n_points,
+                   string_agg(CAST(token AS VARCHAR), ','
+                              ORDER BY source, doc_id) AS values_csv
+            FROM tok WHERE pos IN {_WHAT_POSITIONS}
+            GROUP BY pos
         """,
         "extract_mapcalc": f"""
             WITH tok AS ({tok})

@@ -90,7 +90,7 @@ from grass_ray.stages.mix import deterministic_shuffle, mix_sources, split_datas
 from grass_ray.stages.text_stage import analyze_text, normalize_text, scrub_text
 from grass_ray.sources.readers import read_parquet_sized, sized_num_blocks, tokenize_text
 from grass_ray.stages.univar import attr_univar, univar
-from grass_ray.stages.what import what
+from grass_ray.stages.what import what, what_col, what_timerow
 from grass_ray.pipelines.catalog import export_tier, import_tier, list_tier, merge_tiers
 from grass_ray.pipelines.retention import apply_retention, apply_retention_policy
 from grass_ray.pipelines.tiers import build_tiers, read_tier
@@ -205,4 +205,6 @@ __all__ = [
     "synth_corpus_table",
     "univar",
     "what",
+    "what_col",
+    "what_timerow",
 ]

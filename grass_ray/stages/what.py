@@ -109,3 +109,56 @@ def what_timerow(ds, positions, *, doc_ids=None, key_cols=("source", "doc_id"), 
         return pa.table(cols)
 
     return ds.map_batches(kernel, batch_format="pyarrow", batch_size=512)
+
+
+def what_col(
+    ds,
+    positions,
+    *,
+    doc_ids=None,
+    key_cols=("source", "doc_id"),
+    tokens_col="tokens",
+    max_keys: int = 100_000,
+):
+    """`t.rast.what` "col" layout — one row per TIME STEP carrying every
+    sampled point's value (``start,end,point_1,..,point_n``;
+    ``temporal/t.rast.what/t.rast.what.py:434-505``): here one row per
+    sampled position with the per-key samples as parallel
+    ``keys``/``values`` lists in ascending key order.
+
+    The transpose gathers every sampled key into one row per position
+    (the reference's points are a small vector set), so the key set
+    must stay bounded — restrict with ``doc_ids`` or rely on the
+    ``max_keys`` guard, which raises loudly instead of building an
+    unbounded row.  Distributed shape: the row-layout sample (no
+    shuffle) then ONE exchange grouped on the few positions."""
+    rows = what(
+        ds,
+        positions,
+        doc_ids=doc_ids,
+        key_cols=key_cols,
+        tokens_col=tokens_col,
+    )
+    keys = list(key_cols)
+
+    def transpose(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(keys, kind="mergesort")
+        if len(df) > max_keys:
+            raise ValueError(
+                f"position {df['pos'].iloc[0]} samples {len(df)} keys, "
+                f"past max_keys={max_keys}; restrict doc_ids or raise "
+                "max_keys explicitly"
+            )
+        kjoin = df[keys].astype(str).agg("|".join, axis=1).tolist()
+        return pa.table(
+            {
+                "pos": pa.array([int(df["pos"].iloc[0])], type=pa.int64()),
+                "n_points": pa.array([len(df)], type=pa.int64()),
+                "keys": pa.array([kjoin], type=pa.list_(pa.string())),
+                "values": pa.array(
+                    [df["token"].tolist()], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    return rows.groupby("pos").map_groups(transpose, batch_format="pyarrow")

@@ -300,3 +300,37 @@ def test_algebra_hash_and_buff(ray_session):
     # windows 0,1 merge into [-1, 3); 5 -> [4, 7)
     assert list(bd["start"]) == [-1, 4]
     assert list(bd["end"]) == [3, 7]
+
+
+def test_what_col(ray_session):
+    import ray.data
+    from grass_ray.stages.what import what_col
+
+    t = corpus_table([("d1", "s", [10, 11, 12]), ("d2", "s", [20, None])])
+    out = (
+        what_col(ray.data.from_arrow(t), positions=[0, 1, 5])
+        .to_pandas()
+        .set_index("pos")
+        .sort_index()
+    )
+    # one row per position, keys ascending, values aligned (the
+    # reference "col" layout: one row per time step, all points)
+    assert list(out.index) == [0, 1]  # pos 5 out of range for both
+    assert out.loc[0, "n_points"] == 2
+    assert list(out.loc[0, "keys"]) == ["s|d1", "s|d2"]
+    assert list(out.loc[0, "values"]) == [10.0, 20.0]
+    assert out.loc[1, "n_points"] == 2
+    v1 = [None if pd.isna(v) else v for v in out.loc[1, "values"]]
+    assert v1 == [11.0, None]
+
+
+def test_what_col_max_keys_guard(ray_session):
+    import pytest as _pytest
+    import ray.data
+    from grass_ray.stages.what import what_col
+
+    t = corpus_table([("d1", "s", [1]), ("d2", "s", [2]), ("d3", "s", [3])])
+    with _pytest.raises(ValueError):
+        what_col(
+            ray.data.from_arrow(t), positions=[0], max_keys=2
+        ).to_pandas()
