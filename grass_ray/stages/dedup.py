@@ -466,13 +466,21 @@ def verify_pairs_jaccard(
                 }
             )
         )
-    ends_a = cand.map_batches(
-        lambda b: pa.table({id_col: b.column("id_a")}), batch_format="pyarrow"
-    )
-    ends_b = cand.map_batches(
-        lambda b: pa.table({id_col: b.column("id_b")}), batch_format="pyarrow"
-    )
-    need = distinct_keys(ends_a.union(ends_b), (id_col,))
+    def endpoints(batch: pa.Table) -> pa.Table:
+        t = pa.concat_tables(
+            [
+                pa.table({id_col: batch.column("id_a")}),
+                pa.table({id_col: batch.column("id_b")}),
+            ]
+        )
+        # block-local distinct only: under the broadcast threshold the
+        # semi-join's key SET dedups the cross-block stragglers for
+        # free, so the standalone distinct exchange is pure overhead
+        return t.group_by([id_col], use_threads=False).aggregate([])
+
+    need = cand.map_batches(endpoints, batch_format="pyarrow")
+    if 2 * n_pairs > 2_000_000:  # semi_join broadcast threshold
+        need = distinct_keys(need, (id_col,))
     sh = _shingle_table(
         ds, need, id_col=id_col, text_col=text_col, k_shingle=k_shingle
     ).materialize()  # consumed by BOTH attaches — never re-shingle
@@ -569,7 +577,8 @@ def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_c
         k_shingle=k_shingle, id_col=id_col, text_col=text_col,
         max_bucket=max_bucket,
     ).materialize()
-    if verified.count() == 0:
+    n_verified = verified.count()
+    if n_verified == 0:
         return ds, verified
     if components:
         comp = connected_components(verified)
@@ -588,7 +597,11 @@ def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_c
             lambda b: pa.table({id_col: b.column("id_b")}),
             batch_format="pyarrow",
         )
-    drops = distinct_keys(drops, (id_col,))
+    # under the broadcast threshold the anti-join's key SET dedups the
+    # drop ids for free — the standalone distinct exchange only pays
+    # off once the drop set must go through the bucket machinery
+    if n_verified > 2_000_000:
+        drops = distinct_keys(drops, (id_col,))
     kept = anti_join(ds, drops, key_cols=(id_col,), keys_distinct=True)
     return kept, verified
 
