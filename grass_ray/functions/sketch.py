@@ -144,23 +144,26 @@ class SpaceSaving:
     driver never sees more than m entries.
     """
 
-    __slots__ = ("m", "n", "counts", "errs", "_heap")
+    __slots__ = ("m", "n", "counts", "errs")
 
     def __init__(self, m: int = 4096):
         self.m = m
         self.n = 0
         self.counts: dict = {}
         self.errs: dict = {}
-        # lazily-invalidated min-heap of (count, item): counts only
-        # grow, so the top is valid iff it matches the live count —
-        # O(log m) amortized eviction instead of an O(m) scan per
-        # insert (the classic Stream-Summary behavior)
-        self._heap: list = []
 
     def add_many(self, items, weights=None):
+        # The eviction heap is built lazily PER CALL, only once the
+        # summary actually fills: in the exact regime (distinct ≤ m —
+        # the oracle contract) the hot loop is pure dict updates with
+        # zero heap traffic.  Once built, the heap is lazily
+        # invalidated — counts only grow, so the top is valid iff it
+        # matches the live count (classic Stream-Summary, O(log m)
+        # amortized eviction instead of an O(m) scan per insert).
         import heapq
 
-        counts, errs, m, heap = self.counts, self.errs, self.m, self._heap
+        counts, errs, m = self.counts, self.errs, self.m
+        heap: list | None = None
         if weights is None:
             weights = np.ones(len(items), dtype=np.int64)
         self.n += int(np.sum(weights))
@@ -169,12 +172,17 @@ class SpaceSaving:
             if it in counts:
                 c = counts[it] + w
                 counts[it] = c
-                heapq.heappush(heap, (c, it))
+                if heap is not None:
+                    heapq.heappush(heap, (c, it))
             elif len(counts) < m:
                 counts[it] = w
                 errs[it] = 0
-                heapq.heappush(heap, (w, it))
+                if heap is not None:
+                    heapq.heappush(heap, (w, it))
             else:
+                if heap is None:
+                    heap = [(c, k) for k, c in counts.items()]
+                    heapq.heapify(heap)
                 # evict the current minimum, inherit its count as error
                 while heap and counts.get(heap[0][1]) != heap[0][0]:
                     heapq.heappop(heap)
@@ -186,9 +194,9 @@ class SpaceSaving:
                 counts[it] = floor + w
                 errs[it] = floor
                 heapq.heappush(heap, (floor + w, it))
-            if len(heap) > 8 * m:  # compact stale entries
-                heap[:] = [(c, k) for k, c in counts.items()]
-                heapq.heapify(heap)
+                if len(heap) > 8 * m:  # compact stale entries
+                    heap[:] = [(c, k) for k, c in counts.items()]
+                    heapq.heapify(heap)
         return self
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
@@ -215,10 +223,6 @@ class SpaceSaving:
             merged = {k: merged[k] for k in top}
             merrs = {k: merrs[k] for k in top}
         out.counts, out.errs = merged, merrs
-        import heapq
-
-        out._heap = [(c, k) for k, c in merged.items()]
-        heapq.heapify(out._heap)
         return out
 
     def topk(self, k: int):
