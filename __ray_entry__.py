@@ -1854,7 +1854,9 @@ def _q_jsonl_rank_rollup(sf_dir: str) -> pa.Table:
         df.to_json(
             os.path.join(path, "docs.jsonl"), orient="records", lines=True
         )
-    docs = ray.data.read_json(path)
+    from grass_ray.sources.readers import read_json_sized
+
+    docs = read_json_sized(path)
     corpus = tokenize_by_rank(docs, id_col="doc_id", text_col="text")
     out = rollup(corpus, 16, ("count", "sum"))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
@@ -1883,7 +1885,9 @@ def _q_csv_rank_rollup(sf_dir: str) -> pa.Table:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
         )
         pacsv.write_csv(t, os.path.join(path, "docs.csv"))
-    docs = ray.data.read_csv(path)
+    from grass_ray.sources.readers import read_csv_sized
+
+    docs = read_csv_sized(path)
     corpus = tokenize_by_rank(docs, id_col="doc_id", text_col="text")
     out = rollup(corpus, 16, ("count", "sum"))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

@@ -210,6 +210,37 @@ def read_parquet_sized(paths, *, columns=None, size_multiplier: float = 1.0, **k
     )
 
 
+def read_json_sized(paths, *, size_multiplier: float = 1.0, **kw):
+    """``ray.data.read_json`` with a bytes-driven block count.  Ray's
+    default parallelism hands a megabyte-scale JSONL directory dozens
+    of near-empty blocks, and every downstream two-pass stage then pays
+    per-block dispatch twice; sizing by bytes keeps block count
+    proportional to data, exactly like :func:`read_parquet_sized`."""
+    import ray.data
+
+    if "override_num_blocks" not in kw:
+        nbytes = _local_bytes(paths)
+        if nbytes is not None:
+            kw["override_num_blocks"] = sized_num_blocks(
+                int(nbytes * size_multiplier)
+            )
+    return ray.data.read_json(paths, **kw)
+
+
+def read_csv_sized(paths, *, size_multiplier: float = 1.0, **kw):
+    """``ray.data.read_csv`` with a bytes-driven block count (see
+    :func:`read_json_sized`)."""
+    import ray.data
+
+    if "override_num_blocks" not in kw:
+        nbytes = _local_bytes(paths)
+        if nbytes is not None:
+            kw["override_num_blocks"] = sized_num_blocks(
+                int(nbytes * size_multiplier)
+            )
+    return ray.data.read_csv(paths, **kw)
+
+
 def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
     """Drop parquet-borne schema metadata (the 'pandas' key makes the
     schema unhashable, which trips Ray Data's block-schema dedup into a
@@ -288,7 +319,7 @@ def read_corpus_jsonl(path, vocab_size: int = 50257):
     are tokenized on ingest."""
     import ray.data
 
-    ds = ray.data.read_json(path)
+    ds = read_json_sized(path)
     names = ds.schema().names
     if "tokens" in names:
         return _normalize(ds)
@@ -298,7 +329,7 @@ def read_corpus_jsonl(path, vocab_size: int = 50257):
 def read_corpus_csv(path, vocab_size: int = 50257, **kw):
     import ray.data
 
-    return tokenize_text(ray.data.read_csv(path, **kw), vocab_size=vocab_size)
+    return tokenize_text(read_csv_sized(path, **kw), vocab_size=vocab_size)
 
 
 def read_corpus_textdir(path, vocab_size: int = 50257, source: str = "files"):
