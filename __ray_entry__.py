@@ -1395,6 +1395,19 @@ def _q_embedding_dedup(sf_dir: str) -> pa.Table:
     return t.select(["vec_id", "label"])
 
 
+def _q_semdedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023): full-data distributed k-means +
+    within-cluster cosine pruning (keep the group member farthest from
+    the centroid).  Iterative fitted model + projection-bit bucketing —
+    no SQL analog, rows-only check on the surviving set."""
+    from grass_ray.stages.similarity import semdedup
+
+    ds = _read(f"{sf_dir}/embeddings.parquet")
+    kept, _drops = semdedup(ds.materialize(), eps=0.999, n_clusters=8, seed=7)
+    t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
+    return t.select(["vec_id", "label"])
+
+
 def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     """n-gram Jaccard near-dup: SimHash band candidates verified with
     exact word-3-gram Jaccard (pairs + scores) — the verify runs as the
@@ -2193,6 +2206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann,
         "ivf_topk": _q_ivf,
         "embedding_dedup": _q_embedding_dedup,
+        "semdedup": _q_semdedup,
         "multimodal_features": _q_multimodal,
         "kmeans_clusters": _q_kmeans,
         "curate_v2": _q_curate_v2,

@@ -68,6 +68,7 @@ from grass_ray.stages.sample import events_time_report
 from grass_ray.stages.similarity import (
     ann_topk,
     embedding_dedup,
+    semdedup,
     ivf_build,
     ivf_search,
     ivf_topk,
@@ -151,6 +152,7 @@ __all__ = [
     "build_tiers",
     "cascade",
     "embedding_dedup",
+    "semdedup",
     "exact_dedup",
     "mix_sources",
     "normalize_text",

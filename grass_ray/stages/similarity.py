@@ -565,3 +565,112 @@ def kmeans(
     return assigned.map_batches(
         lambda b: b.select([id_col, "cluster"]), batch_format="pyarrow"
     )
+
+
+def semdedup(
+    ds,
+    *,
+    eps: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+    target_bucket: int = 1024,
+    hard_cap: int = 8192,
+):
+    """SemDeDup (Abbas et al. 2023): semantic dedup = k-means over the
+    embedding space, then within-cluster cosine pruning.
+
+    The paper's procedure, reproduced exactly per bucket: order the
+    cluster's items by similarity-to-centroid ASCENDING (the kept
+    representative of a duplicate group is the one farthest from the
+    centroid — the paper's best-performing "low" keep policy, deemed
+    most informative) with id ascending as the deterministic
+    tie-break, then drop item i iff max_{j<i} cos(i, j) > eps.  That
+    max is one masked matmul per bucket — no sequential greedy loop.
+
+    Scale shape: centroids come from the full-data distributed
+    :func:`kmeans_fit` (one streaming pass per iteration); cluster
+    buckets are bounded exactly like :func:`embedding_dedup` (random-
+    projection sign bits appended to the centroid id keep the expected
+    bucket near ``target_bucket`` as N grows — near-dups agree on sign
+    bits w.h.p., the documented partitioning assumption); the keep step
+    is a distributed anti-join.  Returns ``(kept_ds, drops_ds)`` where
+    drops carries (id, cluster, max_cosine) — never materialized on
+    the driver.
+    """
+    import ray
+
+    from grass_ray.stages.join import anti_join
+
+    cent, _, _ = kmeans_fit(
+        ds, n_clusters=n_clusters, vec_col=vec_col, iters=iters, seed=seed
+    )
+    n_total = ds.count()
+    k = cent.shape[0]
+    n_bits = 0
+    if n_total and n_total > k * target_bucket:
+        n_bits = int(np.ceil(np.log2(n_total / (k * target_bucket))))
+    dim = cent.shape[1]
+    rng = np.random.default_rng(seed + 1)
+    R = rng.standard_normal((n_bits, dim)).astype(np.float32) if n_bits else None
+    cref = ray.put((cent.astype(np.float32), R))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent_, R_ = ray.get(cref)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        sims = m @ cent_.T
+        a = np.argmax(sims, axis=1).astype(np.int64)
+        csim = sims[np.arange(len(a)), a] if len(a) else np.empty(0)
+        key = a
+        if R_ is not None and len(m):
+            signs = (m @ R_.T) > 0
+            sub = (
+                signs.astype(np.int64)
+                * (1 << np.arange(R_.shape[0], dtype=np.int64))
+            ).sum(axis=1)
+            key = a * (1 << R_.shape[0]) + sub
+        return batch.append_column(
+            "cluster", pa.array(key.astype(np.int64))
+        ).append_column("_csim", pa.array(csim, type=pa.float64()))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        csim = batch.column("_csim").to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        if len(ids) > hard_cap:
+            print(
+                f"semdedup: bucket of {len(ids)} vectors capped to "
+                f"{hard_cap} ({len(ids) - hard_cap} vectors pass through "
+                f"unpruned in this bucket)"
+            )
+            order = np.lexsort((ids, csim))[:hard_cap]
+        else:
+            order = np.lexsort((ids, csim))
+        mo = m[order]
+        s = mo @ mo.T
+        # max cosine to any EARLIER item in the (csim asc, id asc) order
+        tri = np.tril(s, k=-1)
+        mx = tri.max(axis=1) if len(order) else np.empty(0)
+        drop = mx > eps
+        clus = batch.column("cluster").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids[order][drop]),
+                "cluster": pa.array(clus[order][drop]),
+                "max_cosine": pa.array(mx[drop], type=pa.float64()),
+            }
+        )
+
+    drops_ds = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+    ).materialize()
+    if drops_ds.count() == 0:
+        return ds, drops_ds
+    kept = anti_join(ds, drops_ds.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow"
+    ), key_cols=(id_col,), keys_distinct=True)
+    return kept, drops_ds

@@ -415,3 +415,42 @@ def test_attr_univar_population_and_sample(ray_session):
     assert g.loc[0, "n"] == 5 and g.loc[0, "nulls"] == 1
     assert g.loc[0, "mean"] == _pt.approx(allv.mean(), rel=1e-12)
     assert g.loc[0, "var_samp"] == _pt.approx(allv.var(ddof=1), rel=1e-12)
+
+
+def test_semdedup_exact_groups(ray_session):
+    import ray.data
+
+    from grass_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 16)).astype(np.float32)
+    # precondition: distinct base vectors are below the eps radius
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    s = bn @ bn.T
+    np.fill_diagonal(s, 0.0)
+    assert s.max() < 0.95
+    # ids 30..34 duplicate base[0..4] exactly (cosine 1 regardless of
+    # scale); identical vectors always share a cluster bucket, so the
+    # drop set is clustering-independent
+    vecs = np.vstack([base, base[:5] * 2.0])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    kept, drops = semdedup(ds, eps=0.95, n_clusters=4, iters=4)
+    kdf = kept.to_pandas()
+    ddf = drops.to_pandas()
+    # within each identical pair (i, 30+i) csim ties -> id asc keeps i
+    assert sorted(ddf["vec_id"]) == [30, 31, 32, 33, 34]
+    assert sorted(kdf["vec_id"]) == list(range(30))
+    assert (ddf["max_cosine"] > 0.999).all()
+
+    # eps above any possible cosine -> nothing dropped
+    kept2, drops2 = semdedup(ds, eps=1.5, n_clusters=4, iters=4)
+    assert drops2.count() == 0
+    assert kept2.count() == 35
