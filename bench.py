@@ -160,6 +160,8 @@ def run_bench() -> dict:
         "quantile_filter",
         "tfidf_top",
         "pmi_collocations",
+        # round-3 additions
+        "semdedup",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
