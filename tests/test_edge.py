@@ -198,3 +198,75 @@ def test_fuzz_build_vs_bruteforce(ray_session, tmp_path, seed, g0, f1, f2):
                     assert gs == s
                     assert got.loc[doc_id, "minimum"][j] == mn
                     assert got.loc[doc_id, "maximum"][j] == mx
+
+
+def test_round3_ops_empty_and_tiny(ray_session):
+    """Round-3 paths on empty / single-row inputs: the ANN merge tree,
+    semdedup, the distributed-rank tokenizer and tfidf/pmi exchange
+    regimes must all return empty/degenerate results, not crash."""
+    import ray.data
+
+    from grass_ray.stages.similarity import ann_topk, semdedup
+    from grass_ray.stages.vocab import (
+        pmi_collocations,
+        tfidf_top,
+        tokenize_by_rank,
+    )
+
+    # --- empty embedding table through the merge tree + semdedup
+    empty_vec = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "embedding": pa.array([], type=pa.list_(pa.float32())),
+        }
+    )
+    q = np.eye(2, 8, dtype=np.float32)
+    out = ann_topk(ray.data.from_arrow(empty_vec), q, k=3)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "vec_id", "score", "rank"]
+
+    one_vec = pa.table(
+        {
+            "vec_id": pa.array([7], type=pa.int64()),
+            "embedding": pa.array(
+                [np.arange(8, dtype=np.float32).tolist()],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    kept, drops = semdedup(
+        ray.data.from_arrow(one_vec), eps=0.9, n_clusters=2, iters=2
+    )
+    assert kept.count() == 1 and drops.count() == 0
+
+    # --- empty / single-doc text through both vocab regimes
+    empty_docs = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "text": pa.array([], type=pa.string()),
+        }
+    )
+    one_doc = pa.table(
+        {
+            "doc_id": pa.array(["d0"]),
+            "text": pa.array(["alpha beta alpha"]),
+        }
+    )
+    for thr in (500_000, 0):
+        td = tokenize_by_rank(
+            ray.data.from_arrow(one_doc), broadcast_threshold=thr
+        ).to_pandas()
+        assert list(td["tokens"][0]) == [0, 1, 0]  # alpha=rank0, beta=rank1
+        tf = tfidf_top(
+            ray.data.from_arrow(one_doc), broadcast_threshold=thr
+        ).to_pandas()
+        assert len(tf) == 1
+        pm = pmi_collocations(
+            ray.data.from_arrow(one_doc),
+            broadcast_threshold=thr,
+            top_n=5,
+            min_count=1,
+        ).to_pandas()
+        assert len(pm) >= 1
+    # empty corpus: no rows out, no crash (broadcast regime)
+    assert tokenize_by_rank(ray.data.from_arrow(empty_docs)).count() == 0
