@@ -479,7 +479,9 @@ def verify_pairs_jaccard(
         return t.group_by([id_col], use_threads=False).aggregate([])
 
     need = cand.map_batches(endpoints, batch_format="pyarrow")
-    if 2 * n_pairs > 2_000_000:  # semi_join broadcast threshold
+    from grass_ray.stages.join import BROADCAST_KEYS_THRESHOLD
+
+    if 2 * n_pairs > BROADCAST_KEYS_THRESHOLD:
         need = distinct_keys(need, (id_col,))
     sh = _shingle_table(
         ds, need, id_col=id_col, text_col=text_col, k_shingle=k_shingle
@@ -600,7 +602,9 @@ def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_c
     # under the broadcast threshold the anti-join's key SET dedups the
     # drop ids for free — the standalone distinct exchange only pays
     # off once the drop set must go through the bucket machinery
-    if n_verified > 2_000_000:
+    from grass_ray.stages.join import BROADCAST_KEYS_THRESHOLD
+
+    if n_verified > BROADCAST_KEYS_THRESHOLD:
         drops = distinct_keys(drops, (id_col,))
     kept = anti_join(ds, drops, key_cols=(id_col,), keys_distinct=True)
     return kept, verified

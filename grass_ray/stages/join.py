@@ -484,6 +484,16 @@ def distinct_keys(ds, key_cols, *, buckets: int = 64):
     )
 
 
+# the semi/anti-join regime boundary: at or under this many keys the
+# key set broadcasts (a SET lookup, which dedups duplicate keys for
+# free); above it both sides go through the bucket exchange, where the
+# keys side MUST already be distinct (a left bucket_join against
+# duplicate keys fans rows out).  Callers that skip their own distinct
+# under this threshold (dedup.py) must reference THIS constant so the
+# invariant can't drift apart across files.
+BROADCAST_KEYS_THRESHOLD = 2_000_000
+
+
 def semi_join(
     ds,
     keys_ds,
@@ -491,7 +501,7 @@ def semi_join(
     key_cols,
     buckets: int = 64,
     anti: bool = False,
-    broadcast_threshold: int = 2_000_000,
+    broadcast_threshold: int = BROADCAST_KEYS_THRESHOLD,
     keys_distinct: bool = False,
 ):
     """Distributed semi-join (anti=True -> anti-join): keep rows of `ds`
