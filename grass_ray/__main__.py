@@ -294,6 +294,22 @@ def cmd_kmeans(args):
     ray.shutdown()
 
 
+def cmd_semdedup(args):
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.similarity import semdedup
+
+    ds = read_parquet_sized(args.vectors).materialize()
+    kept, drops = semdedup(
+        ds, eps=args.eps, n_clusters=args.k, vec_col=args.vec_col,
+        id_col=args.id_col,
+    )
+    kept.write_parquet(args.out)
+    n_drop = drops.count()
+    print(json.dumps({"out": args.out, "dropped": n_drop}))
+    ray.shutdown()
+
+
 def cmd_normalize(args):
     ray = _ray()
     from grass_ray.sources.readers import read_parquet_sized
@@ -474,6 +490,17 @@ def main(argv=None):
     km.add_argument("--vec-col", default="embedding")
     km.add_argument("--id-col", default="vec_id")
     km.set_defaults(fn=cmd_kmeans)
+
+    sdd = sub.add_parser(
+        "semdedup", help="semantic dedup: k-means + within-cluster cosine pruning"
+    )
+    sdd.add_argument("vectors")
+    sdd.add_argument("out")
+    sdd.add_argument("--eps", type=float, default=0.95)
+    sdd.add_argument("--k", type=int, default=16)
+    sdd.add_argument("--vec-col", default="embedding")
+    sdd.add_argument("--id-col", default="vec_id")
+    sdd.set_defaults(fn=cmd_semdedup)
 
     nm = sub.add_parser(
         "normalize", help="unicode NFC + whitespace normalization"

@@ -454,3 +454,30 @@ def test_semdedup_exact_groups(ray_session):
     kept2, drops2 = semdedup(ds, eps=1.5, n_clusters=4, iters=4)
     assert drops2.count() == 0
     assert kept2.count() == 35
+
+
+def test_ann_merge_tree_many_blocks(ray_session):
+    """The coalesce-combine top-k merge must stay exact when the
+    candidate stream spans more blocks than the fan-in (multi-level
+    combine actually exercised)."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(400, 12)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in X], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(40)  # 40 blocks >> fan_in 16
+    q = X[:3]
+    out = ann_topk(ds, q, k=7, dtype=np.float64).to_pandas()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    for qi in range(3):
+        want = np.argsort(-(qn[qi] @ Xn.T), kind="stable")[:7].tolist()
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == want
