@@ -1992,6 +1992,56 @@ def _q_quantile_filter(sf_dir: str) -> pa.Table:
     return t.select(["doc_id", "n_words"])
 
 
+def _q_bpe_tokenize(sf_dir: str) -> pa.Table:
+    """Subword BPE tokenization (Sennrich et al. 2016): merges learned
+    from the distributed word-count exchange (deterministic tie-break),
+    then a memoized map-side encode.  Iterative training has no SQL
+    analog — rows-only check on per-doc scalar stats of the id
+    stream."""
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.bpe import bpe_encode, bpe_train
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.materialize()  # consumed by train (counts) AND encode
+    merges, alphabet = bpe_train(ds, n_merges=200)
+    out = bpe_encode(ds, merges, alphabet)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        offs = np.zeros(batch.num_rows + 1, dtype=np.int64)
+        np.cumsum(
+            toks.value_lengths().to_numpy(zero_copy_only=False),
+            out=offs[1:],
+        )
+        n = np.diff(offs)
+        has = n > 0
+        s = np.add.reduceat(flat, offs[:-1], dtype=np.int64)
+        s[~has] = 0
+        first = np.where(has, flat[np.minimum(offs[:-1], len(flat) - 1)], -1)
+        last = np.where(
+            has, flat[np.maximum(offs[1:] - 1, 0)], -1
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_subtok": pa.array(n),
+                "sum_id": pa.array(s),
+                "first_id": pa.array(first.astype(np.int64)),
+                "last_id": pa.array(last.astype(np.int64)),
+            }
+        )
+
+    t = pa.Table.from_pandas(
+        out.map_batches(stats, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    return t.sort_by("doc_id")
+
+
 def _q_curate_v2(sf_dir: str) -> pa.Table:
     """Round-2 curation composition: normalize → mix → segment dedup →
     LM filter → frequency-rank tokenize → split.  Rows-only (composes
@@ -2263,6 +2313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accdetect_ranges": _q_accdetect,
         "algebra_shift": _q_algebra_shift,
         "token_counts": _q_token_counts,
+        "bpe_tokenize": _q_bpe_tokenize,
     }
 
 

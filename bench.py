@@ -162,6 +162,7 @@ def run_bench() -> dict:
         "pmi_collocations",
         # round-3 additions
         "semdedup",
+        "bpe_tokenize",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

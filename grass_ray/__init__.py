@@ -65,6 +65,7 @@ from grass_ray.stages.grouped import approx_distinct, approx_quantiles
 from grass_ray.stages.neighbors import neighbors
 from grass_ray.stages.seriesops import delta_rollup, ffill_rollup
 from grass_ray.stages.sample import events_time_report
+from grass_ray.stages.bpe import bpe_encode, bpe_train, bpe_vocab
 from grass_ray.stages.similarity import (
     ann_topk,
     embedding_dedup,
@@ -152,6 +153,9 @@ __all__ = [
     "build_tiers",
     "cascade",
     "embedding_dedup",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_vocab",
     "semdedup",
     "exact_dedup",
     "mix_sources",

@@ -294,6 +294,21 @@ def cmd_kmeans(args):
     ray.shutdown()
 
 
+def cmd_bpe(args):
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.bpe import bpe_encode, bpe_train
+
+    ds = read_parquet_sized(args.docs).materialize()
+    merges, alphabet = bpe_train(
+        ds, n_merges=args.merges, max_words=args.max_words
+    )
+    bpe_encode(ds, merges, alphabet).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "n_merges": len(merges),
+                      "alphabet": len(alphabet)}))
+    ray.shutdown()
+
+
 def cmd_semdedup(args):
     ray = _ray()
     from grass_ray.sources.readers import read_parquet_sized
@@ -501,6 +516,15 @@ def main(argv=None):
     sdd.add_argument("--vec-col", default="embedding")
     sdd.add_argument("--id-col", default="vec_id")
     sdd.set_defaults(fn=cmd_semdedup)
+
+    bp = sub.add_parser(
+        "bpe", help="train BPE merges and subword-tokenize a document table"
+    )
+    bp.add_argument("docs")
+    bp.add_argument("out")
+    bp.add_argument("--merges", type=int, default=1000)
+    bp.add_argument("--max-words", type=int, default=1_000_000)
+    bp.set_defaults(fn=cmd_bpe)
 
     nm = sub.add_parser(
         "normalize", help="unicode NFC + whitespace normalization"
