@@ -136,3 +136,35 @@ def test_bpe_encode_oov_and_trim(ray_session):
     ).to_pandas()
     ids = list(out["tokens"][0])
     assert -1 in ids  # 'z' unseen in the trimmed alphabet -> oov
+
+
+def test_bpe_train_property_matches_bruteforce(ray_session):
+    """Random tiny corpora: incremental pair maintenance must equal the
+    full-recount reference for every merge sequence."""
+    import ray.data
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(texts=corpus)
+    def check(texts):
+        t = pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+                "text": pa.array(texts),
+            }
+        )
+        merges, _ = bpe_train(
+            ray.data.from_arrow(t), n_merges=12, min_pair_count=1
+        )
+        want = _ref_train(_counts_of(texts), 12, min_pair_count=1)
+        assert merges == want
+
+    check()
