@@ -521,19 +521,31 @@ def kmeans_fit(
                 }
             )
 
-        sums = np.zeros((k, d), dtype=np.float64)
-        cnt = np.zeros(k, dtype=np.int64)
+        # bounded fold: blocks × k partial rows.  Blocks arrive in
+        # COMPLETION order (preserve_order is off), and float64 addition
+        # is order-sensitive at the ulp — sort the collected partials by
+        # full content first so the fold (and therefore the fitted
+        # centroids) is bit-reproducible run to run.
+        cls, cnts, mats = [], [], []
         for b in narrow.map_batches(
             partial, batch_format="pyarrow"
         ).iter_batches(batch_format="pyarrow", batch_size=None):
-            cl = b.column("cluster").to_numpy(zero_copy_only=False)
-            cnt_b = b.column("n").to_numpy(zero_copy_only=False)
+            cls.append(b.column("cluster").to_numpy(zero_copy_only=False))
+            cnts.append(b.column("n").to_numpy(zero_copy_only=False))
             s = b.column("s")
             if isinstance(s, pa.ChunkedArray):
                 s = s.combine_chunks()
-            mat = s.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
-            np.add.at(sums, cl, mat)
-            np.add.at(cnt, cl, cnt_b)
+            mats.append(
+                s.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+            )
+        cl = np.concatenate(cls)
+        cnt_b = np.concatenate(cnts)
+        mat = np.vstack(mats)
+        order = np.lexsort(tuple(mat.T[::-1]) + (cnt_b, cl))
+        sums = np.zeros((k, d), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        np.add.at(sums, cl[order], mat[order])
+        np.add.at(cnt, cl[order], cnt_b[order])
         new = cent.copy()
         nz = cnt > 0
         new[nz] = sums[nz] / cnt[nz, None]
