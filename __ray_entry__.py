@@ -2061,6 +2061,27 @@ def _q_curate_v2(sf_dir: str) -> pa.Table:
     return t.select(["doc_id", "n_tok", "split"])
 
 
+def _q_curate_v3(sf_dir: str) -> pa.Table:
+    """curate_v2 with the BPE subword tokenizer: merges trained on the
+    SURVIVING documents (post-dedup/filter), then encode + split.
+    Rows-only (composes hash-seeded and iterative stages)."""
+    from grass_ray.stages.curate import curate_v2
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    out = curate_v2(
+        ds,
+        mix_rates={"src0": 1.0, "src1": 0.5},
+        default_rate=0.8,
+        min_logprob=-5.0,
+        tokenizer="bpe",
+        bpe_merges=200,
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "n_tok", "split"])
+
+
 _SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -2314,6 +2335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "algebra_shift": _q_algebra_shift,
         "token_counts": _q_token_counts,
         "bpe_tokenize": _q_bpe_tokenize,
+        "curate_v3": _q_curate_v3,
     }
 
 

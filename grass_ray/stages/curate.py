@@ -216,13 +216,18 @@ def curate_v2(
     seed: int = 17,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = "rank",
+    bpe_merges: int = 1000,
 ):
     """The round-2 curation composition over a documents table:
 
     normalize (NFC + whitespace) → deterministic domain mixing →
     corpus-wide segment-level exact substring dedup → unigram-LM
-    quality filter → frequency-rank tokenization → deterministic
-    train/val/test split.
+    quality filter → tokenization → deterministic train/val/test
+    split.  ``tokenizer="rank"`` (default) uses the frequency-rank
+    vocabulary; ``"bpe"`` trains ``bpe_merges`` subword merges on the
+    SURVIVING documents (post-dedup/filter, the standard practice) and
+    encodes with them.
 
     Every stage is one of the engine's named operators; the glue is
     semi-joins on the surviving id set.  Returns a Dataset
@@ -259,7 +264,19 @@ def curate_v2(
             batch_format="pyarrow",
         )
         sd = semi_join(sd, good, key_cols=(id_col,), keys_distinct=True)
-    toks = tokenize_by_rank(sd, id_col=id_col, text_col="text_dedup")
+    if tokenizer == "bpe":
+        from grass_ray.stages.bpe import bpe_encode, bpe_train
+
+        merges, alphabet = bpe_train(
+            sd, n_merges=bpe_merges, text_col="text_dedup"
+        )
+        toks = bpe_encode(
+            sd, merges, alphabet, id_col=id_col, text_col="text_dedup"
+        )
+    elif tokenizer == "rank":
+        toks = tokenize_by_rank(sd, id_col=id_col, text_col="text_dedup")
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     return split_dataset(
         toks,
         split_fractions or {"train": 0.9, "val": 0.05, "test": 0.05},

@@ -79,3 +79,25 @@ def test_curate_pipeline(ray_session):
     assert len(df) > 0
     assert (df["n_tok"] <= 512).all()
     assert "near_dup_pairs" in report
+
+
+def test_curate_v2_bpe_tokenizer(ray_session):
+    """tokenizer='bpe' must keep the identical survivor/split set as
+    the rank tokenizer (same filter stages), with valid subword ids."""
+    import ray.data
+
+    from grass_ray.stages.curate import curate_v2
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "source", "text"],
+    )
+    rank = curate_v2(ds, min_logprob=-5.0).to_pandas()
+    bpe = curate_v2(
+        ds, min_logprob=-5.0, tokenizer="bpe", bpe_merges=50
+    ).to_pandas()
+    a = rank[["doc_id", "split"]].sort_values("doc_id").reset_index(drop=True)
+    b = bpe[["doc_id", "split"]].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (bpe["n_tok"] > 0).all()
+    assert all(min(t) >= 0 for t in bpe["tokens"] if len(t))
