@@ -481,3 +481,67 @@ def test_ann_merge_tree_many_blocks(ray_session):
         want = np.argsort(-(qn[qi] @ Xn.T), kind="stable")[:7].tolist()
         got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
         assert got == want
+
+
+def test_semdedup_property_single_cluster(ray_session):
+    """n_clusters=1 (and no projection bits) reduces semdedup to the
+    paper's GLOBAL procedure — property-check the prune step against a
+    direct numpy implementation on random corpora with planted
+    duplicates, using the engine's (deterministic) fitted centroid so
+    both sides order by the same float32 centroid similarities."""
+    import ray.data
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grass_ray.stages.similarity import _normalize, kmeans_fit, semdedup
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        n=st.integers(3, 24),
+        ndup=st.integers(0, 6),
+    )
+    def check(seed, n, ndup):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(n, 8)).astype(np.float32)
+        dups = base[rng.integers(0, n, size=min(ndup, n))]
+        vecs = np.vstack([base, dups]) if len(dups) else base
+        eps = 0.97
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        kept, drops = semdedup(
+            ds,
+            eps=eps,
+            n_clusters=1,
+            iters=2,
+            target_bucket=1 << 30,  # no projection bits
+        )
+        got = (
+            sorted(drops.to_pandas()["vec_id"].tolist())
+            if drops.count()
+            else []
+        )
+
+        # numpy reference for the PRUNE step, driven by the engine's own
+        # fitted centroid (kmeans_fit is bit-deterministic): float32
+        # matmuls exactly as the assign/prune kernels compute them
+        cent, _, _ = kmeans_fit(ds, n_clusters=1, iters=2)
+        m = _normalize(vecs)
+        csim = (m @ cent.T)[:, 0]
+        order = np.lexsort((np.arange(len(m)), csim))
+        mo = m[order]
+        s = mo @ mo.T
+        tri = np.tril(s, k=-1)
+        mx = tri.max(axis=1) if len(m) else np.empty(0)
+        want = sorted(np.arange(len(m))[order][mx > eps].tolist())
+        assert got == want
+        assert kept.count() == len(vecs) - len(want)
+
+    check()
