@@ -9,12 +9,14 @@ extensions at the SURVEY §2.13 altitude):
   word per batch, not one per token) → pre-combined ``Sum`` exchange →
   deterministic global top-N (count desc, word asc).
 * :func:`decontaminate` — drop training documents sharing any word
-  k-gram with a benchmark set (the standard eval-contamination guard):
-  benchmark k-gram hashes are reduced to a distinct set, training
-  (doc, gram) pairs semi-join against it (two-regime: broadcast set
-  under threshold, bucket exchange above), contaminated doc ids fold to
-  a distinct set, and the keep step is an anti-join.  Documents shorter
-  than k words emit no grams (cannot be k-gram contaminated).
+  k-gram with a benchmark set (the standard eval-contamination guard).
+  Three regimes: under the broadcast threshold the distinct benchmark
+  gram hashes ship once as a sorted int64 array and the train side
+  tests membership MAP-SIDE (no train-gram exchange at all); above it
+  the train (doc, gram) pairs semi-join through the bucket machinery;
+  ``method="bloom"`` replaces the exact set with a fixed-size
+  OR-mergeable bitmap (no false negatives).  Documents shorter than k
+  words emit no grams (cannot be k-gram contaminated).
 """
 
 from __future__ import annotations
@@ -260,6 +262,7 @@ def decontaminate(
     method: str = "exact",
     bloom_expected_n: int | None = None,
     bloom_fp_rate: float = 1e-4,
+    broadcast_threshold: int | None = None,
 ):
     """Drop training docs sharing any word k-gram with the benchmark.
 
@@ -290,10 +293,62 @@ def decontaminate(
         )
     if method != "exact":
         raise ValueError(f"unknown decontaminate method {method!r}")
+    import ray
+
+    from grass_ray.stages.join import BROADCAST_KEYS_THRESHOLD
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_KEYS_THRESHOLD
     bench_grams = distinct_keys(
         _gram_table(bench_ds, k=k, id_col=id_col, text_col=text_col, rx=rx, with_id=False),
         ("gram",),
-    )
+    ).materialize()
+    if bench_grams.count() <= broadcast_threshold:
+        # broadcast-exact regime: the benchmark gram set is small by
+        # definition (the same size premise the bloom path relies on),
+        # so ship the SORTED int64 hash array once and test membership
+        # map-side with searchsorted — the train side's gram table is
+        # never exchanged at all (two fewer all-to-all barriers than
+        # the semi-join plan, bit-identical output)
+        parts = [
+            b.column("gram").to_numpy(zero_copy_only=False)
+            for b in bench_grams.iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+        grams = (
+            np.sort(np.concatenate(parts))
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        gref = ray.put(grams)
+
+        def find(batch: pa.Table) -> pa.Table:
+            g = ray.get(gref)
+            texts = batch.column(text_col).to_pylist()
+            flat, lens = _batch_grams(texts, k, rx)
+            n = batch.num_rows
+            doc_hit = np.zeros(n, dtype=bool)
+            if len(flat) and len(g):
+                idx = np.searchsorted(g, flat)
+                hit = (idx < len(g)) & (
+                    g[np.minimum(idx, len(g) - 1)] == flat
+                )
+                doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+                np.logical_or.at(doc_hit, doc_of[hit], True)
+            return pa.table(
+                {id_col: batch.column(id_col).filter(pa.array(doc_hit))}
+            )
+
+        # one row per contaminated doc (a doc lives in one batch) —
+        # globally distinct by construction
+        contaminated = train_ds.map_batches(
+            find, batch_format="pyarrow"
+        ).materialize()
+        kept = anti_join(
+            train_ds, contaminated, key_cols=(id_col,), keys_distinct=True
+        )
+        return kept, contaminated
     train_grams = _gram_table(
         train_ds, k=k, id_col=id_col, text_col=text_col, rx=rx, with_id=True
     )

@@ -75,3 +75,28 @@ def test_decontaminate_bloom_matches_exact(ray_session):
     assert ce == ["t1"]
     assert cb == ce
     assert sorted(r["doc_id"] for r in kept_b.take_all()) == ["t2", "t3"]
+
+
+def test_decontaminate_exact_regime_parity(ray_session):
+    """Broadcast-exact vs semi-join exchange regime: identical kept and
+    contaminated sets on the same inputs."""
+    import ray.data
+
+    from grass_ray.stages.vocab import decontaminate
+
+    train = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    bench = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    ).limit(30).materialize()
+    k_a, c_a = decontaminate(train, bench, k=8)
+    k_b, c_b = decontaminate(train, bench, k=8, broadcast_threshold=0)
+    ca = sorted(c_a.to_pandas()["doc_id"]) if c_a.count() else []
+    cb = sorted(c_b.to_pandas()["doc_id"]) if c_b.count() else []
+    assert ca == cb and len(ca) >= 30  # bench docs contaminate themselves
+    assert sorted(k_a.to_pandas()["doc_id"]) == sorted(
+        k_b.to_pandas()["doc_id"]
+    )
