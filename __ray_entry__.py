@@ -1044,13 +1044,24 @@ def _q_interval_sessions(sf_dir: str) -> pa.Table:
     """Interval topology join: coarse sessions (gap 30 min) x fine
     sessions (gap 5 min) per user, pairs that overlap in time — the
     distributed R-tree-analog range join on real intervals."""
-    from grass_ray.stages.grouped import sessionize
+    from grass_ray.stages.grouped import sessionize_multi
     from grass_ray.stages.join import interval_join
 
     ev = _events_cents(sf_dir)
+    # BOTH granularities from ONE sessionize exchange (shared sort)
+    multi = sessionize_multi(
+        ev, key_cols=("user_id",), gaps={"coarse": 1800, "fine": 600}
+    ).materialize()
 
-    def intervals(gap: int, sid_name: str):
-        s = sessionize(ev, key_cols=("user_id",), gap_seconds=gap)
+    def intervals(label: str, sid_name: str):
+        import pyarrow.compute as _pc
+
+        s = multi.map_batches(
+            lambda b, _l=label: b.filter(
+                _pc.equal(b.column("gap_label"), _l)
+            ),
+            batch_format="pyarrow",
+        )
 
         def to_iv(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -1080,8 +1091,8 @@ def _q_interval_sessions(sf_dir: str) -> pa.Table:
         # execute the lazy sessionize pipeline a second time
         return s.map_batches(to_iv, batch_format="pyarrow").materialize()
 
-    a = intervals(1800, "sid_a")
-    b = intervals(600, "sid_b")
+    a = intervals("coarse", "sid_a")
+    b = intervals("fine", "sid_b")
     out = interval_join(
         a, b, key_cols=("user_id",), start_col="start", end_col="end",
         bucket_span=8192,

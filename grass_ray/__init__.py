@@ -43,7 +43,12 @@ from grass_ray.stages.dedup import (
     simhash_candidates,
 )
 from grass_ray.stages.extract import apply_mapcalc, extract, tier_arith, tier_select
-from grass_ray.stages.grouped import hop_windows, sessionize, topk_per_group
+from grass_ray.stages.grouped import (
+    hop_windows,
+    sessionize,
+    sessionize_multi,
+    topk_per_group,
+)
 from grass_ray.stages.interp import interp_positions
 from grass_ray.stages.join import (
     anti_join,
@@ -187,6 +192,7 @@ __all__ = [
     "minhash_dedup",
     "neighbors",
     "sessionize",
+    "sessionize_multi",
     "simhash_candidates",
     "tier_arith",
     "tier_select",

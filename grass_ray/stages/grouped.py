@@ -337,9 +337,41 @@ def sessionize(
     (key..., session_id, session_start, session_end, n_events,
     sum_value); session ids are 0-based per key in time order.
     """
+    out = sessionize_multi(
+        ds,
+        key_cols=key_cols,
+        gaps={"_only": gap_seconds},
+        ts_col=ts_col,
+        val_col=val_col,
+        buckets=buckets,
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["gap_label"]), batch_format="pyarrow"
+    )
+
+
+def sessionize_multi(
+    ds,
+    *,
+    key_cols,
+    gaps: dict,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    buckets: int = 64,
+):
+    """Multi-granularity sessionization in ONE exchange: every
+    ``gaps[label] = gap_seconds`` granularity is segmented from the
+    SAME per-bucket sort (key events land in one bucket; the sort and
+    the key-change flags are computed once, each gap derives its
+    session boundaries from the shared arrays).  N granularities cost
+    one shuffle instead of N — the multi-resolution session analysis
+    shape (coarse vs fine session overlap joins).  Output rows carry a
+    ``gap_label`` column; per-label content is bit-identical to
+    :func:`sessionize` at that gap."""
     from grass_ray.stages.join import _bucket_ids
 
     keys = list(key_cols)
+    items = sorted(gaps.items())  # deterministic label order
 
     def tag(batch: pa.Table) -> pa.Table:
         if batch.schema.metadata:
@@ -362,36 +394,40 @@ def sessionize(
         changed = np.ones(n, dtype=bool)
         if n > 1:
             changed[1:] = (kdf.iloc[1:].reset_index(drop=True) != kdf.iloc[:-1].reset_index(drop=True)).any(axis=1).to_numpy()
-        new = changed.copy()
-        if n > 1:
-            new[1:] |= (secs[1:] - secs[:-1]) > gap_seconds
-        sess_starts = np.flatnonzero(new)
-        key_starts = np.flatnonzero(changed)
-        n_sessions = len(sess_starts)
-        sess_ends = np.append(sess_starts[1:], n) - 1
-        # per-key 0-based numbering: key starts are always session starts
-        first_sess_of_key = np.searchsorted(sess_starts, key_starts)
-        key_of_sess = (
-            np.searchsorted(key_starts, sess_starts, side="right") - 1
-        )
-        session_id = (
-            np.arange(n_sessions, dtype=np.int64)
-            - first_sess_of_key[key_of_sess]
-        )
         v = b.column(val_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
-        vsum = (
-            np.add.reduceat(np.where(np.isnan(v), 0.0, v), sess_starts)
-            if n_sessions
-            else np.empty(0)
-        )
-        counts = np.diff(np.append(sess_starts, n))
-        cols = {k: b.column(k).take(pa.array(sess_starts)) for k in keys}
-        cols["session_id"] = pa.array(session_id)
-        cols["session_start"] = b.column(ts_col).take(pa.array(sess_starts))
-        cols["session_end"] = b.column(ts_col).take(pa.array(sess_ends))
-        cols["n_events"] = pa.array(counts.astype(np.int64))
-        cols["sum_value"] = pa.array(vsum, type=pa.float64())
-        return pa.table(cols)
+        key_starts = np.flatnonzero(changed)
+        tables = []
+        for label, gap_s in items:
+            new = changed.copy()
+            if n > 1:
+                new[1:] |= (secs[1:] - secs[:-1]) > gap_s
+            sess_starts = np.flatnonzero(new)
+            n_sessions = len(sess_starts)
+            sess_ends = np.append(sess_starts[1:], n) - 1
+            # per-key 0-based numbering: key starts are session starts
+            first_sess_of_key = np.searchsorted(sess_starts, key_starts)
+            key_of_sess = (
+                np.searchsorted(key_starts, sess_starts, side="right") - 1
+            )
+            session_id = (
+                np.arange(n_sessions, dtype=np.int64)
+                - first_sess_of_key[key_of_sess]
+            )
+            vsum = (
+                np.add.reduceat(np.where(np.isnan(v), 0.0, v), sess_starts)
+                if n_sessions
+                else np.empty(0)
+            )
+            counts = np.diff(np.append(sess_starts, n))
+            cols = {k: b.column(k).take(pa.array(sess_starts)) for k in keys}
+            cols["session_id"] = pa.array(session_id)
+            cols["session_start"] = b.column(ts_col).take(pa.array(sess_starts))
+            cols["session_end"] = b.column(ts_col).take(pa.array(sess_ends))
+            cols["n_events"] = pa.array(counts.astype(np.int64))
+            cols["sum_value"] = pa.array(vsum, type=pa.float64())
+            cols["gap_label"] = pa.array([label] * n_sessions)
+            tables.append(pa.table(cols))
+        return pa.concat_tables(tables)
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")

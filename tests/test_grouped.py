@@ -353,3 +353,41 @@ def test_interval_join_vs_duckdb(ray_session):
     got = set(zip(out["iid"], out["iid_r"]))
     exp = set(zip(want["iid"], want["iid_r"]))
     assert got == exp
+
+
+def test_sessionize_multi_matches_singles(ray_session):
+    """One-exchange multi-gap sessionize must be row-identical per
+    label to independent single-gap runs."""
+    import ray.data
+
+    from grass_ray.stages.grouped import sessionize, sessionize_multi
+
+    rng = np.random.default_rng(5)
+    n = 400
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 12, n), type=pa.int64()),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 100_000, n)).astype("datetime64[us]")
+            ),
+            "value": pa.array(rng.normal(size=n)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    multi = sessionize_multi(
+        ds, key_cols=("user_id",), gaps={"a": 1800, "b": 300}
+    ).to_pandas()
+    for label, gap in (("a", 1800), ("b", 300)):
+        single = (
+            sessionize(ds, key_cols=("user_id",), gap_seconds=gap)
+            .to_pandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        part = (
+            multi[multi["gap_label"] == label]
+            .drop(columns=["gap_label"])
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        assert part.equals(single)
