@@ -186,12 +186,18 @@ def events_time_report(ds, *, ts_col: str = "ts", max_distinct: int = 100_000) -
         (ts_col,),
     )
     n_events = ds.count()
-    # sort before the cap so a capped report is the deterministic
-    # earliest-timestamp prefix, not an arbitrary block-order subset
-    ts = distinct.sort(ts_col).limit(max_distinct + 1).to_pandas()[ts_col]
-    capped = len(ts) > max_distinct
-    if capped:
-        ts = ts.iloc[:max_distinct]
+    distinct = distinct.materialize()
+    if distinct.count() <= max_distinct:
+        # common path: the driver sorts the bounded set itself — no
+        # Ray sort exchange just to cut a prefix that isn't needed
+        ts = distinct.to_pandas()[ts_col]
+        capped = False
+    else:
+        # degenerate stream (every event its own microsecond): sort
+        # before the cap so the capped report is the deterministic
+        # earliest-timestamp prefix, not a block-order subset
+        ts = distinct.sort(ts_col).limit(max_distinct).to_pandas()[ts_col]
+        capped = True
     times = sorted(t.to_pydatetime() for t in pd.to_datetime(ts))
     gran = infer_granularity_absolute(times) if len(times) > 1 else None
     return {
