@@ -171,20 +171,49 @@ def sized_num_blocks(
     return max(large, mid, min(small, 2 * cpus), 1)
 
 
-def _local_bytes(paths) -> int | None:
-    """Total size of local files/dirs; None if any path is unsized."""
+def _local_file_sizes(paths) -> list[int] | None:
+    """Per-file sizes of local files/dirs; None if any path is unsized."""
     import os
 
-    total = 0
+    sizes: list[int] = []
     for p in [paths] if isinstance(paths, str) else list(paths):
         if os.path.isfile(p):
-            total += os.path.getsize(p)
+            sizes.append(os.path.getsize(p))
         elif os.path.isdir(p):
             for root, _dirs, files in os.walk(p):
-                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+                sizes.extend(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
         else:
             return None
-    return total
+    return sizes
+
+
+def _local_bytes(paths) -> int | None:
+    """Total size of local files/dirs; None if any path is unsized."""
+    sizes = _local_file_sizes(paths)
+    return None if sizes is None else sum(sizes)
+
+
+def snap_blocks_to_files(num_blocks: int, sizes: list[int]) -> int:
+    """Align a block count to file boundaries when files are uniform.
+
+    A read of F same-sized files split into N < F blocks hands some
+    tasks ceil(F/N) files and others one fewer — in a fused
+    read->kernel->write pipeline the fat tasks become 2× stragglers
+    (measured at sf0.1: 64 blocks over 120 files ran 8 tasks at half
+    load and the rest at full; snapping to 60 evened the wave).  Snap N
+    down to ceil(F / ceil(F/N)) so every task gets the same file count.
+    Skewed file sizes (max > 2×min) make the even-file-count assumption
+    wrong, so leave N alone there, as when files already split (F < N).
+    """
+    f = len(sizes)
+    if f == 0 or num_blocks <= 0 or f < num_blocks:
+        return num_blocks
+    if max(sizes) > 2 * min(sizes):
+        return num_blocks
+    per_block = -(-f // num_blocks)
+    return -(-f // per_block)
 
 
 def read_parquet_sized(paths, *, columns=None, size_multiplier: float = 1.0, **kw):
@@ -199,10 +228,10 @@ def read_parquet_sized(paths, *, columns=None, size_multiplier: float = 1.0, **k
     import ray.data
 
     if "override_num_blocks" not in kw:
-        nbytes = _local_bytes(paths)
-        if nbytes is not None:
-            kw["override_num_blocks"] = sized_num_blocks(
-                int(nbytes * size_multiplier)
+        sizes = _local_file_sizes(paths)
+        if sizes is not None:
+            kw["override_num_blocks"] = snap_blocks_to_files(
+                sized_num_blocks(int(sum(sizes) * size_multiplier)), sizes
             )
     ds = ray.data.read_parquet(paths, columns=columns, **kw)
     return ds.map_batches(
@@ -219,10 +248,10 @@ def read_json_sized(paths, *, size_multiplier: float = 1.0, **kw):
     import ray.data
 
     if "override_num_blocks" not in kw:
-        nbytes = _local_bytes(paths)
-        if nbytes is not None:
-            kw["override_num_blocks"] = sized_num_blocks(
-                int(nbytes * size_multiplier)
+        sizes = _local_file_sizes(paths)
+        if sizes is not None:
+            kw["override_num_blocks"] = snap_blocks_to_files(
+                sized_num_blocks(int(sum(sizes) * size_multiplier)), sizes
             )
     return ray.data.read_json(paths, **kw)
 
@@ -233,10 +262,10 @@ def read_csv_sized(paths, *, size_multiplier: float = 1.0, **kw):
     import ray.data
 
     if "override_num_blocks" not in kw:
-        nbytes = _local_bytes(paths)
-        if nbytes is not None:
-            kw["override_num_blocks"] = sized_num_blocks(
-                int(nbytes * size_multiplier)
+        sizes = _local_file_sizes(paths)
+        if sizes is not None:
+            kw["override_num_blocks"] = snap_blocks_to_files(
+                sized_num_blocks(int(sum(sizes) * size_multiplier)), sizes
             )
     return ray.data.read_csv(paths, **kw)
 
