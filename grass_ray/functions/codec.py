@@ -70,24 +70,24 @@ def _assemble_bits(lengths: np.ndarray, payloads: np.ndarray) -> bytes:
         payloads << np.where(pos_sh, sh0, 0).astype(np.uint64),
         payloads >> np.where(pos_sh, 0, -sh0).astype(np.uint64),
     )
+    words = np.zeros(nwords, dtype=np.uint64)
+    # w0 is non-decreasing (fields are in stream order), so the word-0
+    # contributions group with one boundary scan — no sort needed
+    boundary = np.ones(len(w0), dtype=bool)
+    boundary[1:] = w0[1:] != w0[:-1]
+    starts = np.flatnonzero(boundary)
+    words[w0[starts]] = np.bitwise_or.reduceat(c0, starts)
     spill = ~pos_sh
-    idx_list = [w0]
-    val_list = [c0]
     if spill.any():
+        # spill word indices (w0+1) are non-decreasing too; OR into the
+        # already-filled words
         sh1 = (128 - bitpos - lengths)[spill].astype(np.uint64)
         c1 = payloads[spill] << sh1
-        idx_list.append(w0[spill] + 1)
-        val_list.append(c1)
-    idx = np.concatenate(idx_list)
-    val = np.concatenate(val_list)
-    order = np.argsort(idx, kind="stable")
-    idx = idx[order]
-    val = val[order]
-    boundary = np.ones(len(idx), dtype=bool)
-    boundary[1:] = idx[1:] != idx[:-1]
-    starts = np.flatnonzero(boundary)
-    words = np.zeros(nwords, dtype=np.uint64)
-    words[idx[starts]] = np.bitwise_or.reduceat(val, starts)
+        w1 = w0[spill] + 1
+        b1 = np.ones(len(w1), dtype=bool)
+        b1[1:] = w1[1:] != w1[:-1]
+        s1 = np.flatnonzero(b1)
+        words[w1[s1]] |= np.bitwise_or.reduceat(c1, s1)
     return words.byteswap().tobytes()[: (total + 7) // 8]
 
 
@@ -458,9 +458,10 @@ def _encode_floats_core(flat: np.ndarray, lengths: np.ndarray):
     all_val[slot_of + 2] = np.where(nz, (xor >> tz) & mask_sig, 0)
     # pad slots sit after each row's last element's fields
     pad_slot = 3 * (starts + lengths) + np.arange(nrows, dtype=np.int64)
-    # bits per row before padding: reduceat over element bit totals
-    elem_bits = (
-        all_len[slot_of] + all_len[slot_of + 1] + all_len[slot_of + 2]
+    # bits per row before padding: per-element totals formed directly
+    # (ctrl/raw + header + payload), no gathers over the slot arrays
+    elem_bits = np.where(
+        is_first, 64, np.where(nz, 12 + sig.astype(np.int64), 1)
     )
     row_bits = np.zeros(nrows, dtype=np.int64)
     has = lengths > 0
