@@ -238,17 +238,26 @@ def _fast_int_reduce(tokens, seg_lengths, methods) -> dict[str, np.ndarray]:
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
     flat = tokens.flatten()
-    valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
-    vals = flat.fill_null(0).to_numpy(zero_copy_only=False)
+    no_nulls = flat.null_count == 0
+    if no_nulls:
+        # gap-free fast path: the validity bitmap, fill_null copy and
+        # the masked min/max temporaries all drop out, and the count
+        # IS the segment length
+        valid = None
+        vals = flat.to_numpy(zero_copy_only=False)
+    else:
+        valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+        vals = flat.fill_null(0).to_numpy(zero_copy_only=False)
     starts = np.zeros(len(seg_lengths), dtype=np.int64)
     np.cumsum(seg_lengths[:-1], out=starts[1:])
     n = len(vals)
     empty_seg = len(starts) == 0
-    cnt = (
-        np.add.reduceat(valid, starts, dtype=np.int64)
-        if not empty_seg
-        else np.empty(0, np.int64)
-    )
+    if empty_seg:
+        cnt = np.empty(0, np.int64)
+    elif no_nulls:
+        cnt = np.asarray(seg_lengths, dtype=np.int64)
+    else:
+        cnt = np.add.reduceat(valid, starts, dtype=np.int64)
     out: dict[str, np.ndarray] = {}
     zero = cnt == 0
     need = set(methods)
@@ -267,7 +276,9 @@ def _fast_int_reduce(tokens, seg_lengths, methods) -> dict[str, np.ndarray]:
     if {"minimum", "range"} & need:
         info = np.iinfo(vals.dtype)
         mn = (
-            np.minimum.reduceat(np.where(valid, vals, info.max), starts)
+            np.minimum.reduceat(
+                vals if no_nulls else np.where(valid, vals, info.max), starts
+            )
             if not empty_seg
             else np.empty(0, vals.dtype)
         ).astype(np.float64)
@@ -275,7 +286,9 @@ def _fast_int_reduce(tokens, seg_lengths, methods) -> dict[str, np.ndarray]:
     if {"maximum", "range"} & need:
         info = np.iinfo(vals.dtype)
         mx = (
-            np.maximum.reduceat(np.where(valid, vals, info.min), starts)
+            np.maximum.reduceat(
+                vals if no_nulls else np.where(valid, vals, info.min), starts
+            )
             if not empty_seg
             else np.empty(0, vals.dtype)
         ).astype(np.float64)
