@@ -266,7 +266,13 @@ def decontaminate(
 ):
     """Drop training docs sharing any word k-gram with the benchmark.
 
-    Returns (kept_train_ds, contaminated_ids_ds).
+    Returns (kept_train_ds, contaminated_ids_ds).  In the broadcast
+    regimes (bloom, or exact under the threshold) BOTH outputs are lazy
+    map-side filters sharing one membership probe: consuming only one
+    of them costs a single train pass with no exchange; consuming both
+    runs the probe twice (still exchange-free).  The exchange regime
+    materializes the contaminated ids (they fold from a distributed
+    join) and derives kept by anti-join.
 
     ``method="exact"`` (default): the benchmark gram set and the
     contaminated id set go through the two-regime semi/anti-join
@@ -323,30 +329,37 @@ def decontaminate(
         )
         gref = ray.put(grams)
 
-        def find(batch: pa.Table) -> pa.Table:
+        def hit_mask(batch: pa.Table) -> np.ndarray:
             g = ray.get(gref)
             texts = batch.column(text_col).to_pylist()
             flat, lens = _batch_grams(texts, k, rx)
-            n = batch.num_rows
-            doc_hit = np.zeros(n, dtype=bool)
+            doc_hit = np.zeros(batch.num_rows, dtype=bool)
             if len(flat) and len(g):
                 idx = np.searchsorted(g, flat)
                 hit = (idx < len(g)) & (
                     g[np.minimum(idx, len(g) - 1)] == flat
                 )
-                doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+                doc_of = np.repeat(
+                    np.arange(batch.num_rows, dtype=np.int64), lens
+                )
                 np.logical_or.at(doc_hit, doc_of[hit], True)
-            return pa.table(
-                {id_col: batch.column(id_col).filter(pa.array(doc_hit))}
-            )
+            return doc_hit
 
-        # one row per contaminated doc (a doc lives in one batch) —
-        # globally distinct by construction
+        # both outputs are lazy map-side filters off the same probe —
+        # the membership test replaces the contaminated-id materialize
+        # + anti-join, so consuming kept costs ONE train pass (a caller
+        # that consumes both pays the probe twice; each pass is still
+        # exchange-free).  Ids are globally distinct by construction:
+        # a doc lives in exactly one batch.
         contaminated = train_ds.map_batches(
-            find, batch_format="pyarrow"
-        ).materialize()
-        kept = anti_join(
-            train_ds, contaminated, key_cols=(id_col,), keys_distinct=True
+            lambda b: pa.table(
+                {id_col: b.column(id_col).filter(pa.array(hit_mask(b)))}
+            ),
+            batch_format="pyarrow",
+        )
+        kept = train_ds.map_batches(
+            lambda b: b.filter(pa.array(~hit_mask(b))),
+            batch_format="pyarrow",
         )
         return kept, contaminated
     train_grams = _gram_table(
@@ -382,8 +395,6 @@ def _decontaminate_bloom(
         bloom_empty,
         bloom_params,
     )
-    from grass_ray.stages.join import anti_join, distinct_keys
-
     if expected_n is None:
         # auto-size: per-doc-unique gram rows over the (small) bench
         # side — an overcount of the distinct grams, i.e. conservative
@@ -409,9 +420,8 @@ def _decontaminate_bloom(
             acc |= np.frombuffer(buf, dtype=np.uint8).view(np.uint64)
     ref = ray.put(acc)
 
-    def contaminated_ids(batch: pa.Table) -> pa.Table:
+    def hit_mask(batch: pa.Table) -> np.ndarray:
         words = ray.get(ref)
-        ids = batch.column(id_col)
         texts = batch.column(text_col).to_pylist()
         hit = np.zeros(len(texts), dtype=bool)
         flat, lens = _batch_grams(texts, k, rx)
@@ -424,16 +434,22 @@ def _decontaminate_bloom(
                 m = bloom_contains(words, flat[s : s + step], n_hashes)
                 if m.any():
                     hit[np.unique(doc_of[s : s + step][m])] = True
-        return pa.table({id_col: ids.filter(pa.array(hit))})
+        return hit
 
-    # no distinct exchange: id_col is the train PK, every row lands in
-    # exactly one batch and the hit mask dedups within the batch, so
-    # the filtered id stream is globally distinct already
+    # both outputs are lazy map-side filters off the same bitmap probe
+    # — no contaminated-id materialize, no anti-join exchange, so
+    # consuming kept costs ONE train pass (a caller consuming both pays
+    # the probe twice).  No distinct exchange needed: id_col is the
+    # train PK, every row lands in exactly one batch and the hit mask
+    # dedups within the batch.
     contaminated = train_ds.map_batches(
-        contaminated_ids, batch_format="pyarrow"
-    ).materialize()
-    kept = anti_join(
-        train_ds, contaminated, key_cols=(id_col,), keys_distinct=True
+        lambda b: pa.table(
+            {id_col: b.column(id_col).filter(pa.array(hit_mask(b)))}
+        ),
+        batch_format="pyarrow",
+    )
+    kept = train_ds.map_batches(
+        lambda b: b.filter(pa.array(~hit_mask(b))), batch_format="pyarrow"
     )
     return kept, contaminated
 
