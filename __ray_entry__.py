@@ -1170,6 +1170,59 @@ def _q_codec_roundtrip(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_compact_roundtrip(sf_dir: str) -> pa.Table:
+    """Segment-merge maintenance with an exact oracle: build the 1m
+    tier, fragment every partition dir into two parquet files (the
+    layout multi-block staged writes leave behind), run
+    ``compact_tier`` back to one file per dir, read the tier decoded —
+    points must equal the SQL rollup bit-for-bit (the codec_roundtrip
+    contract plus the maintenance op; the query raises if compaction
+    was a no-op so the check can't pass vacuously)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from grass_ray.pipelines.retention import compact_tier
+    from grass_ray.pipelines.tiers import build_tiers, read_tier
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.state.manifest import TierStore, _parquet_files
+
+    with tempfile.TemporaryDirectory(prefix="grassray_cmp_") as root:
+        build_tiers(
+            _corpus(sf_dir), root, tier_specs=(("1m", 60),), num_partitions=8
+        )
+        store = TierStore(root)
+        parts = sorted(store.committed_partitions("1m"))
+        for p in parts:
+            d = store.partition_dir("1m", p)
+            f = _parquet_files(d)[0]
+            t = pq.read_table(f)
+            h = t.num_rows // 2
+            pq.write_table(t.slice(0, h), os.path.join(d, "frag_a.parquet"))
+            pq.write_table(t.slice(h), os.path.join(d, "frag_b.parquet"))
+            os.remove(f)
+        done = compact_tier(store, "1m")
+        if sorted(done) != parts:
+            raise RuntimeError(f"compact was a no-op: {done} vs {parts}")
+        bad = [
+            p
+            for p in parts
+            if len(_parquet_files(store.partition_dir("1m", p))) != 1
+        ]
+        if bad:
+            raise RuntimeError(f"partitions still fragmented: {bad}")
+        pts = explode_nested(
+            read_tier(store, "1m"), value_cols=("sum", "count")
+        )
+        t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    keep = ["source", "doc_id", "window", "count", "sum"]
+    return _rename(
+        t.select([c for c in keep if c in t.column_names]),
+        {"count": "cnt", "sum": "sum_tok"},
+    )
+
+
 def _q_retention_trim(sf_dir: str) -> pa.Table:
     """Retention sweep with an exact oracle: build the 1m tier, apply a
     min_window=5 cutoff (partitions fully below the cutoff unregister;
@@ -2276,6 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_list": _q_catalog_list,
         "export_import_roundtrip": _q_export_import,
         "codec_roundtrip": _q_codec_roundtrip,
+        "compact_roundtrip": _q_compact_roundtrip,
         "algebra_topo_during": _q_algebra_topo_during,
         "what_col": _q_what_col,
         # --- never driver-checked (rows-only / non-SQL-expressible) ---
@@ -3805,4 +3859,6 @@ def oracle_sql() -> dict[str, str]:
     d["vocab_heavy"] = d["vocab_top100"]
     # incremental register must reproduce the full build exactly
     d["register_resume"] = d["codec_roundtrip"]
+    # compaction changes only file layout, never decoded points
+    d["compact_roundtrip"] = d["codec_roundtrip"]
     return d

@@ -148,6 +148,18 @@ def cmd_retention(args):
     print(json.dumps(res))
 
 
+def cmd_compact(args):
+    ray = _ray()
+    from grass_ray.pipelines.retention import compact_tier
+    from grass_ray.state.manifest import TierStore
+
+    done = compact_tier(
+        TierStore(args.store), args.tier, min_files=args.min_files
+    )
+    print(json.dumps({"tier": args.tier, "compacted": done}))
+    ray.shutdown()
+
+
 def cmd_topology(args):
     ray = _ray()
     from grass_ray.pipelines.tiers import read_tier
@@ -409,6 +421,14 @@ def main(argv=None):
     rt.add_argument("--tier", required=True)
     rt.add_argument("--min-window", type=int, required=True)
     rt.set_defaults(fn=cmd_retention)
+
+    cp = sub.add_parser(
+        "compact", help="merge fragmented partition files (segment merge)"
+    )
+    cp.add_argument("--store", required=True)
+    cp.add_argument("--tier", required=True)
+    cp.add_argument("--min-files", type=int, default=2)
+    cp.set_defaults(fn=cmd_compact)
 
     t = sub.add_parser("topology", help="gap/granularity report (t.topology)")
     t.add_argument("--store", required=True)

@@ -148,3 +148,81 @@ def apply_retention_policy(store: TierStore, policy: dict) -> dict:
         tier: apply_retention(store, tier, cutoff)
         for tier, cutoff in policy.items()
     }
+
+
+def _compact_partition_files(files: list[str], staged_dir: str) -> int:
+    """Rewrite one partition's parquet files as a single file under
+    ``staged_dir`` (rows concatenated in sorted file-name order —
+    row order within a partition carries no meaning; keys identify
+    rows).  Returns the row count written."""
+    t = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+    os.makedirs(staged_dir, exist_ok=True)
+    pq.write_table(
+        t, os.path.join(staged_dir, "data.parquet"), compression="zstd"
+    )
+    return t.num_rows
+
+
+def compact_tier(
+    store: TierStore, tier: str, *, min_files: int = 2
+) -> list[int]:
+    """Rewrite fragmented partition dirs into one parquet file each.
+
+    Incremental registers, late-data re-registers and multi-block
+    staged writes leave a partition dir holding several small parquet
+    files; every later read then pays per-file open/footer cost (the
+    engine's analog of a time-series DB's segment-merge maintenance).
+    Compaction changes ONLY the file layout: decoded points are
+    byte-identical, and the manifest stats carry over unchanged with
+    lineage recording the op.  One Ray task per fragmented partition
+    (the driver holds just the partition list), published through the
+    same staged-dir rename + manifest-row contract as every other
+    commit, so a kill mid-compaction leaves each partition either old
+    or new — never half.
+
+    Returns the sorted list of compacted partition ids.
+    """
+    import ray
+
+    m = store.manifest(tier).to_pydict()
+    stats_by_p = {
+        m["partition"][i]: {
+            "window_start": m["window_start"][i],
+            "window_end": m["window_end"][i],
+            "n_rows": m["n_rows"][i],
+            "n_points": m["n_points"][i],
+            "vmin": m["vmin"][i],
+            "vmax": m["vmax"][i],
+        }
+        for i in range(len(m["partition"]))
+    }
+    agg_by_p = dict(zip(m["partition"], m["agg_type"]))
+    jobs = []
+    staging = store.staging_dir(tier)
+    for p in sorted(store.committed_partitions(tier)):
+        files = _parquet_files(store.partition_dir(tier, p))
+        if len(files) >= min_files:
+            jobs.append((p, files, os.path.join(staging, f"part={p}")))
+    if not jobs:
+        return []
+    if ray.is_initialized() and len(jobs) > 1:
+        fn = ray.remote(num_cpus=1)(_compact_partition_files)
+        ray.get([fn.remote(files, staged) for _, files, staged in jobs])
+    else:
+        for _, files, staged in jobs:
+            _compact_partition_files(files, staged)
+    committed: list[int] = []
+    for p, files, staged in jobs:
+        store.commit_partition(
+            tier,
+            p,
+            staged,
+            agg_type=agg_by_p.get(p) or "compact",
+            lineage=json.dumps(
+                {"op": "compact", "partition": p, "files_before": len(files)}
+            ),
+            stats=stats_by_p.get(p),
+        )
+        committed.append(p)
+    store.clean_staging(tier)
+    return sorted(committed)

@@ -438,3 +438,76 @@ def test_list_tier_unknown_empty(ray_session, tier_root):
     store = TierStore(tier_root)
     assert list_tier(store, "ghost").num_rows == 0
     assert list_tier(store, "ghost", fmt="json") == "[]"
+
+
+def test_compact_tier(ray_session, tier_root):
+    """Compaction merges a partition's small files into one; decoded
+    points, manifest stats and the resume contract are all unchanged."""
+    from grass_ray.pipelines.retention import compact_tier
+    from grass_ray.sources.corpus import synth_corpus
+    from grass_ray.state.manifest import _parquet_files
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    def corpus():
+        return synth_corpus(120, n_tok=120, seed=11, docs_per_block=20)
+
+    build_tiers(
+        corpus(), tier_root, tier_specs=(("1m", 60),), docs_per_partition=40
+    )
+    store = TierStore(tier_root)
+    parts = sorted(store.committed_partitions("1m"))
+    pdirs = [store.partition_dir("1m", p) for p in parts]
+    # fragment two partitions the way multi-block staged writes do:
+    # several small parquet files holding disjoint row slices
+    for d in pdirs[:2]:
+        f = _parquet_files(d)[0]
+        t = pq.read_table(f)
+        h = t.num_rows // 2
+        pq.write_table(t.slice(0, h), os.path.join(d, "frag_a.parquet"))
+        pq.write_table(t.slice(h), os.path.join(d, "frag_b.parquet"))
+        os.remove(f)
+    assert sum(len(_parquet_files(d)) >= 2 for d in pdirs) == 2
+
+    def decoded():
+        return (
+            read_tier(store, "1m", value_cols=METHODS)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def manifest_by_part():
+        m = store.manifest("1m").to_pydict()
+        return {
+            m["partition"][i]: {
+                k: m[k][i]
+                for k in (
+                    "window_start", "window_end", "n_rows", "n_points",
+                    "vmin", "vmax",
+                )
+            }
+            for i in range(len(m["partition"]))
+        }
+
+    before, m_before = decoded(), manifest_by_part()
+    done = compact_tier(store, "1m")
+    assert done, "nothing compacted"
+    for d in pdirs:
+        assert len(_parquet_files(d)) == 1
+    after = decoded()
+    assert list(after["doc_id"]) == list(before["doc_id"])
+    for col in ("windows",) + METHODS:
+        assert [list(x) for x in after[col]] == [
+            list(x) for x in before[col]
+        ], col
+    assert manifest_by_part() == m_before
+    # resume still sees every partition committed; re-compact is a no-op
+    res = build_tiers(
+        corpus(), tier_root, tier_specs=(("1m", 60),),
+        docs_per_partition=40, resume=True,
+    )
+    assert res["1m"] == []
+    assert compact_tier(store, "1m") == []
