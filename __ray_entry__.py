@@ -1131,6 +1131,20 @@ def _q_dedup_exact(sf_dir: str) -> pa.Table:
     return t.select(["doc_id", "source", "n_chars"])
 
 
+def _q_fingerprint(sf_dir: str) -> pa.Table:
+    """Document fingerprinting: the vectorized Rabin–Karp rolling hash
+    (``textstats.fingerprint``: Σ byte·B^(n-1-i) mod 2^64, 63-bit mask,
+    XOR byte length) through the whole-batch analyze kernel — oracled
+    EXACTLY in SQL via a recursive HUGEINT modular-powers CTE (the
+    corpus is ASCII, so SQL code units equal UTF-8 bytes)."""
+    from grass_ray.stages.text_stage import analyze_text
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = analyze_text(ds, features=("fingerprint",))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "fingerprint"])
+
+
 def _q_token_counts(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -2401,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "bpe_tokenize": _q_bpe_tokenize,
         "curate_v3": _q_curate_v3,
+        "fingerprint_docs": _q_fingerprint,
     }
 
 
@@ -3861,4 +3876,35 @@ def oracle_sql() -> dict[str, str]:
     d["register_resume"] = d["codec_roundtrip"]
     # compaction changes only file layout, never decoded points
     d["compact_roundtrip"] = d["codec_roundtrip"]
+    # Rabin–Karp fingerprint: Σ byte·B^(n-1-i) mod 2^64 reproduced with
+    # a recursive HUGEINT modular-powers CTE; mod distributes over the
+    # sum, each term < 2^72 and the doc sum < 2^84 — both inside
+    # HUGEINT.  63-bit mask + XOR length as in the engine.  ASCII
+    # corpus: ascii(substr(...)) IS the UTF-8 byte.
+    d["fingerprint_docs"] = """
+        WITH RECURSIVE pw(k, p) AS (
+            SELECT 0, CAST(1 AS HUGEINT)
+            UNION ALL
+            SELECT k+1, (p * 1099511628211) % 18446744073709551616::HUGEINT
+            FROM pw WHERE k < (SELECT coalesce(max(length(text)), 1) FROM documents)
+        ),
+        chars AS (
+            SELECT doc_id, length(text) AS n,
+                   unnest(range(1, CAST(length(text)+1 AS BIGINT))) AS i,
+                   text
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, max(n) AS n,
+                   SUM(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT)
+                       * pw.p) % 18446744073709551616::HUGEINT AS hraw
+            FROM chars JOIN pw ON pw.k = chars.n - chars.i
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               xor(CAST(coalesce(h.hraw, 0) % 9223372036854775808::HUGEINT
+                        AS BIGINT),
+                   CAST(coalesce(h.n, 0) AS BIGINT)) AS fingerprint
+        FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    """
     return d
