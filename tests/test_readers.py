@@ -79,3 +79,35 @@ def test_read_corpus_textdir(ray_session, tmp_path):
     assert list(out["doc_id"]) == ["docA", "docB"]
     assert list(out["n_tok"]) == [4, 2]
     assert (out["source"] == "files").all()
+
+
+def test_snap_blocks_to_files_properties():
+    """Invariants of the file-boundary snap: never more blocks than
+    asked, never a fatter max files-per-task than the unsnapped split,
+    skewed file sizes and pre-split inputs left alone."""
+    from hypothesis import given, strategies as st
+
+    from grass_ray.sources.readers import snap_blocks_to_files
+
+    @given(
+        st.integers(min_value=1, max_value=500),
+        st.integers(min_value=1, max_value=200),
+    )
+    def check(f, n):
+        sizes = [100] * f  # uniform
+        out = snap_blocks_to_files(n, sizes)
+        if f < n:
+            assert out == n  # files already split further by Ray
+        else:
+            assert 1 <= out <= n
+            # max files any task carries never exceeds the unsnapped
+            # split's max, and the snapped split is even
+            per = -(-f // n)
+            assert -(-f // out) == per
+            assert out == -(-f // per)
+
+    check()
+    # skew guard: max > 2x min -> untouched
+    assert snap_blocks_to_files(64, [100] * 119 + [300]) == 64
+    assert snap_blocks_to_files(0, [100]) == 0
+    assert snap_blocks_to_files(64, []) == 64

@@ -511,3 +511,80 @@ def test_compact_tier(ray_session, tier_root):
     )
     assert res["1m"] == []
     assert compact_tier(store, "1m") == []
+
+
+def test_footer_stats_fallback_paths(tmp_path, ray_session, monkeypatch):
+    """The footer-statistics stats reader must agree with a naive data
+    scan on every regime: uniform n_points (pure-footer shortcut),
+    varying n_points (single-column read), all-null stat columns,
+    statistics-disabled files (full fallback), and the Ray-task
+    fan-out above the file threshold."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import grass_ray.state.manifest as M
+
+    def write(dirname, tables, **kw):
+        d = str(tmp_path / dirname)
+        os.makedirs(d, exist_ok=True)
+        for i, t in enumerate(tables):
+            pq.write_table(t, os.path.join(d, f"f{i}.parquet"), **kw)
+        return d
+
+    def naive(d):
+        t = pa.concat_tables([pq.read_table(f) for f in M._parquet_files(d)])
+        import pyarrow.compute as pc
+
+        def agg(col, fn):
+            if col not in t.column_names:
+                return None
+            return fn(t.column(col)).as_py()
+
+        return (
+            t.num_rows,
+            int(pc.sum(t.column("n_points")).as_py() or 0)
+            if "n_points" in t.column_names
+            else 0,
+            agg("wstart", pc.min),
+            agg("wend", pc.max),
+            agg("vmin", pc.min),
+            agg("vmax", pc.max),
+        )
+
+    def folded(d):
+        acc = {}
+        for f in M._parquet_files(d):
+            M._fold_partial(acc, 0, M._file_footer_partial(f))
+        return tuple(acc[0])
+
+    uniform = pa.table(
+        {
+            "wstart": pa.array([0, 0, 1], pa.int64()),
+            "wend": pa.array([5, 7, 9], pa.int64()),
+            "vmin": pa.array([1.0, -2.0, 0.5]),
+            "vmax": pa.array([4.0, 9.0, 2.5]),
+            "n_points": pa.array([6, 6, 6], pa.int64()),
+        }
+    )
+    varying = pa.table(
+        {
+            "wstart": pa.array([2, 3], pa.int64()),
+            "wend": pa.array([8, 4], pa.int64()),
+            "vmin": pa.array([None, None], pa.float64()),  # all-null
+            "vmax": pa.array([1.0, None]),
+            "n_points": pa.array([7, 2], pa.int64()),
+        }
+    )
+    d1 = write("uniform", [uniform, uniform])
+    assert folded(d1) == naive(d1)
+    d2 = write("varying", [varying, uniform])
+    assert folded(d2) == naive(d2)
+    d3 = write("nostats", [varying, uniform], write_statistics=False)
+    assert folded(d3) == naive(d3)
+
+    # Ray fan-out path: force the threshold down so 3 files use it
+    monkeypatch.setattr(M, "_FOOTER_STATS_RAY_THRESHOLD", 2)
+    fk = [(f, ("t", 0)) for f in M._parquet_files(d2)]
+    via_ray = M._footer_stats_by_key(fk)[("t", 0)]
+    assert tuple(via_ray) == naive(d2)
