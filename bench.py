@@ -163,6 +163,8 @@ def run_bench() -> dict:
         # round-3 additions
         "semdedup",
         "bpe_tokenize",
+        "compact_roundtrip",
+        "fingerprint_docs",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
