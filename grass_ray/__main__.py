@@ -212,11 +212,22 @@ def cmd_decontaminate(args):
 
     train = ray.data.read_parquet(args.train)
     bench = ray.data.read_parquet(args.bench)
-    kept, bad = decontaminate(
+    kept, _bad = decontaminate(
         train, bench, k=args.k, id_col=args.id_col, text_col=args.text_col
     )
     kept.write_parquet(args.out)
-    n_bad = bad.count()
+    # contaminated count = train - kept, both from parquet metadata —
+    # avoids a second full gram-extraction pass over the train side
+    # (the broadcast regimes return BOTH outputs as lazy probes)
+    import os as _os
+
+    n_kept = sum(
+        _pq.read_metadata(_os.path.join(r, f)).num_rows
+        for r, _d, fs in _os.walk(args.out)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_bad = train.count() - n_kept
     print(json.dumps({"kept_dir": args.out, "contaminated": n_bad}))
     ray.shutdown()
 

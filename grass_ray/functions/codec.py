@@ -21,8 +21,9 @@ float64 bit patterns including the canonical NaN used as NULL):
 
 Encoding is one vectorized NumPy pass (the variable-length bitstream is
 assembled word-wise: every field ORs into at most two uint64 words,
-merged with one sorted ``bitwise_or.reduceat``); decoding is a tight
-sequential parse over the unpacked bit array.
+grouped by two boundary-scan ``bitwise_or.reduceat`` passes — the field
+order already sorts the word indices, so no sort is needed); decoding
+is a tight sequential parse over the unpacked bit array.
 """
 
 from __future__ import annotations
@@ -48,9 +49,11 @@ def _assemble_bits(lengths: np.ndarray, payloads: np.ndarray) -> bytes:
     low `length` bits.
 
     Word-wise algorithm: each field lands in at most two 64-bit words of
-    the output stream; per-word contributions are OR-merged with one
-    sorted ``bitwise_or.reduceat`` — O(fields) memory traffic instead of
-    O(bits) (the per-bit expansion was the pipeline's bandwidth hog).
+    the output stream; the word-0 and spill contributions are each
+    already in non-decreasing word order (fields are laid out in stream
+    order), so two boundary-scan ``bitwise_or.reduceat`` passes merge
+    them with no sort — O(fields) memory traffic instead of O(bits)
+    (the per-bit expansion was the pipeline's bandwidth hog).
     """
     lengths = lengths.astype(np.int64)
     payloads = payloads.astype(np.uint64)

@@ -184,6 +184,8 @@ def compact_tier(
     """
     import ray
 
+    store.recover_swaps(tier)  # finish any crashed partition swap first
+    min_files = max(min_files, 2)  # 0/1 would rewrite healthy dirs
     m = store.manifest(tier).to_pydict()
     stats_by_p = {
         m["partition"][i]: {

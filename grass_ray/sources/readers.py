@@ -189,12 +189,6 @@ def _local_file_sizes(paths) -> list[int] | None:
     return sizes
 
 
-def _local_bytes(paths) -> int | None:
-    """Total size of local files/dirs; None if any path is unsized."""
-    sizes = _local_file_sizes(paths)
-    return None if sizes is None else sum(sizes)
-
-
 def snap_blocks_to_files(num_blocks: int, sizes: list[int]) -> int:
     """Align a block count to file boundaries when files are uniform.
 

@@ -181,9 +181,7 @@ class TierStore:
         """Atomically publish one staged partition + its manifest row."""
         final = self.partition_dir(tier, p)
         os.makedirs(os.path.dirname(final), exist_ok=True)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.rename(staged_dir, final)
+        _swap_in(final, staged_dir)
         stats = dict(stats or {})
         stats.setdefault("n_rows", _count_rows(final))
         row = pa.table(
@@ -234,9 +232,7 @@ class TierStore:
         for p, staged, stats in jobs:
             final = self.partition_dir(tier, p)
             os.makedirs(os.path.dirname(final), exist_ok=True)
-            if os.path.isdir(final):
-                shutil.rmtree(final)
-            os.rename(staged, final)
+            _swap_in(final, staged)
             stats = dict(stats or {})
             rows.append(
                 {
@@ -303,21 +299,6 @@ class TierStore:
             for k, v in _footer_stats_by_key(files_keys).items()
         }
 
-    def bulk_partition_stats(self, tier_staging_dir: str) -> dict:
-        """Per-partition stats for a whole staged tier — footer
-        statistics + one ``n_points`` column read per file (see
-        :meth:`bulk_partition_stats_all`)."""
-        files_keys = []
-        for f in _parquet_files(tier_staging_dir):
-            _, part = _hive_tier_part(os.path.relpath(f, tier_staging_dir))
-            if part is None:
-                continue
-            files_keys.append((f, (part,)))
-        return {
-            k[0]: _partial_to_stats(v)
-            for k, v in _footer_stats_by_key(files_keys).items()
-        }
-
     def partition_stats_from_files(self, staged_dir: str) -> dict:
         """Partition stats from Parquet footer statistics — no data scan
         beyond the n_points column, and not even that when every row
@@ -328,18 +309,65 @@ class TierStore:
         return _partial_to_stats(acc.get(0, [0, 0, None, None, None, None]))
 
     def clean_staging(self, tier: str):
+        """Sweep in-flight staging dirs AND finish any interrupted
+        partition swaps (see :func:`_swap_in`): a ``.old-part=N-*`` dir
+        whose final partition dir is missing is the old data from a
+        crash between the two swap renames — restore it; if the final
+        dir exists the swap completed and the old copy is garbage."""
         td = self.tier_dir(tier)
         if not os.path.isdir(td):
             return
         for d in os.listdir(td):
             if d.startswith(".staging-"):
                 shutil.rmtree(os.path.join(td, d), ignore_errors=True)
+        self.recover_swaps(tier)
+
+    def recover_swaps(self, tier: str):
+        """Finish interrupted partition swaps without touching staging
+        (safe to call before reading a tier that might have crashed
+        mid-commit)."""
+        td = self.tier_dir(tier)
+        if not os.path.isdir(td):
+            return
+        for d in os.listdir(td):
+            if d.startswith(".old-part="):
+                old = os.path.join(td, d)
+                final = os.path.join(td, d[len(".old-") :].rsplit("-", 1)[0])
+                if os.path.isdir(final):
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.rename(old, final)
 
 
 def _time_ns() -> int:
     import time
 
     return time.time_ns()
+
+
+def _swap_in(final: str, staged: str):
+    """Replace ``final`` with ``staged`` without a data-loss window.
+
+    The naive rmtree-then-rename leaves NO copy of the data if the
+    process dies between the two steps — fatal when replacing a
+    COMMITTED partition (late-data re-register, compaction): the
+    manifest row would survive pointing at nothing and resume would
+    skip the rebuild.  Instead rename the old dir aside (dot-prefixed,
+    so hive discovery and readers never see it), rename the staged dir
+    in, then delete the old copy.  A crash between the renames leaves
+    the old data recoverable — :meth:`TierStore.recover_swaps` /
+    ``clean_staging`` restore or garbage-collect ``.old-*`` dirs.
+    """
+    old = None
+    if os.path.isdir(final):
+        parent, name = os.path.split(final)
+        old = os.path.join(
+            parent, f".old-{name}-{uuid.uuid4().hex[:6]}"
+        )
+        os.rename(final, old)
+    os.rename(staged, final)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _parquet_files(d: str) -> list[str]:

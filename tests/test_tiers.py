@@ -588,3 +588,44 @@ def test_footer_stats_fallback_paths(tmp_path, ray_session, monkeypatch):
     fk = [(f, ("t", 0)) for f in M._parquet_files(d2)]
     via_ray = M._footer_stats_by_key(fk)[("t", 0)]
     assert tuple(via_ray) == naive(d2)
+
+
+def test_partition_swap_recovery(ray_session, tier_root):
+    """A crash between the swap renames (old dir moved aside, staged
+    not yet in place) must be recoverable: recover_swaps restores the
+    old data; when the swap completed, the leftover .old dir is
+    garbage-collected.  Readers never see .old dirs (dot-prefixed)."""
+    import os
+    import shutil
+
+    from grass_ray.sources.corpus import synth_corpus
+
+    build_tiers(
+        synth_corpus(40, n_tok=120, seed=3), tier_root,
+        tier_specs=(("1m", 60),),
+    )
+    store = TierStore(tier_root)
+    p = sorted(store.committed_partitions("1m"))[0]
+    final = store.partition_dir("1m", p)
+    before = (
+        read_tier(store, "1m", value_cols=METHODS)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # simulate the crash window: old moved aside, new never arrived
+    old = os.path.join(
+        os.path.dirname(final), f".old-part={p}-deadbe"
+    )
+    os.rename(final, old)
+    store.recover_swaps("1m")
+    assert os.path.isdir(final) and not os.path.isdir(old)
+    after = (
+        read_tier(store, "1m", value_cols=METHODS)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(after["doc_id"]) == list(before["doc_id"])
+
+    # completed swap: final exists, stale .old is garbage
+    shutil.copytree(final, old)
+    store.recover_swaps("1m")
+    assert os.path.isdir(final) and not os.path.isdir(old)
