@@ -1872,18 +1872,59 @@ def _q_tokenize_rollup(sf_dir: str) -> pa.Table:
 
 
 def _q_multimodal(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing: the deterministic fake image decode +
+    feature pipeline, PLUS a REAL stdlib-wave PCM decode +
+    audio-feature pass over synthesized WAV payloads (no external
+    media library needed for that path)."""
     import ray.data
 
-    from grass_ray.stages.multimodal import decode_pipeline, synth_media
+    from grass_ray.stages.multimodal import (
+        DecodeMedia,
+        audio_features,
+        decode_pipeline,
+        synth_media,
+        synth_wav,
+    )
 
     t = synth_media(64, payload_bytes=4096)
     out = decode_pipeline(ray.data.from_arrow(t), fake=True, feature_dim=32)
     df = out.to_pandas()
+
+    wavs = pa.table(
+        {
+            "media_id": pa.array([f"a{i:04d}" for i in range(16)]),
+            "payload": pa.array(
+                [
+                    synth_wav(n_samples=400 + 25 * i, rate=8000, freq=220.0 + 10 * i)
+                    for i in range(16)
+                ],
+                type=pa.binary(),
+            ),
+            "media_type": pa.array(["audio"] * 16),
+            "width": pa.array([0] * 16, type=pa.int32()),
+            "height": pa.array([0] * 16, type=pa.int32()),
+            "sample_rate": pa.array([0] * 16, type=pa.int32()),
+            "n_frames": pa.array([0] * 16, type=pa.int32()),
+        }
+    )
+    decoded = ray.data.from_arrow(wavs).map_batches(
+        DecodeMedia(fake=False), batch_format="pyarrow", batch_size=8
+    )
+    af = audio_features(decoded).to_pandas()
     return pa.table(
         {
-            "media_id": pa.array(df["media_id"]),
-            "n_pixels": pa.array([len(p) for p in df["pixels"]], type=pa.int64()),
-            "feat_dim": pa.array([len(f) for f in df["features"]], type=pa.int64()),
+            "media_id": pa.array(
+                list(df["media_id"]) + list(af["media_id"])
+            ),
+            "n_values": pa.array(
+                [len(p) for p in df["pixels"]]
+                + [int(n) for n in af["n_frames"]],
+                type=pa.int64(),
+            ),
+            "feat_dim": pa.array(
+                [len(f) for f in df["features"]] + [3] * len(af),
+                type=pa.int64(),
+            ),
         }
     )
 

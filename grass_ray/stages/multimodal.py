@@ -2,12 +2,15 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages.  The actual media libraries are NOT in this
-container, so the decode kernels are STUBBED — either a clearly-marked
-``NotImplementedError`` (``fake=False``) or a deterministic fake decode
-(``fake=True``) that produces stable pseudo-pixels from the payload
-bytes.  Everything Ray-side — schema, batch sizing for large payloads,
-actor signature, output layout — is real and tested.
+``map_batches`` stages.  Real decoders where the environment allows:
+WAV/PCM audio via the stdlib ``wave`` module (always available) and
+images via PIL when importable (soft dependency); other codecs
+(mp3/ogg, video) need libraries NOT in this container, so those
+kernels are STUBBED — either a clearly-marked ``NotImplementedError``
+(``fake=False``) or a deterministic fake decode (``fake=True``) that
+produces stable pseudo-pixels from the payload bytes.  Everything
+Ray-side — schema, batch sizing for large payloads, actor signature,
+output layout — is real and tested.
 """
 
 from __future__ import annotations
@@ -43,6 +46,70 @@ def synth_media(n: int, media_type: str = "image", payload_bytes: int = 4096, se
             "n_frames": pa.array([max(1, payload_bytes // 1024)] * n, type=pa.int32()),
         }
     )
+
+
+def synth_wav(
+    n_samples: int = 1600,
+    rate: int = 16000,
+    freq: float = 440.0,
+    channels: int = 1,
+) -> bytes:
+    """Real PCM16 WAV bytes (stdlib ``wave`` writer) — a sine tone; for
+    decode tests and fixtures, deterministic."""
+    import io
+    import wave
+
+    t = np.arange(n_samples, dtype=np.float64) / rate
+    sig = np.rint(np.sin(2 * np.pi * freq * t) * 32000).astype("<i2")
+    if channels > 1:
+        sig = np.repeat(sig, channels)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(sig.tobytes())
+    return buf.getvalue()
+
+
+def audio_features(ds):
+    """Decoded audio (``samples`` list<int32> + ``sample_rate``) →
+    per-clip duration_s / RMS / zero-crossing rate, one vectorized
+    reduceat pass over the flattened sample stream per batch."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch.column("samples")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        x = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        rate = batch.column("sample_rate").to_numpy(zero_copy_only=False)
+        has = lens > 0
+        rms = np.zeros(len(lens))
+        zcr = np.zeros(len(lens))
+        if len(x) and has.any():
+            sq = np.add.reduceat(x * x, starts[has])
+            rms[has] = np.sqrt(sq / lens[has])
+            # sign changes between adjacent samples of the SAME clip
+            c = np.zeros(len(x))
+            if len(x) > 1:
+                row_of = np.repeat(
+                    np.arange(len(lens), dtype=np.int64), lens
+                )
+                c[1:] = (x[1:] * x[:-1] < 0) & (row_of[1:] == row_of[:-1])
+            zcr[has] = np.add.reduceat(c, starts[has]) / lens[has]
+        dur = np.where(rate > 0, lens / np.maximum(rate, 1), 0.0)
+        t = batch.select(
+            [c for c in ("media_id", "sample_rate", "n_frames") if c in batch.column_names]
+        )
+        t = t.append_column("duration_s", pa.array(dur, type=pa.float64()))
+        t = t.append_column("rms", pa.array(rms, type=pa.float64()))
+        t = t.append_column("zcr", pa.array(zcr, type=pa.float64()))
+        return t
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
 
 
 class DecodeMedia:
@@ -96,13 +163,73 @@ class DecodeMedia:
         )
         return t.append_column("pixels", pixels)
 
+    def _real_decode_audio(self, batch: pa.Table) -> pa.Table:
+        """REAL WAV/PCM decode via the stdlib ``wave`` module (always
+        available — no soft dependency): per payload, parse the header,
+        read the frames, mix channels to mono int32, and write the
+        actual sample_rate / n_frames back.  Non-WAV audio codecs
+        (mp3/ogg/flac) still need an external library and raise."""
+        import io
+        import wave
+
+        payloads = batch.column("payload").to_pylist()
+        outs, rates, nframes = [], [], []
+        for p in payloads:
+            with wave.open(io.BytesIO(p), "rb") as w:
+                nch = w.getnchannels()
+                sw = w.getsampwidth()
+                rate = w.getframerate()
+                raw = w.readframes(w.getnframes())
+            dt = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(sw)
+            if dt is None:
+                raise NotImplementedError(f"WAV sample width {sw}")
+            arr = np.frombuffer(raw, dtype=dt).astype(np.int32)
+            if sw == 1:
+                arr = arr - 128  # 8-bit PCM is offset-binary
+            if nch > 1:
+                arr = (
+                    arr[: len(arr) - len(arr) % nch]
+                    .reshape(-1, nch)
+                    .mean(axis=1)
+                    .astype(np.int32)
+                )
+            outs.append(arr)
+            rates.append(rate)
+            nframes.append(len(arr))
+        flat = (
+            np.concatenate(outs) if outs else np.empty(0, dtype=np.int32)
+        )
+        lens = np.array([len(o) for o in outs], dtype=np.int64)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        )
+        samples = pa.ListArray.from_arrays(
+            offsets, pa.array(flat, type=pa.int32())
+        )
+        t = batch.set_column(
+            batch.column_names.index("sample_rate"),
+            "sample_rate",
+            pa.array(rates, type=pa.int32()),
+        )
+        t = t.set_column(
+            t.column_names.index("n_frames"),
+            "n_frames",
+            pa.array(nframes, type=pa.int32()),
+        )
+        return t.append_column("samples", samples)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            if self._pil is not None:
+            kinds = set(batch.column("media_type").to_pylist())
+            if kinds <= {"audio"}:
+                return self._real_decode_audio(batch)
+            if kinds <= {"image"} and self._pil is not None:
                 return self._real_decode(batch)
             raise NotImplementedError(
-                "media decode requires PIL/soundfile/pyav — not available "
-                "in this container; run with fake=True for the plumbing"
+                "real decode: WAV audio uses the stdlib wave module; "
+                "images need PIL (absent here unless installed); video "
+                "needs pyav — not available in this container; run with "
+                "fake=True for the plumbing"
             )
         payloads = batch.column("payload").to_pylist()
         w = batch.column("width").to_numpy(zero_copy_only=False)

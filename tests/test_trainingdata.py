@@ -545,3 +545,68 @@ def test_semdedup_property_single_cluster(ray_session):
         assert kept.count() == len(vecs) - len(want)
 
     check()
+
+
+def test_multimodal_real_decode_wav(ray_session):
+    """REAL audio decode with no external library: the stdlib wave
+    module parses PCM WAV payloads (this test always runs, unlike the
+    PIL one).  Mono and stereo, sample_rate/n_frames written back,
+    samples exact."""
+    import ray.data
+
+    from grass_ray.stages.multimodal import (
+        DecodeMedia,
+        audio_features,
+        synth_wav,
+    )
+
+    rate, n = 8000, 800
+    mono = synth_wav(n_samples=n, rate=rate, freq=440.0)
+    stereo = synth_wav(n_samples=n, rate=rate, freq=220.0, channels=2)
+    t = pa.table(
+        {
+            "media_id": pa.array(["a0", "a1"]),
+            "payload": pa.array([mono, stereo], type=pa.binary()),
+            "media_type": pa.array(["audio", "audio"]),
+            "width": pa.array([0, 0], type=pa.int32()),
+            "height": pa.array([0, 0], type=pa.int32()),
+            "sample_rate": pa.array([0, 0], type=pa.int32()),
+            "n_frames": pa.array([0, 0], type=pa.int32()),
+        }
+    )
+    out = DecodeMedia(fake=False)(t)
+    assert out.column("sample_rate").to_pylist() == [rate, rate]
+    assert out.column("n_frames").to_pylist() == [n, n]
+    got = np.array(out.column("samples")[0].as_py())
+    ref = np.rint(
+        np.sin(2 * np.pi * 440.0 * np.arange(n) / rate) * 32000
+    ).astype(np.int32)
+    assert np.array_equal(got, ref)
+    # stereo mixes the two (identical) channels to the mono signal
+    got2 = np.array(out.column("samples")[1].as_py())
+    ref2 = np.rint(
+        np.sin(2 * np.pi * 220.0 * np.arange(n) / rate) * 32000
+    ).astype(np.int32)
+    assert np.array_equal(got2, ref2)
+
+    # features: vectorized kernel equals the literal per-clip formulas
+    feats = (
+        audio_features(ray.data.from_arrow(out))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i, sig in enumerate((ref, ref2)):
+        x = sig.astype(np.float64)
+        assert feats["duration_s"][i] == pytest.approx(n / rate)
+        assert feats["rms"][i] == pytest.approx(np.sqrt((x * x).mean()))
+        assert feats["zcr"][i] == pytest.approx(
+            ((x[1:] * x[:-1]) < 0).sum() / n
+        )
+
+
+def test_multimodal_video_still_raises(ray_session):
+    from grass_ray.stages.multimodal import DecodeMedia
+
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(fake=False)(synth_media(1, media_type="video"))
