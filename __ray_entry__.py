@@ -304,6 +304,40 @@ def _q_algebra_topo_during(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_algebra_calendar(sf_dir: str) -> pa.Table:
+    """Calendar accessors of the algebra grammar (``start_dow(A)``;
+    reference ``temporal_algebra.py:2024-2085`` — DOW = isoweekday)
+    over a day-granular tier: the 1m windows are reinterpreted as
+    epoch days (gran=86400) and weekday windows kept.  The oracle
+    recomputes the filter with DuckDB's OWN datetime machinery
+    (isodow over make_timestamp) — two independent calendar
+    implementations must agree bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.algebra import tier_expr
+    from grass_ray.stages.cascade import explode_nested
+    from grass_ray.stages.rollup import rollup
+
+    a = rollup(_corpus(sf_dir), 60, ("average",), nested=True)
+
+    def day_gran(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index("gran")
+        return batch.set_column(
+            idx, "gran", pa.array([86400] * batch.num_rows, type=pa.int64())
+        )
+
+    a = a.map_batches(day_gran, batch_format="pyarrow")
+    out = tier_expr("if(start_dow(A) <= 5, A)", {"A": a})
+    pts = explode_nested(out, value_cols=("average",))
+    t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    # if() without an else emits NULL for weekend windows — drop them
+    t = t.filter(pc.is_finite(t.column("average")))
+    t = _rename(t, {"average": "v"})
+    return t.drop_columns(
+        [c for c in ("gran", "worigin") if c in t.column_names]
+    )
+
+
 def _q_cascade_1h(sf_dir: str) -> pa.Table:
     from grass_ray.stages.cascade import cascade, explode_nested
     from grass_ray.stages.rollup import rollup
@@ -2457,6 +2491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "curate_v3": _q_curate_v3,
         "fingerprint_docs": _q_fingerprint,
+        "algebra_calendar": _q_algebra_calendar,
     }
 
 
@@ -3917,6 +3952,18 @@ def oracle_sql() -> dict[str, str]:
     d["register_resume"] = d["codec_roundtrip"]
     # compaction changes only file layout, never decoded points
     d["compact_roundtrip"] = d["codec_roundtrip"]
+    # calendar accessor: the engine's numpy datetime64 dow vs DuckDB's
+    # isodow — independent implementations of the same ISO semantics
+    d["algebra_calendar"] = f"""
+        WITH tok AS ({tok}),
+        day AS (
+            SELECT source, doc_id, pos // 60 AS w, avg(token) AS v
+            FROM tok GROUP BY 1, 2, 3
+        )
+        SELECT source, doc_id, CAST(w AS BIGINT) AS "window", v
+        FROM day
+        WHERE isodow(make_timestamp(CAST(w AS BIGINT) * 86400 * 1000000)) <= 5
+    """
     # Rabin–Karp fingerprint: Σ byte·B^(n-1-i) mod 2^64 reproduced with
     # a recursive HUGEINT modular-powers CTE; mod distributes over the
     # sum, each term < 2^72 and the doc sum < 2^84 — both inside

@@ -56,6 +56,56 @@ _FUNCS_1 = {
     "log": np.log,
 }
 
+#: calendar accessors of the reference grammar — ``start_month(A)``,
+#: ``end_doy(B)``, ... (``temporal_algebra.py:2024-2085``: DOY 1-based,
+#: DOW = isoweekday Mon=1..Sun=7, WEEK = ISO week number); the engine's
+#: absolute time axis is epoch seconds = window * granularity
+_CAL_FIELDS = (
+    "doy", "dow", "year", "month", "week", "day", "hour", "minute",
+    "second",
+)
+_CAL_FUNCS = {
+    f"{which}_{f}" for which in ("start", "end") for f in _CAL_FIELDS
+}
+
+
+def _calendar_field(epochs: np.ndarray, field: str) -> np.ndarray:
+    """Vectorized calendar field of UTC epoch seconds (int64 array) —
+    matches Python ``datetime.utcfromtimestamp`` + the reference's
+    accessor semantics (tested against it element-wise)."""
+    ep = np.asarray(epochs, dtype=np.int64)
+    if field == "second":
+        return ep % 60
+    if field == "minute":
+        return (ep // 60) % 60
+    if field == "hour":
+        return (ep // 3600) % 24
+    d = ep.astype("datetime64[s]")
+    days = d.astype("datetime64[D]").astype(np.int64)
+    if field == "dow":
+        # epoch day 0 (1970-01-01) was a Thursday = isoweekday 4
+        return (days + 3) % 7 + 1
+    if field == "year":
+        return d.astype("datetime64[Y]").astype(np.int64) + 1970
+    if field == "month":
+        return d.astype("datetime64[M]").astype(np.int64) % 12 + 1
+    if field == "day":
+        return days - d.astype("datetime64[M]").astype("datetime64[D]").astype(np.int64) + 1
+    if field == "doy":
+        return days - d.astype("datetime64[Y]").astype("datetime64[D]").astype(np.int64) + 1
+    if field == "week":
+        # ISO week = week containing this date's Thursday, counted from
+        # that Thursday's year start
+        th = days - (days + 3) % 7 + 3
+        th_year_start = (
+            th.astype("datetime64[D]")
+            .astype("datetime64[Y]")
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return (th - th_year_start) // 7 + 1
+    raise ValueError(f"unknown calendar field {field!r}")
+
 # ---------------------------------------------------------------------------
 # expression preprocessing + compilation
 # ---------------------------------------------------------------------------
@@ -312,6 +362,17 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                 if fname == "start_time":
                     return _Series(s.w, s.w.astype(np.float64) * g)
                 return _Series(s.w, (s.w.astype(np.float64) + 1.0) * g)
+            if fname in _CAL_FUNCS:
+                arg = node.args[0]
+                if not isinstance(arg, ast.Name):
+                    raise ValueError(f"{fname}() expects a tier name")
+                s = env[arg.id]
+                g = int(gran_of[arg.id])
+                which, field = fname.split("_", 1)
+                ep = s.w * g + (g if which == "end" else 0)
+                return _Series(
+                    s.w, _calendar_field(ep, field).astype(np.float64)
+                )
             if fname == "tindex":
                 # A[k]: at output window w the value of A at window w+k
                 s = ev(node.args[0], env)
@@ -381,7 +442,10 @@ def tier_expr(
     # temporal function (each resolution is a partial pipeline execution
     # — limit(1).take(1) runs the operand's whole first block)
     gran_of = {}
-    if re.search(r"\b(td|start_time|end_time)\s*\(", expr):
+    if re.search(
+        r"\b(td|start_time|end_time|(start|end)_(doy|dow|year|month|week|day|hour|minute|second))\s*\(",
+        expr,
+    ):
         for nm, spec in tiers.items():
             row = _tier_ds(spec).limit(1).take(1)
             gran_of[nm] = int(row[0]["gran"]) if row else 1

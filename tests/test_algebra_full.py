@@ -222,3 +222,70 @@ def test_multi_key_bucketing(ray_session):
         assert list(out.loc[f"d{i}", "average"]) == [
             2.0 * i, 2.0 * (i + 1), 2.0 * (i + 2)
         ]
+
+
+def test_calendar_field_matches_datetime():
+    """Vectorized calendar accessors equal Python datetime semantics
+    (reference temporal_algebra.py:2024-2085: DOY 1-based, DOW
+    isoweekday, WEEK isocalendar) on random epochs across decades."""
+    from datetime import datetime, timezone
+
+    import numpy as np
+
+    from grass_ray.stages.algebra import _calendar_field
+
+    rng = np.random.default_rng(7)
+    eps = rng.integers(0, 2_000_000_000, size=2000, dtype=np.int64)
+
+    def ref(e, field):
+        dt = datetime.fromtimestamp(int(e), tz=timezone.utc)
+        if field == "doy":
+            return dt.timetuple().tm_yday
+        if field == "dow":
+            return dt.isoweekday()
+        if field == "week":
+            return dt.isocalendar()[1]
+        return getattr(dt, field)
+
+    for field in (
+        "doy", "dow", "year", "month", "week", "day", "hour", "minute",
+        "second",
+    ):
+        got = _calendar_field(eps, field)
+        want = np.array([ref(e, field) for e in eps], dtype=np.int64)
+        assert np.array_equal(got, want), field
+
+
+def test_algebra_calendar_accessors(ray_session):
+    """start_dow / end_month accessor expressions over a day-granular
+    tier (windows are epoch days): the weekday filter and the month
+    comparison both reproduce the literal datetime computation."""
+    from datetime import datetime, timezone
+
+    import ray.data
+
+    # 14 consecutive days starting 2024-01-01 (a Monday), gran = 86400
+    windows = list(range(19723, 19737))  # epoch days
+    vals = [float(i) for i in range(len(windows))]
+    a = ray.data.from_arrow(nested([("s", "d1", windows, vals)], gran=86400))
+    from grass_ray.stages.algebra import tier_expr
+
+    out = tier_expr("if(start_dow(A) <= 5, A)", {"A": a})
+    w, v = _vals(out)
+    keep = {
+        wi: vi
+        for wi, vi in zip(windows, vals)
+        if datetime.fromtimestamp(wi * 86400, tz=timezone.utc).isoweekday() <= 5
+    }
+    got = {wi: vi for wi, vi in zip(w, v) if vi is not None}
+    assert got == keep
+
+    out2 = tier_expr("if(end_month(A) == 1, A * 10)", {"A": a})
+    w2, v2 = _vals(out2)
+    keep2 = {
+        wi: vi * 10
+        for wi, vi in zip(windows, vals)
+        if datetime.fromtimestamp((wi + 1) * 86400, tz=timezone.utc).month == 1
+    }
+    got2 = {wi: vi for wi, vi in zip(w2, v2) if vi is not None}
+    assert got2 == keep2
