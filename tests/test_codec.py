@@ -170,3 +170,44 @@ def test_windows_batched_empty_rows():
     assert np.array_equal(decode_windows(blobs[0]), np.empty(0, dtype=np.int64))
     assert np.array_equal(decode_windows(blobs[1]), np.array([3, 9]))
     assert np.array_equal(decode_windows(blobs[2]), np.empty(0, dtype=np.int64))
+
+
+def test_assemble_bits_matches_per_bit_reference():
+    """The word-wise sort-free assembler equals a trivial per-bit
+    reference on random variable-length fields (hypothesis)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from grass_ray.functions.codec import _assemble_bits
+
+    def per_bit(lengths, payloads):
+        bits = []
+        for ln, v in zip(lengths, payloads):
+            for k in range(int(ln) - 1, -1, -1):
+                bits.append((int(v) >> k) & 1)
+        out = bytearray((len(bits) + 7) // 8)
+        for i, b in enumerate(bits):
+            if b:
+                out[i // 8] |= 0x80 >> (i % 8)
+        return bytes(out)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=64),
+                st.integers(min_value=0, max_value=(1 << 64) - 1),
+            ),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    def check(fields):
+        lengths = np.array([ln for ln, _ in fields], dtype=np.int64)
+        payloads = np.array(
+            [v & ((1 << ln) - 1 if ln < 64 else (1 << 64) - 1) for ln, v in fields],
+            dtype=np.uint64,
+        )
+        assert _assemble_bits(lengths, payloads) == per_bit(lengths, payloads)
+
+    check()
