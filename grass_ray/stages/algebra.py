@@ -69,6 +69,24 @@ _CAL_FUNCS = {
 }
 
 
+def _parse_epoch(text: str, kind: str) -> int:
+    """``date("YYYY-MM-DD")`` → epoch days; ``datetime("YYYY-MM-DD
+    [HH:MM[:SS]]")`` → epoch seconds (UTC)."""
+    from datetime import datetime, timezone
+
+    text = text.strip()
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(text, fmt).replace(tzinfo=timezone.utc)
+            break
+        except ValueError:
+            continue
+    else:
+        raise ValueError(f"unparseable {kind} literal {text!r}")
+    sec = int(dt.timestamp())
+    return sec // 86400 if kind == "date" else sec
+
+
 def _calendar_field(epochs: np.ndarray, field: str) -> np.ndarray:
     """Vectorized calendar field of UTC epoch seconds (int64 array) —
     matches Python ``datetime.utcfromtimestamp`` + the reference's
@@ -258,6 +276,10 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
         if isinstance(node, ast.Expression):
             return ev(node.body, env)
         if isinstance(node, ast.Constant):
+            if isinstance(node.value, str):
+                raise ValueError(
+                    "string literals are only valid inside date()/datetime()"
+                )
             return float(node.value)
         if isinstance(node, ast.Num):  # pragma: no cover (py<3.8 form)
             return float(node.n)
@@ -373,6 +395,27 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                 return _Series(
                     s.w, _calendar_field(ep, field).astype(np.float64)
                 )
+            if fname in ("start_date", "end_date", "start_datetime", "end_datetime"):
+                # date = epoch days, datetime = epoch seconds — both
+                # totally ordered, so comparisons against the date()/
+                # datetime() literal helpers match the reference's
+                # datetime-object comparisons (eval_datetime_str)
+                arg = node.args[0]
+                if not isinstance(arg, ast.Name):
+                    raise ValueError(f"{fname}() expects a tier name")
+                s = env[arg.id]
+                g = int(gran_of[arg.id])
+                which, kind = fname.split("_", 1)
+                ep = s.w * g + (g if which == "end" else 0)
+                v = ep // 86400 if kind == "date" else ep
+                return _Series(s.w, v.astype(np.float64))
+            if fname in ("date", "datetime"):
+                # literal: date("2001-03-01") -> epoch days;
+                # datetime("2001-03-01 06:30:00") -> epoch seconds
+                arg = node.args[0]
+                if not (isinstance(arg, ast.Constant) and isinstance(arg.value, str)):
+                    raise ValueError(f'{fname}() expects a string literal')
+                return float(_parse_epoch(arg.value, fname))
             if fname == "tindex":
                 # A[k]: at output window w the value of A at window w+k
                 s = ev(node.args[0], env)
@@ -443,7 +486,7 @@ def tier_expr(
     # — limit(1).take(1) runs the operand's whole first block)
     gran_of = {}
     if re.search(
-        r"\b(td|start_time|end_time|(start|end)_(doy|dow|year|month|week|day|hour|minute|second))\s*\(",
+        r"\b(td|start_time|end_time|(start|end)_(doy|dow|year|month|week|day|hour|minute|second|date|datetime))\s*\(",
         expr,
     ):
         for nm, spec in tiers.items():

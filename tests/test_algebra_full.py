@@ -289,3 +289,38 @@ def test_algebra_calendar_accessors(ray_session):
     }
     got2 = {wi: vi for wi, vi in zip(w2, v2) if vi is not None}
     assert got2 == keep2
+
+
+def test_algebra_date_literals(ray_session):
+    """Datetime-literal comparisons (reference eval_datetime_str):
+    start_date(A) >= date("...") and start_time vs datetime("...")."""
+    from datetime import datetime, timezone
+
+    import ray.data
+
+    from grass_ray.stages.algebra import tier_expr
+
+    windows = list(range(19723, 19737))  # 2024-01-01 .. 2024-01-14
+    vals = [float(i) for i in range(len(windows))]
+    a = ray.data.from_arrow(nested([("s", "d1", windows, vals)], gran=86400))
+
+    out = tier_expr('if(start_date(A) >= date("2024-01-08"), A)', {"A": a})
+    w, v = _vals(out)
+    cut = int(
+        datetime(2024, 1, 8, tzinfo=timezone.utc).timestamp()
+    ) // 86400
+    got = {wi: vi for wi, vi in zip(w, v) if vi is not None}
+    assert got == {wi: vi for wi, vi in zip(windows, vals) if wi >= cut}
+
+    out2 = tier_expr(
+        'if(start_time(A) < datetime("2024-01-04 00:00:00"), A + 1)', {"A": a}
+    )
+    w2, v2 = _vals(out2)
+    cut2 = int(datetime(2024, 1, 4, tzinfo=timezone.utc).timestamp())
+    got2 = {wi: vi for wi, vi in zip(w2, v2) if vi is not None}
+    assert got2 == {
+        wi: vi + 1 for wi, vi in zip(windows, vals) if wi * 86400 < cut2
+    }
+
+    with pytest.raises(Exception):
+        tier_expr('A + "oops"', {"A": a}).materialize()
