@@ -69,6 +69,18 @@ _CAL_FUNCS = {
 }
 
 
+def _date_accessor_kind(node) -> str | None:
+    """'date' / 'datetime' when ``node`` is a call to the matching
+    accessor pair, else None (drives bare-string literal coercion in
+    comparisons)."""
+    if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
+        if node.func.id in ("start_date", "end_date"):
+            return "date"
+        if node.func.id in ("start_datetime", "end_datetime", "start_time", "end_time"):
+            return "datetime"
+    return None
+
+
 def _parse_epoch(text: str, kind: str) -> int:
     """``date("YYYY-MM-DD")`` → epoch days; ``datetime("YYYY-MM-DD
     [HH:MM[:SS]]")`` → epoch seconds (UTC)."""
@@ -298,9 +310,25 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
         if isinstance(node, ast.Compare):
             if len(node.ops) != 1:
                 raise ValueError("chained comparisons not supported")
+            left, right = node.left, node.comparators[0]
+            # the reference grammar compares date accessors against BARE
+            # string literals — start_date(A) >= "2001-01-03"
+            # (unittests_temporal_conditionals.py:151) — so coerce a
+            # string on either side via the opposing accessor's kind
+            kind = _date_accessor_kind(right) or _date_accessor_kind(left)
+            if kind is not None:
+                if isinstance(left, ast.Constant) and isinstance(left.value, str):
+                    lv: object = float(_parse_epoch(left.value, kind))
+                else:
+                    lv = ev(left, env)
+                if isinstance(right, ast.Constant) and isinstance(right.value, str):
+                    rv: object = float(_parse_epoch(right.value, kind))
+                else:
+                    rv = ev(right, env)
+                return _binop(_AST_CMP[type(node.ops[0])], lv, rv)
             return _binop(
-                _AST_CMP[type(node.ops[0])], ev(node.left, env),
-                ev(node.comparators[0], env),
+                _AST_CMP[type(node.ops[0])], ev(left, env),
+                ev(right, env),
             )
         if isinstance(node, ast.BoolOp):
             # && / || — trivalent numeric fold, no short-circuit

@@ -324,3 +324,46 @@ def test_algebra_date_literals(ray_session):
 
     with pytest.raises(Exception):
         tier_expr('A + "oops"', {"A": a}).materialize()
+
+
+def test_reference_temporal_conditionals_calendar(ray_session):
+    """Reference-testsuite goldens with BARE date-string comparisons
+    (unittests_temporal_conditionals.py:146-168, 225-243, 400-424):
+    A = values 1..4 daily from 2001-01-01, D = 8,9,10 daily from
+    2001-01-03 — the same layout the reference registers."""
+    import ray.data
+
+    from grass_ray.stages.algebra import tier_expr
+
+    day0 = 11323  # epoch day of 2001-01-01
+    a = ray.data.from_arrow(
+        nested(
+            [("s", "d1", [day0, day0 + 1, day0 + 2, day0 + 3],
+              [1.0, 2.0, 3.0, 4.0])],
+            gran=86400,
+        )
+    )
+    d = ray.data.from_arrow(
+        nested(
+            [("s", "d1", [day0 + 2, day0 + 3, day0 + 4],
+              [8.0, 9.0, 10.0])],
+            gran=86400,
+        )
+    )
+
+    # test_temporal_condition_1: 2 maps, min 3, max 4
+    w, v = _vals(tier_expr('if(start_date(A) >= "2001-01-03", A)', {"A": a}))
+    got = {wi: vi for wi, vi in zip(w, v) if vi is not None}
+    assert got == {day0 + 2: 3.0, day0 + 3: 4.0}
+
+    # start_day golden (line 227): day-of-month <= 2 keeps Jan 1-2
+    w, v = _vals(tier_expr("if(start_day(A) <= 2, A)", {"A": a}))
+    got = {wi: vi for wi, vi in zip(w, v) if vi is not None}
+    assert got == {day0: 1.0, day0 + 1: 2.0}
+
+    # test_temporal_condition_else_1: 4 maps, min 1, max 9
+    w, v = _vals(
+        tier_expr('if(start_date(A) <= "2001-01-03", A, D)', {"A": a, "D": d})
+    )
+    got = {wi: vi for wi, vi in zip(w, v) if vi is not None}
+    assert got == {day0: 1.0, day0 + 1: 2.0, day0 + 2: 3.0, day0 + 3: 9.0}
