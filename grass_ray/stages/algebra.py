@@ -652,12 +652,37 @@ def _find_topo_split(rhs: str):
     return found
 
 
-def _scan_left_operand(s: str, i: int) -> int:
+_CMP_TOKENS = ("==", "!=", "<=", ">=", "<", ">")
+
+
+def _scan_left_operand(s: str, i: int, include_compare: bool = False) -> int:
     """Start index of the operand ending just before position ``i`` —
-    a name, a parenthesized group, or a function call."""
+    a name, a parenthesized group, a function call, or a quoted string.
+    With ``include_compare`` (boolean conditional qualifiers — the
+    reference's ``t_var_expr COND_OP t_var_expr`` production), a
+    trailing comparison like ``td(A) == 86400`` is swallowed whole."""
+    ls = _scan_left_simple(s, i)
+    if include_compare:
+        j = ls
+        while j > 0 and s[j - 1].isspace():
+            j -= 1
+        for tok in _CMP_TOKENS:
+            if j >= len(tok) and s[j - len(tok) : j] == tok:
+                # guard: '<=' already matched before '<'; j-len is the
+                # comparator start — scan the far operand before it
+                return _scan_left_simple(s, j - len(tok))
+    return ls
+
+
+def _scan_left_simple(s: str, i: int) -> int:
     j = i
     while j > 0 and s[j - 1].isspace():
         j -= 1
+    if j > 0 and s[j - 1] == '"':
+        k = s.rfind('"', 0, j - 1)
+        if k < 0:
+            raise ValueError(f"unterminated string before qualifier: {s!r}")
+        return k
     if j > 0 and s[j - 1] == ")":
         depth = 0
         k = j - 1
@@ -681,11 +706,31 @@ def _scan_left_operand(s: str, i: int) -> int:
     return m.start()
 
 
-def _scan_right_operand(s: str, i: int) -> int:
-    """End index (exclusive) of the operand starting at/after ``i``."""
+def _scan_right_operand(s: str, i: int, include_compare: bool = False) -> int:
+    """End index (exclusive) of the operand starting at/after ``i``;
+    ``include_compare`` swallows a trailing comparison (see
+    :func:`_scan_left_operand`)."""
+    end = _scan_right_simple(s, i)
+    if include_compare:
+        j = end
+        n = len(s)
+        while j < n and s[j].isspace():
+            j += 1
+        for tok in _CMP_TOKENS:
+            if s[j : j + len(tok)] == tok:
+                return _scan_right_simple(s, j + len(tok))
+    return end
+
+
+def _scan_right_simple(s: str, i: int) -> int:
     n = len(s)
     while i < n and s[i].isspace():
         i += 1
+    if i < n and s[i] == '"':
+        k = s.find('"', i + 1)
+        if k < 0:
+            raise ValueError(f"unterminated string after qualifier: {s!r}")
+        return k + 1
     if i < n and s[i] == "(":
         depth = 0
         k = i
@@ -705,7 +750,7 @@ def _scan_right_operand(s: str, i: int) -> int:
     rest = s[end:]
     lead = len(rest) - len(rest.lstrip())
     if end + lead < n and s[end + lead] == "(":
-        return _scan_right_operand(s, end + lead)  # function call
+        return _scan_right_simple(s, end + lead)  # function call
     return end
 
 
@@ -739,8 +784,13 @@ def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:
                 "extents to arbitrary intervals; it is supported at "
                 "statement level only (A {op,rel," + str(m.group(3)) + "} B)"
             )
-        ls = _scan_left_operand(expr, m.start())
-        re_end = _scan_right_operand(expr, m.end())
+        # the reference's conditional topology operators combine full
+        # comparison terms (t_var_expr COND_OP t_var_expr,
+        # temporal_algebra.py:2782+) — swallow comparisons for &&/||;
+        # arithmetic qualifiers keep map-operand binding
+        cmp_ok = op in ("&&", "||")
+        ls = _scan_left_operand(expr, m.start(), include_compare=cmp_ok)
+        re_end = _scan_right_operand(expr, m.end(), include_compare=cmp_ok)
         lds = _operand(expr[ls : m.start()], tiers, value_col)
         rds = _operand(expr[m.end() : re_end], tiers, value_col)
         nm = f"_topo{len(tiers)}"

@@ -367,3 +367,34 @@ def test_reference_temporal_conditionals_calendar(ray_session):
     )
     got = {wi: vi for wi, vi in zip(w, v) if vi is not None}
     assert got == {day0: 1.0, day0 + 1: 2.0, day0 + 2: 3.0, day0 + 3: 9.0}
+
+
+def test_reference_conditional_topology_golden(ray_session):
+    """unittests_temporal_conditionals.py:240-258 — conditional
+    topology operator between full comparison terms:
+    ``if(td(A) == 1 {||,during} start_date(C) < "2001-01-02", A)``
+    keeps exactly the A windows inside C's granule: values 2, 3 on
+    Jan 2 - Jan 3 (td in engine units: seconds)."""
+    import ray.data
+
+    from grass_ray.stages.algebra import tier_expr
+
+    day0 = 11323  # 2001-01-01
+    a = ray.data.from_arrow(
+        nested(
+            [("s", "d1", [day0, day0 + 1, day0 + 2, day0 + 3],
+              [1.0, 2.0, 3.0, 4.0])],
+            gran=86400,
+        )
+    )
+    # c1: one 2-day granule starting 2001-01-02
+    c = ray.data.from_arrow(
+        nested([("s", "d1", [(day0 + 1) // 2], [5.0])], gran=172800)
+    )
+    out = tier_expr(
+        'if(td(A) == 86400 {||,during} start_date(C) < "2001-01-02", A)',
+        {"A": a, "C": c},
+    )
+    w, v = _vals(out)
+    got = {wi: vi for wi, vi in zip(w, v) if vi is not None}
+    assert got == {day0 + 1: 2.0, day0 + 2: 3.0}
