@@ -151,6 +151,8 @@ _INDEX = re.compile(r"\b(\w+)\s*\[\s*(-?\d+)\s*\]")
 _REL_EXPAND = {
     "during": ("during", "starts", "finishes"),
     "contains": ("contains", "started", "finished"),
+    # reference temporal_operator grammar: 'over' = either overlap side
+    "over": ("overlaps", "overlapped"),
 }
 
 _SIDE_ALIASES = {
@@ -507,7 +509,10 @@ def tier_expr(
     out_col = out_col or value_col
     keys = list(key_cols)
     # topology-qualified sub-terms become synthetic tiers FIRST, so the
-    # remaining expression is pure aligned arithmetic
+    # remaining expression is pure aligned arithmetic; the relation-
+    # qualified conditional form goes first (its condition may itself
+    # hold qualifiers, evaluated by the recursive tier_expr call)
+    expr = _rewrite_if_topo(expr, tiers, value_col)
     expr = _rewrite_topo(expr, tiers, value_col)
     # granularities resolved up front ONLY when the expression uses a
     # temporal function (each resolution is a partial pipeline execution
@@ -752,6 +757,106 @@ def _scan_right_simple(s: str, i: int) -> int:
     if end + lead < n and s[end + lead] == "(":
         return _scan_right_simple(s, end + lead)  # function call
     return end
+
+
+_IF_TOPO = re.compile(r"\b(?:if|where)\s*\(\s*\{\s*([\w|]+)\s*\}\s*,")
+
+
+def _split_top_args(s: str, i: int):
+    """Split ``s[i:]`` at top-level commas until the close paren that
+    matches the already-open call; returns (args, index_past_paren)."""
+    depth = 1
+    args = []
+    start = i
+    in_str = False
+    for k in range(i, len(s)):
+        ch = s[k]
+        if ch == '"':
+            in_str = not in_str
+        elif in_str:
+            continue
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(s[start:k])
+                return args, k + 1
+        elif ch == "," and depth == 1:
+            args.append(s[start:k])
+            start = k + 1
+    raise ValueError(f"unbalanced parentheses in conditional: {s!r}")
+
+
+def _true_granules(ds, value_col: str):
+    """Keep only the windows whose value is truthy (non-zero, finite) —
+    the TRUE intervals of an evaluated condition tier."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        wcol = batch.column("windows")
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        vcol = batch.column(value_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        lens = wcol.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        w = wcol.flatten().to_numpy(zero_copy_only=False)
+        v = vcol.flatten().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        keep = np.isfinite(v) & (v != 0)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        new_lens = np.zeros(len(lens), dtype=np.int64)
+        has = lens > 0
+        if has.any() and len(keep):
+            new_lens[has] = np.add.reduceat(keep.astype(np.int64), starts[has])
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int32)
+        )
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            if isinstance(col.type, pa.ListType):
+                flat = col.combine_chunks().flatten() if isinstance(col, pa.ChunkedArray) else col.flatten()
+                cols[name] = pa.ListArray.from_arrays(
+                    offsets, flat.filter(pa.array(keep))
+                )
+            else:
+                cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _rewrite_if_topo(expr: str, tiers: dict, value_col: str) -> str:
+    """``if({rels}, cond, then)`` — the reference's conditional with an
+    explicit topology relation between the condition's and the result's
+    time dimensions (``temporal_algebra.py:2782+``, testsuite
+    condition_7): evaluate the condition on its OWN dimension, keep its
+    TRUE granules, and select the then-granules related to any of them
+    (the ``:`` selection fold).  The else form with a relation
+    qualifier would need per-granule true/false routing — raise."""
+    while True:
+        m = _IF_TOPO.search(expr)
+        if m is None:
+            return expr
+        rels = _expand_rels(m.group(1).split("|"))
+        args, end = _split_top_args(expr, m.end())
+        if len(args) != 2:
+            raise NotImplementedError(
+                "if({relation}, cond, then, else): the else arm of the "
+                "relation-qualified conditional is not supported — "
+                "rewrite as two 2-arg conditionals"
+            )
+        cond_s, then_s = args
+        cond = tier_expr(cond_s, dict(tiers), value_col=value_col)
+        strue = _true_granules(cond, value_col).materialize()
+        then_ds = _operand(then_s, tiers, value_col)
+        res = tier_topo(
+            then_ds, strue, ":", rels, value_col=value_col
+        ).materialize()
+        nm = f"_iftopo{len(tiers)}"
+        tiers[nm] = (res, value_col)
+        expr = f"{expr[:m.start()]} {nm} {expr[end:]}"
 
 
 def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:

@@ -398,3 +398,53 @@ def test_reference_conditional_topology_golden(ray_session):
     w, v = _vals(out)
     got = {wi: vi for wi, vi in zip(w, v) if vi is not None}
     assert got == {day0 + 1: 2.0, day0 + 2: 3.0}
+
+
+def test_reference_if_relation_golden(ray_session):
+    """unittests_temporal_conditionals.py:261-280 (condition_7): the
+    relation-qualified conditional
+    ``if({over}, start_date(C) == "2001-01-02" {&&,contains} td(A) == 1, B)``
+    keeps both B granules (5, 6) — the condition evaluates on C's time
+    dimension and B is selected through the over (overlaps|overlapped)
+    relation.  B's 1-day-shifted 2-day grid rides on worigin."""
+    import ray.data
+
+    from grass_ray.stages.algebra import algebra
+
+    def nested_o(rows, gran, worigin=None):
+        t = nested(rows, gran=gran)
+        if worigin is not None:
+            t = t.append_column(
+                "worigin", pa.array([worigin] * t.num_rows, type=pa.int64())
+            )
+        return t
+
+    day0 = 11323  # 2001-01-01
+    a = ray.data.from_arrow(
+        nested_o(
+            [("s", "d1", [day0 + i for i in range(4)], [1.0, 2.0, 3.0, 4.0])],
+            86400,
+        )
+    )
+    b = ray.data.from_arrow(  # b1 Jan1-3, b2 Jan3-5
+        nested_o([("s", "d1", [5661, 5662], [5.0, 6.0])], 172800, worigin=86400)
+    )
+    c = ray.data.from_arrow(  # c1 Jan2-4
+        nested_o([("s", "d1", [5662], [7.0])], 172800)
+    )
+    _nm, out = algebra(
+        'R = if({over},start_date(C) == "2001-01-02" {&&,contains} td(A) == 86400, B)',
+        {"A": a, "B": b, "C": c},
+    )
+    df = out.to_pandas()
+    assert len(df) == 1
+    assert list(df.iloc[0]["windows"]) == [5661, 5662]
+    assert list(df.iloc[0]["average"]) == [5.0, 6.0]
+
+    # else arm with a relation qualifier raises loudly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        algebra(
+            'R = if({over}, td(A) == 86400, B, C)', {"A": a, "B": b, "C": c}
+        )
