@@ -256,7 +256,7 @@ def _q_algebra_if(sf_dir: str) -> pa.Table:
     )
     pts = explode_nested(out, value_cols=("v",))
     t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
-    return t.drop_columns([c for c in ("gran",) if c in t.column_names])
+    return t.drop_columns([c for c in ("gran", "worigin") if c in t.column_names])
 
 
 def _q_algebra_topo(sf_dir: str) -> pa.Table:
@@ -648,7 +648,7 @@ def _q_gapfill(sf_dir: str) -> pa.Table:
     filled = gapfill(sparse, value_cols=("average",))
     pts = explode_nested(filled, value_cols=("average", "is_filled"))
     t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
-    t = t.drop_columns([c for c in ("gran",) if c in t.column_names])
+    t = t.drop_columns([c for c in ("gran", "worigin") if c in t.column_names])
     return _rename(t, {"average": "avg_fill"})
 
 
@@ -701,7 +701,7 @@ def _q_algebra_shift(sf_dir: str) -> pa.Table:
     _, shifted = algebra("R = tshift(A, 5)", {"A": nested})
     pts = explode_nested(shifted, value_cols=("average",))
     t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
-    t = t.drop_columns([c for c in ("gran",) if c in t.column_names])
+    t = t.drop_columns([c for c in ("gran", "worigin") if c in t.column_names])
     return _rename(t, {"average": "avg_tok"})
 
 

@@ -409,19 +409,21 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                     raise ValueError(f"{fname}() expects a tier name")
                 s = env[arg.id]
                 g = float(gran_of[arg.id])
+                o = float(env.get("_worigin", 0) or 0)
                 if fname == "td":
                     return _Series(s.w, np.full(len(s.w), g))
                 if fname == "start_time":
-                    return _Series(s.w, s.w.astype(np.float64) * g)
-                return _Series(s.w, (s.w.astype(np.float64) + 1.0) * g)
+                    return _Series(s.w, o + s.w.astype(np.float64) * g)
+                return _Series(s.w, o + (s.w.astype(np.float64) + 1.0) * g)
             if fname in _CAL_FUNCS:
                 arg = node.args[0]
                 if not isinstance(arg, ast.Name):
                     raise ValueError(f"{fname}() expects a tier name")
                 s = env[arg.id]
                 g = int(gran_of[arg.id])
+                o = int(env.get("_worigin", 0) or 0)
                 which, field = fname.split("_", 1)
-                ep = s.w * g + (g if which == "end" else 0)
+                ep = o + s.w * g + (g if which == "end" else 0)
                 return _Series(
                     s.w, _calendar_field(ep, field).astype(np.float64)
                 )
@@ -435,8 +437,9 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                     raise ValueError(f"{fname}() expects a tier name")
                 s = env[arg.id]
                 g = int(gran_of[arg.id])
+                o = int(env.get("_worigin", 0) or 0)
                 which, kind = fname.split("_", 1)
-                ep = s.w * g + (g if which == "end" else 0)
+                ep = o + s.w * g + (g if which == "end" else 0)
                 v = ep // 86400 if kind == "date" else ep
                 return _Series(s.w, v.astype(np.float64))
             if fname in ("date", "datetime"):
@@ -542,6 +545,12 @@ def tier_expr(
                 vcol = vcol.combine_chunks()
             cols = {k: batch.column(k) for k in keys}
             cols["gran"] = batch.column("gran")
+            if "worigin" in batch.column_names:
+                cols["_o"] = batch.column("worigin")
+            else:
+                cols["_o"] = pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64)
+                )
             cols["windows"] = batch.column("windows")
             cols["_v"] = vcol.cast(pa.list_(pa.float64()))
             cols["_tier"] = pa.array([_nm] * batch.num_rows)
@@ -568,14 +577,23 @@ def tier_expr(
                 dtype=np.float64,
             )
             order = np.argsort(ws, kind="stable")
-            groups.setdefault(key, {})[d["_tier"][i]] = _Series(
-                ws[order], vs[order]
-            )
-            groups[key]["_gran"] = d["gran"][i]
+            g = groups.setdefault(key, {})
+            g[d["_tier"][i]] = _Series(ws[order], vs[order])
+            g["_gran"] = d["gran"][i]
+            o = d["_o"][i] or 0
+            if g.setdefault("_worigin", o) != o:
+                raise ValueError(
+                    "aligned algebra over operands on DIFFERENT window "
+                    f"grids (worigin {g['_worigin']} vs {o}) — tshift/"
+                    "cascade to a common grid first"
+                )
         out_key = {k: [] for k in keys}
-        out_gran, out_w, out_v = [], [], []
+        out_gran, out_orig, out_w, out_v = [], [], [], []
         for key, env in sorted(groups.items()):
-            gran = env.pop("_gran")
+            # _gran/_worigin stay visible to fn: the calendar accessors
+            # read the grid offset from the env
+            gran = env["_gran"]
+            worigin = env["_worigin"]
             if set(names_used) - set(env):
                 continue  # a key missing an operand: empty intersection
             res = fn(env)
@@ -586,10 +604,12 @@ def tier_expr(
             for k, kv in zip(keys, key):
                 out_key[k].append(kv)
             out_gran.append(gran)
+            out_orig.append(worigin)
             out_w.append(res.w.tolist())
             out_v.append([None if np.isnan(x) else x for x in res.v])
         cols = {k: pa.array(out_key[k]) for k in keys}
         cols["gran"] = pa.array(out_gran, type=pa.int64())
+        cols["worigin"] = pa.array(out_orig, type=pa.int64())
         cols["windows"] = pa.array(out_w, type=pa.list_(pa.int64()))
         cols[out_col] = pa.array(out_v, type=pa.list_(pa.float64()))
         return pa.table(cols)
@@ -623,7 +643,8 @@ def _split_toplevel(s: str):
 
 
 _TOPO_Q = re.compile(
-    r"\{\s*([+\-*/%#]|&&|\|\||!?:)\s*,\s*([\w|]+)\s*(?:,\s*(\w+)\s*)?\}"
+    r"\{\s*([+\-*/%#]|&&|\|\||!?:)\s*,\s*([\w|]+)\s*"
+    r"(?:,\s*([|&])\s*)?(?:,\s*(\w+)\s*)?\}"
 )
 
 
@@ -643,15 +664,19 @@ def _find_topo_split(rhs: str):
             depth -= 1
         elif ch == "{" and depth == 0:
             m = _TOPO_Q.match(rhs, i)
+            if m and m.group(3) is not None:
+                # aggregator slot ({op,rels,|/&[,side]}) — handled by
+                # the expression-level rewrite, not the statement split
+                continue
             if m:
                 rels = m.group(2).split("|")
-                side = _SIDE_ALIASES.get(m.group(3), m.group(3))
+                side = _SIDE_ALIASES.get(m.group(4), m.group(4))
                 if set(rels) - {"equal"} or side != "l":
                     found = (
                         rhs[:i],
                         m.group(1),
                         rels,
-                        m.group(3),
+                        m.group(4),
                         rhs[m.end():],
                     )
     return found
@@ -874,20 +899,54 @@ def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:
         m = None
         for mm in _TOPO_Q.finditer(expr):
             rels = mm.group(2).split("|")
-            side = _SIDE_ALIASES.get(mm.group(3), mm.group(3))
-            if set(rels) - {"equal"} or side != "l":
+            side = _SIDE_ALIASES.get(mm.group(4), mm.group(4))
+            if set(rels) - {"equal"} or side != "l" or mm.group(3):
                 m = mm
                 break
         if m is None:
             return expr
         op = m.group(1)
+        agg = m.group(3)
+        if agg is not None:
+            # explicit match aggregator ({&&,over,|}: combine the left
+            # condition with the |-fold of the matched right conditions,
+            # temporal_operator.py boolean forms): textual two-step
+            # rewrite — aggregate the rights onto the LEFT's granules
+            # with a zeroed/oned copy of the left as the carrier, then
+            # combine aligned.  The loop re-enters on the inner
+            # qualifier.
+            if op not in ("&&", "||"):
+                raise NotImplementedError(
+                    f"match aggregator {agg!r} only applies to the "
+                    "boolean qualifiers (&&/||)"
+                )
+            if m.group(4) and _SIDE_ALIASES.get(m.group(4)) != "l":
+                raise NotImplementedError(
+                    "match aggregator + extent side modifier together "
+                    "({op,rel,|/&,r}) is not implemented — the carrier "
+                    "rewrite would land on the wrong dimension"
+                )
+            side_s = ""
+            ls = _scan_left_operand(expr, m.start(), include_compare=True)
+            re_end = _scan_right_operand(expr, m.end(), include_compare=True)
+            left_s = expr[ls : m.start()].strip()
+            right_s = expr[m.end() : re_end].strip()
+            carrier = f"(0*({left_s}))" if agg == "|" else f"(0*({left_s})+1)"
+            inner_op = "||" if agg == "|" else "&&"
+            inner = (
+                f"({carrier} {{{inner_op},{m.group(2)}{side_s}}} ({right_s}))"
+            )
+            expr = (
+                f"{expr[:ls]} (({left_s}) {op} {inner}) {expr[re_end:]}"
+            )
+            continue
         rels = _expand_rels(m.group(2).split("|"))
-        side = _SIDE_ALIASES.get(m.group(3), m.group(3))
+        side = _SIDE_ALIASES.get(m.group(4), m.group(4))
         if side not in ("l", "r"):
             raise NotImplementedError(
-                f"extent side modifier {m.group(3)!r} changes result "
+                f"extent side modifier {m.group(4)!r} changes result "
                 "extents to arbitrary intervals; it is supported at "
-                "statement level only (A {op,rel," + str(m.group(3)) + "} B)"
+                "statement level only (A {op,rel," + str(m.group(4)) + "} B)"
             )
         # the reference's conditional topology operators combine full
         # comparison terms (t_var_expr COND_OP t_var_expr,

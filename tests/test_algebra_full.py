@@ -448,3 +448,69 @@ def test_reference_if_relation_golden(ray_session):
         algebra(
             'R = if({over}, td(A) == 86400, B, C)', {"A": a, "B": b, "C": c}
         )
+
+
+def test_reference_conditional_aggregators_golden(ray_session):
+    """unittests_temporal_conditionals.py:281-320 (conditions 8, 9):
+    explicit match aggregators in the boolean qualifier —
+    {||,over,|} keeps both B maps, {&&,over,&} keeps only b1 (the
+    reference's B = 2-day maps from Jan 1 on a worigin-shifted grid,
+    E = 2-day maps from Dec 31).  NULL result windows are the engine's
+    form of the reference's unregistered maps."""
+    import math
+
+    import ray.data
+
+    from grass_ray.stages.algebra import algebra
+
+    def nested_o(rows, gran, worigin=None):
+        t = nested(rows, gran=gran)
+        if worigin is not None:
+            t = t.append_column(
+                "worigin", pa.array([worigin] * t.num_rows, type=pa.int64())
+            )
+        return t
+
+    b = ray.data.from_arrow(
+        nested_o([("s", "d1", [5661, 5662], [5.0, 6.0])], 172800, worigin=86400)
+    )
+    e = ray.data.from_arrow(
+        nested_o([("s", "d1", [5661, 5662, 5663], [11.0, 12.0, 13.0])], 172800)
+    )
+
+    def run(expr):
+        _nm, out = algebra(expr, {"B": b, "E": e})
+        df = out.to_pandas()
+        assert len(df) == 1
+        return {
+            w: (None if (isinstance(v, float) and math.isnan(v)) else v)
+            for w, v in zip(df.iloc[0]["windows"], df.iloc[0]["average"])
+        }
+
+    got8 = run(
+        'R = if(start_date(B) <= "2001-01-01" {||,over,|} td(E) == 172800, B)'
+    )
+    assert {w: v for w, v in got8.items() if v is not None} == {
+        5661: 5.0, 5662: 6.0
+    }
+    got9 = run(
+        'R = if(start_date(B) <= "2001-01-01" {&&,over,&} td(E) == 172800, B)'
+    )
+    assert {w: v for w, v in got9.items() if v is not None} == {5661: 5.0}
+
+
+def test_mixed_worigin_raises(ray_session):
+    """Aligned algebra over operands on different window grids is a
+    silent-corruption hazard — it must raise."""
+    import ray.data
+
+    from grass_ray.stages.algebra import tier_expr
+
+    a = ray.data.from_arrow(nested([("s", "d1", [0, 1], [1.0, 2.0])], gran=60))
+    t2 = nested([("s", "d1", [0, 1], [3.0, 4.0])], gran=60)
+    t2 = t2.append_column(
+        "worigin", pa.array([30] * t2.num_rows, type=pa.int64())
+    )
+    b = ray.data.from_arrow(t2)
+    with pytest.raises(Exception, match="worigin|grid"):
+        tier_expr("A + B", {"A": a, "B": b}).materialize()
