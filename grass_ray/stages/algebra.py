@@ -813,9 +813,11 @@ def _split_top_args(s: str, i: int):
     raise ValueError(f"unbalanced parentheses in conditional: {s!r}")
 
 
-def _true_granules(ds, value_col: str):
+def _true_granules(ds, value_col: str, invert: bool = False):
     """Keep only the windows whose value is truthy (non-zero, finite) —
-    the TRUE intervals of an evaluated condition tier."""
+    the TRUE intervals of an evaluated condition tier; ``invert`` keeps
+    the FALSE (zero, finite) intervals instead (NULLs belong to
+    neither, trivalent)."""
 
     def kernel(batch: pa.Table) -> pa.Table:
         wcol = batch.column("windows")
@@ -827,7 +829,7 @@ def _true_granules(ds, value_col: str):
         lens = wcol.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
         w = wcol.flatten().to_numpy(zero_copy_only=False)
         v = vcol.flatten().cast(pa.float64()).to_numpy(zero_copy_only=False)
-        keep = np.isfinite(v) & (v != 0)
+        keep = np.isfinite(v) & ((v == 0) if invert else (v != 0))
         starts = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         new_lens = np.zeros(len(lens), dtype=np.int64)
@@ -852,6 +854,24 @@ def _true_granules(ds, value_col: str):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+#: Allen inverses — the if({rel}) qualifier states the relation from
+#: the CONDITION's perspective (B contains A), while the ':' selection
+#: evaluates from the result side (A during B)
+_REL_INVERSE = {
+    "equal": "equal",
+    "during": "contains",
+    "contains": "during",
+    "starts": "started",
+    "started": "starts",
+    "finishes": "finished",
+    "finished": "finishes",
+    "overlaps": "overlapped",
+    "overlapped": "overlaps",
+    "precedes": "follows",
+    "follows": "precedes",
+}
+
+
 def _rewrite_if_topo(expr: str, tiers: dict, value_col: str) -> str:
     """``if({rels}, cond, then)`` — the reference's conditional with an
     explicit topology relation between the condition's and the result's
@@ -859,29 +879,101 @@ def _rewrite_if_topo(expr: str, tiers: dict, value_col: str) -> str:
     condition_7): evaluate the condition on its OWN dimension, keep its
     TRUE granules, and select the then-granules related to any of them
     (the ``:`` selection fold).  The else form with a relation
-    qualifier would need per-granule true/false routing — raise."""
+    form routes each then/else granule through the condition granule it
+    relates to (testsuite raster-algebra if-else golden)."""
     while True:
         m = _IF_TOPO.search(expr)
         if m is None:
             return expr
-        rels = _expand_rels(m.group(1).split("|"))
+        rels = [
+            _REL_INVERSE.get(r, r)
+            for r in _expand_rels(m.group(1).split("|"))
+        ]
         args, end = _split_top_args(expr, m.end())
-        if len(args) != 2:
-            raise NotImplementedError(
-                "if({relation}, cond, then, else): the else arm of the "
-                "relation-qualified conditional is not supported — "
-                "rewrite as two 2-arg conditionals"
+        if len(args) not in (2, 3):
+            raise ValueError(
+                "if({relation}, cond, then[, else]) takes 2 or 3 args"
             )
-        cond_s, then_s = args
-        cond = tier_expr(cond_s, dict(tiers), value_col=value_col)
+        cond_s, then_s = args[0], args[1]
+        cond = tier_expr(cond_s, dict(tiers), value_col=value_col).materialize()
         strue = _true_granules(cond, value_col).materialize()
         then_ds = _operand(then_s, tiers, value_col)
         res = tier_topo(
             then_ds, strue, ":", rels, value_col=value_col
         ).materialize()
+        if len(args) == 3:
+            # else granules relate to the FALSE condition intervals; a
+            # granule related to neither is excluded (the reference
+            # drops topologically-unrelated maps), one related to both
+            # keeps the then value
+            sfalse = _true_granules(cond, value_col, invert=True).materialize()
+            else_ds = _operand(args[2], tiers, value_col)
+            esel = tier_topo(
+                else_ds, sfalse, ":", rels, value_col=value_col
+            ).materialize()
+            res = _merge_nested(res, esel, value_col).materialize()
         nm = f"_iftopo{len(tiers)}"
         tiers[nm] = (res, value_col)
         expr = f"{expr[:m.start()]} {nm} {expr[end:]}"
+
+
+def _merge_nested(ds_then, ds_else, value_col: str, *, keys=_DEFAULT_KEYS, buckets: int = 64):
+    """Merge two nested tiers' windows per key (then-side wins a
+    duplicate window) — one key-bucket exchange, no driver data."""
+
+    def tag(prio):
+        def kernel(batch: pa.Table) -> pa.Table:
+            from grass_ray.stages.join import _bucket_ids
+
+            t = batch.append_column(
+                "_prio", pa.array([prio] * batch.num_rows, type=pa.int8())
+            )
+            return t.append_column(
+                "_bucket", pa.array(_bucket_ids(t, list(keys), buckets))
+            )
+
+        return kernel
+
+    u = ds_then.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_else.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.to_pydict()
+        rows: dict = {}
+        for i in range(batch.num_rows):
+            key = tuple(d[k][i] for k in keys)
+            rows.setdefault(key, []).append(i)
+        out = {k: [] for k in batch.column_names if k not in ("_prio", "_bucket")}
+        for key, idxs in sorted(rows.items()):
+            idxs.sort(key=lambda i: d["_prio"][i])
+            seen: dict = {}
+            for i in idxs:
+                for w, v in zip(d["windows"][i], d[value_col][i]):
+                    if w not in seen:
+                        seen[w] = v
+            if not seen:
+                continue
+            ws = sorted(seen)
+            base = idxs[0]
+            for k in out:
+                if k == "windows":
+                    out[k].append(ws)
+                elif k == value_col:
+                    out[k].append([seen[w] for w in ws])
+                else:
+                    out[k].append(d[k][base])
+        cols = {}
+        for k, vals in out.items():
+            if k == "windows":
+                cols[k] = pa.array(vals, type=pa.list_(pa.int64()))
+            elif k == value_col:
+                cols[k] = pa.array(vals, type=pa.list_(pa.float64()))
+            else:
+                cols[k] = pa.array(vals, type=batch.schema.field(k).type)
+        return pa.table(cols)
+
+    return u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:

@@ -441,13 +441,15 @@ def test_reference_if_relation_golden(ray_session):
     assert list(df.iloc[0]["windows"]) == [5661, 5662]
     assert list(df.iloc[0]["average"]) == [5.0, 6.0]
 
-    # else arm with a relation qualifier raises loudly
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        algebra(
-            'R = if({over}, td(A) == 86400, B, C)', {"A": a, "B": b, "C": c}
-        )
+    # else arm exists but contributes nothing here: a 1-day TRUE
+    # granule never strictly 'over'-relates to a 2-day granule
+    # (during/starts/finishes are not overlaps), so the 3-arg form
+    # yields an empty result — the populated else path is pinned by
+    # test_reference_if_else_relation_golden
+    _nm2, out2 = algebra(
+        'R = if({over}, td(A) == 86400, B, C)', {"A": a, "B": b, "C": c}
+    )
+    assert out2.count() == 0
 
 
 def test_reference_conditional_aggregators_golden(ray_session):
@@ -514,3 +516,40 @@ def test_mixed_worigin_raises(ray_session):
     b = ray.data.from_arrow(t2)
     with pytest.raises(Exception, match="worigin|grid"):
         tier_expr("A + B", {"A": a, "B": b}).materialize()
+
+
+def test_reference_if_else_relation_golden(ray_session):
+    """unittests_temporal_raster_algebra.py:155-176: the relation-
+    qualified conditional WITH else —
+    ``if({contains}, B == 5, A - 1, A + 1)`` routes each A day through
+    the condition granule that CONTAINS it: days under b1 (TRUE) take
+    A-1, days under b2 (FALSE) take A+1 → values 0,1,4,5."""
+    import ray.data
+
+    from grass_ray.stages.algebra import algebra
+
+    def nested_o(rows, gran, worigin=None):
+        t = nested(rows, gran=gran)
+        if worigin is not None:
+            t = t.append_column(
+                "worigin", pa.array([worigin] * t.num_rows, type=pa.int64())
+            )
+        return t
+
+    day0 = 11323
+    a = ray.data.from_arrow(
+        nested_o(
+            [("s", "d1", [day0 + i for i in range(4)], [1.0, 2.0, 3.0, 4.0])],
+            86400,
+        )
+    )
+    b = ray.data.from_arrow(
+        nested_o([("s", "d1", [5661, 5662], [5.0, 6.0])], 172800, worigin=86400)
+    )
+    _nm, out = algebra(
+        "R = if({contains}, B == 5,  A - 1,  A + 1)", {"A": a, "B": b}
+    )
+    df = out.to_pandas()
+    assert len(df) == 1
+    assert list(df.iloc[0]["windows"]) == [day0, day0 + 1, day0 + 2, day0 + 3]
+    assert list(df.iloc[0]["average"]) == [0.0, 1.0, 4.0, 5.0]
