@@ -141,7 +141,21 @@ def _calendar_field(epochs: np.ndarray, field: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _QUAL = re.compile(r"\{\s*([+\-*/%#]|&&|\|\||!?:)\s*(?:,\s*([\w|]+)\s*)?(?:,\s*[lriudw|]+\s*)?\}")
-_INDEX = re.compile(r"\b(\w+)\s*\[\s*(-?\d+)\s*\]")
+# A[k] temporal neighborhood; A[r,c,k] tolerates the reference's
+# spatial form when the spatial offsets are zero (the engine has no
+# spatial axis — nonzero r/c raise)
+_INDEX = re.compile(
+    r"\b(\w+)\s*\[\s*(?:(-?\d+)\s*,\s*(-?\d+)\s*,\s*)?(-?\d+)\s*\]"
+)
+
+
+def _index_sub(m: "re.Match") -> str:
+    if m.group(2) is not None and (m.group(2) != "0" or m.group(3) != "0"):
+        raise NotImplementedError(
+            "A[r,c,t] spatial offsets must be 0 — the engine's maps "
+            "have no spatial axis (use the temporal form A[t])"
+        )
+    return f"tindex({m.group(1)}, {m.group(4)})"
 
 # the reference's topology BUILDER files starts/finishes matches under
 # DURING and started/finished under CONTAINS
@@ -181,7 +195,7 @@ def _expand_rels(rels):
 
 def _preprocess(expr: str) -> str:
     out = _reduce_qualifiers(expr)
-    out = _INDEX.sub(r"tindex(\1, \2)", out)
+    out = _INDEX.sub(_index_sub, out)
     # `and`/`or`, not `&`/`|`: Python's bitwise ops bind TIGHTER than
     # comparisons, so `a < 2 & b == 1` would parse as a chained
     # comparison; the reference's &&/|| bind looser (BoolOp matches)
@@ -449,6 +463,22 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                 if not (isinstance(arg, ast.Constant) and isinstance(arg.value, str)):
                     raise ValueError(f'{fname}() expects a string literal')
                 return float(_parse_epoch(arg.value, fname))
+            if fname == "tmap":
+                # single-map tier lift (reference tmap(singletmap)) —
+                # a registered single granule is already a tier here
+                return ev(node.args[0], env)
+            if fname == "map" and len(node.args) == 1:
+                # standalone (time-constant) map: its one value
+                # broadcasts over the other operand's windows, no
+                # temporal intersection (reference map(singlemap) + A)
+                val = ev(node.args[0], env)
+                if isinstance(val, _Series):
+                    if len(val.v) != 1:
+                        raise ValueError(
+                            "map() expects a single-granule tier"
+                        )
+                    return float(val.v[0])
+                return float(val)
             if fname == "tindex":
                 # A[k]: at output window w the value of A at window w+k
                 s = ev(node.args[0], env)

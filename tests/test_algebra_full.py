@@ -553,3 +553,34 @@ def test_reference_if_else_relation_golden(ray_session):
     assert len(df) == 1
     assert list(df.iloc[0]["windows"]) == [day0, day0 + 1, day0 + 2, day0 + 3]
     assert list(df.iloc[0]["average"]) == [0.0, 1.0, 4.0, 5.0]
+
+
+def test_reference_map_tmap_spatial_index(tiers, ray_session):
+    """unittests_temporal_raster_algebra.py:598-661: tmap() lifts a
+    single registered map, map() broadcasts a time-constant map over
+    the other operand's windows, and the spatial index form
+    A[0,0,k] is the temporal A[k] (nonzero spatial offsets raise)."""
+    import ray.data
+
+    from grass_ray.stages.algebra import algebra
+
+    # A[0,0,-1] + A[0,0,1] == A[-1] + A[1]: 2 maps, 4 and 6
+    _, res = algebra("R = A[0,0,-1] + A[0,0,1]", dict(tiers))
+    w, v = _vals(res)
+    assert w == [1, 2] and v == [4.0, 6.0]
+    with pytest.raises(NotImplementedError):
+        algebra("R = A[1,0,-1] + A[0,0,1]", dict(tiers))
+
+    single = ray.data.from_arrow(nested([("s", "d1", [0], [99.0])]))
+    t2 = dict(tiers)
+    t2["S"] = single
+    # tmap(S) is the tier itself; +1 gives 100 (testsuite line 632-644)
+    _, res = algebra("R = tmap(S) + 1", t2)
+    w, v = _vals(res)
+    assert w == [0] and v == [100.0]
+    # map(M) + A broadcasts: 4 maps 101..104 (testsuite line 649-661)
+    t3 = dict(tiers)
+    t3["M"] = ray.data.from_arrow(nested([("s", "d1", [0], [100.0])]))
+    _, res = algebra("R = map(M) + A", t3)
+    w, v = _vals(res)
+    assert w == [0, 1, 2, 3] and v == [101.0, 102.0, 103.0, 104.0]
