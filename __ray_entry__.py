@@ -3939,6 +3939,85 @@ def oracle_sql() -> dict[str, str]:
                CASE {_sp_case} ELSE '{_sp_names[-1]}' END AS split
         FROM h
     """
+    # The COMPOSED curation pipeline, exact end-to-end: every stage's
+    # own oracle fragment chained in one CTE — normalize → fmix32
+    # mixing (src0 1.0 / src1 0.5 / default 0.8, seed 17) → k=3
+    # segment dedup on the normalized text → unigram-LM filter at
+    # avg_logprob >= -5 over the SURVIVING corpus (one IEEE division +
+    # ln subtraction, formula-identical on both sides) → rank-tokenize
+    # word count → fmix32 train/val/test split (same u32 hash).
+    _cv_u = mix_sql_expr("doc_id", 17)
+    _cv_names, _cv_bounds = split_thresholds(
+        {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    _cv_case = " ".join(
+        f"WHEN u < {int(b)} THEN '{n}'"
+        for n, b in zip(_cv_names, _cv_bounds)
+    )
+    d["curate_v2"] = f"""
+        WITH norm AS (
+            SELECT doc_id, source,
+                   trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))
+                       AS text_norm,
+                   {_cv_u} AS u
+            FROM documents
+        ),
+        mixed AS (
+            SELECT doc_id, text_norm, u FROM norm
+            WHERE u < CASE source
+                        WHEN 'src0' THEN {rate_threshold(1.0)}
+                        WHEN 'src1' THEN {rate_threshold(0.5)}
+                        ELSE {rate_threshold(0.8)} END
+        ),
+        w AS (
+            SELECT doc_id, unnest(ws) AS word,
+                   generate_subscripts(ws, 1) - 1 AS wi
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text_norm), '[a-z0-9_'']+') AS ws
+                  FROM mixed)
+        ),
+        segs AS (
+            SELECT doc_id, wi // 3 AS seg_idx,
+                   string_agg(word, ' ' ORDER BY wi) AS seg
+            FROM w GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT seg, min(doc_id * 1048576 + seg_idx) AS wkey
+            FROM segs GROUP BY 1
+        ),
+        kept AS (
+            SELECT s.doc_id, s.seg_idx, s.seg
+            FROM segs s JOIN win
+              ON s.seg = win.seg
+             AND s.doc_id * 1048576 + s.seg_idx = win.wkey
+        ),
+        sd AS (
+            SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+            FROM kept GROUP BY 1
+        ),
+        dw AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text_dedup), '[a-z0-9_'']+'))
+                       AS word
+            FROM sd
+        ),
+        c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM dw GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c),
+        lm AS (
+            SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(CAST(floor(1e6 * ln(CAST(c.cnt AS DOUBLE)))
+                                 AS BIGINT)) AS BIGINT) AS lp
+            FROM dw JOIN c ON dw.word = c.word GROUP BY 1
+        ),
+        good AS (
+            SELECT doc_id, n_words FROM lm
+            WHERE CAST(lp AS DOUBLE) / (1e6 * n_words)
+                  - ln((SELECT n FROM tot)) >= -5.0
+        )
+        SELECT g.doc_id, g.n_words AS n_tok,
+               CASE {_cv_case} ELSE '{_cv_names[-1]}' END AS split
+        FROM good g JOIN mixed m ON g.doc_id = m.doc_id
+    """
     d["det_shuffle"] = f"""
         WITH h AS (SELECT doc_id, {_mix_u} AS u FROM documents)
         SELECT doc_id,
