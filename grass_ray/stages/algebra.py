@@ -821,6 +821,7 @@ def _split_top_args(s: str, i: int):
     """Split ``s[i:]`` at top-level commas until the close paren that
     matches the already-open call; returns (args, index_past_paren)."""
     depth = 1
+    braces = 0  # {op,rel} qualifier commas are NOT argument separators
     args = []
     start = i
     in_str = False
@@ -830,14 +831,18 @@ def _split_top_args(s: str, i: int):
             in_str = not in_str
         elif in_str:
             continue
-        elif ch == "(":
+        elif ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
             if depth == 0:
                 args.append(s[start:k])
                 return args, k + 1
-        elif ch == "," and depth == 1:
+        elif ch == "{":
+            braces += 1
+        elif ch == "}":
+            braces -= 1
+        elif ch == "," and depth == 1 and braces == 0:
             args.append(s[start:k])
             start = k + 1
     raise ValueError(f"unbalanced parentheses in conditional: {s!r}")
@@ -899,6 +904,8 @@ _REL_INVERSE = {
     "overlapped": "overlaps",
     "precedes": "follows",
     "follows": "precedes",
+    "before": "after",
+    "after": "before",
 }
 
 
@@ -977,6 +984,19 @@ def _merge_nested(ds_then, ds_else, value_col: str, *, keys=_DEFAULT_KEYS, bucke
         out = {k: [] for k in batch.column_names if k not in ("_prio", "_bucket")}
         for key, idxs in sorted(rows.items()):
             idxs.sort(key=lambda i: d["_prio"][i])
+            # then/else must live on the SAME window grid — merging
+            # rows with different gran/worigin under one label would
+            # silently relocate the else granules in time
+            for gcol in ("gran", "worigin"):
+                if gcol in d:
+                    gv = {d[gcol][i] or 0 for i in idxs}
+                    if len(gv) > 1:
+                        raise ValueError(
+                            f"if-else merge across different {gcol} "
+                            f"values {sorted(gv)} for key {key} — the "
+                            "then and else tiers must share a window "
+                            "grid (cascade/tshift first)"
+                        )
             seen: dict = {}
             for i in idxs:
                 for w, v in zip(d["windows"][i], d[value_col][i]):

@@ -218,19 +218,37 @@ class DecodeMedia:
         )
         return t.append_column("samples", samples)
 
+    def _dispatch_real(self, batch: pa.Table, kind: str) -> pa.Table:
+        if kind == "audio":
+            return self._real_decode_audio(batch)
+        if kind == "image" and self._pil is not None:
+            return self._real_decode(batch)
+        raise NotImplementedError(
+            f"real decode for media_type {kind!r}: WAV audio uses the "
+            "stdlib wave module; images need PIL (absent here unless "
+            "installed); video needs pyav — not available in this "
+            "container; run with fake=True for the plumbing"
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            kinds = set(batch.column("media_type").to_pylist())
-            if kinds <= {"audio"}:
-                return self._real_decode_audio(batch)
-            if kinds <= {"image"} and self._pil is not None:
-                return self._real_decode(batch)
-            raise NotImplementedError(
-                "real decode: WAV audio uses the stdlib wave module; "
-                "images need PIL (absent here unless installed); video "
-                "needs pyav — not available in this container; run with "
-                "fake=True for the plumbing"
-            )
+            import pyarrow.compute as pc
+
+            if batch.num_rows == 0:
+                # no rows to decode; non-empty blocks settle the schema
+                return batch
+            kinds = sorted(set(batch.column("media_type").to_pylist()))
+            if len(kinds) == 1:
+                return self._dispatch_real(batch, kinds[0])
+            # mixed batch: decode each media type with its own decoder;
+            # type-specific output columns (samples/pixels) null-fill
+            parts = [
+                self._dispatch_real(
+                    batch.filter(pc.equal(batch.column("media_type"), k)), k
+                )
+                for k in kinds
+            ]
+            return pa.concat_tables(parts, promote_options="default")
         payloads = batch.column("payload").to_pylist()
         w = batch.column("width").to_numpy(zero_copy_only=False)
         h = batch.column("height").to_numpy(zero_copy_only=False)

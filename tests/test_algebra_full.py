@@ -584,3 +584,60 @@ def test_reference_map_tmap_spatial_index(tiers, ray_session):
     _, res = algebra("R = map(M) + A", t3)
     w, v = _vals(res)
     assert w == [0, 1, 2, 3] and v == [101.0, 102.0, 103.0, 104.0]
+
+
+def test_if_relation_review_fixes(ray_session):
+    """Review regressions pinned: (a) {before}/{after} invert like
+    every other relation (cond BEFORE then selects then-granules AFTER
+    the true interval); (b) a qualifier inside the condition of
+    if({rel},...) parses (the {op,rel} comma is not an argument
+    separator); (c) merging then/else tiers on different window grids
+    raises instead of silently relocating granules."""
+    import ray.data
+
+    from grass_ray.stages.algebra import algebra, tier_expr
+
+    day = 86400
+    # cond TRUE on day 5660; then-tier has days before AND after it
+    b = ray.data.from_arrow(nested([("s", "d1", [5660], [5.0])], gran=day))
+    t = ray.data.from_arrow(
+        nested(
+            [("s", "d1", [5657, 5658, 5662, 5663], [1.0, 2.0, 3.0, 4.0])],
+            gran=day,
+        )
+    )
+    _nm, out = algebra("R = if({before}, B == 5, T)", {"B": b, "T": t})
+    df = out.to_pandas()
+    assert len(df) == 1 and list(df.iloc[0]["windows"]) == [5662, 5663]
+
+    # (b): qualifier inside the condition, evaluated via tier_expr
+    # directly (the path that runs _rewrite_if_topo first)
+    a = ray.data.from_arrow(
+        nested([("s", "d1", [11323 + i for i in range(4)],
+                 [1.0, 2.0, 3.0, 4.0])], gran=day)
+    )
+    c = ray.data.from_arrow(nested([("s", "d1", [5662], [7.0])], gran=2 * day))
+    out2 = tier_expr(
+        'if({over},start_date(C) == "2001-01-02" {&&,contains} td(A) == 86400, B)',
+        {"A": a, "B": ray.data.from_arrow(
+            nested([("s", "d1", [5661, 5662], [5.0, 6.0])], gran=2 * day)
+        ), "C": c},
+    )
+    out2.materialize()  # must parse and evaluate without error
+
+    # (c): then/else selections landing on DIFFERENT grids raise loudly
+    # cond: b1 (2-day, TRUE) and b2 (2-day, FALSE); then = 1-day days
+    # during b1, else = the 2-day granule equal to b2
+    b2 = ray.data.from_arrow(
+        nested([("s", "d1", [5661, 5662], [5.0, 7.0])], gran=2 * day)
+    )
+    t2 = ray.data.from_arrow(
+        nested([("s", "d1", [11322, 11323], [1.0, 2.0])], gran=day)
+    )
+    e2 = ray.data.from_arrow(nested([("s", "d1", [5662], [9.0])], gran=2 * day))
+    with pytest.raises(Exception, match="gran|grid"):
+        _n, bad = algebra(
+            "R = if({contains|equal}, B == 5, T, E)",
+            {"B": b2, "T": t2, "E": e2},
+        )
+        bad.materialize()

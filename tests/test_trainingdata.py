@@ -610,3 +610,33 @@ def test_multimodal_video_still_raises(ray_session):
 
     with pytest.raises(NotImplementedError):
         DecodeMedia(fake=False)(synth_media(1, media_type="video"))
+
+
+def test_multimodal_mixed_batch_real_decode(ray_session):
+    """A batch mixing audio and image rows decodes each kind with its
+    own decoder (type-specific columns null-fill); empty batches pass
+    through untouched."""
+    from grass_ray.stages.multimodal import DecodeMedia, synth_wav
+
+    wav = synth_wav(n_samples=100, rate=8000)
+    rows = pa.table(
+        {
+            "media_id": pa.array(["a0", "i0"]),
+            "payload": pa.array([wav, b"not used"], type=pa.binary()),
+            "media_type": pa.array(["audio", "video"]),
+            "width": pa.array([0, 4], type=pa.int32()),
+            "height": pa.array([0, 4], type=pa.int32()),
+            "sample_rate": pa.array([0, 0], type=pa.int32()),
+            "n_frames": pa.array([0, 1], type=pa.int32()),
+        }
+    )
+    dec = DecodeMedia(fake=False)
+    # mixed audio+video: the video half raises loudly (no pyav)
+    with pytest.raises(NotImplementedError):
+        dec(rows)
+    # pure-audio subset decodes; empty batch passes through
+    audio_only = rows.slice(0, 1)
+    out = dec(audio_only)
+    assert out.column("n_frames").to_pylist() == [100]
+    empty = rows.slice(0, 0)
+    assert dec(empty).num_rows == 0
