@@ -2435,12 +2435,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal,
         "kmeans_clusters": _q_kmeans,
         "curate_v2": _q_curate_v2,
+        # --- never driver-checked (added after the r3 reorder) ---
+        "fingerprint_docs": _q_fingerprint,
+        "algebra_calendar": _q_algebra_calendar,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "curate_v3": _q_curate_v3,
         # --- already driver-green in r2; flagships re-checked in the
         # --- remaining window slots ---
-        "rollup_1m": lambda sf: _q_rollup(sf, 60),
-        "cascade_1h": _q_cascade_1h,
-        "events_1h": _q_events_1h,
-        "dedup_exact": _q_dedup_exact,
         "segment_dedup": _q_segment_dedup,
         "lm_score": _q_lm_score,
         "mix_sources": _q_mix_sources,
@@ -2488,10 +2489,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accdetect_ranges": _q_accdetect,
         "algebra_shift": _q_algebra_shift,
         "token_counts": _q_token_counts,
-        "bpe_tokenize": _q_bpe_tokenize,
-        "curate_v3": _q_curate_v3,
-        "fingerprint_docs": _q_fingerprint,
-        "algebra_calendar": _q_algebra_calendar,
+        "rollup_1m": lambda sf: _q_rollup(sf, 60),
+        "cascade_1h": _q_cascade_1h,
+        "events_1h": _q_events_1h,
+        "dedup_exact": _q_dedup_exact,
     }
 
 
