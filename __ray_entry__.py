@@ -79,6 +79,79 @@ def _tok_cte() -> str:
     return corpus_sql()
 
 
+# --- HLL register oracle: 64-bit hash chain in pure SQL -------------------
+#
+# The engine hashes values with uint64 wraparound multiplies and
+# xor-shifts (join._hash_rows, then sketch.HyperLogLog.add_many's
+# avalanche).  DuckDB BIGINT would overflow, so every multiply runs in
+# HUGEINT via 32-bit limbs (x*C mod 2^64 = lo·cl + ((lo·ch + hi·cl) mod
+# 2^32)·2^32 mod 2^64 — every intermediate < 2^65, inside HUGEINT) and
+# every xor on BIGINT halves.  The rank replicates numpy's
+# float64-exponent leading-zero count EXACTLY, including the
+# round-to-nearest edge, by casting to DOUBLE and back before taking
+# the bit length.
+
+
+def _sql_mul64(x: str, c: int) -> str:
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"((({x}) % 4294967296) * {cl} + "
+        f"(((({x}) % 4294967296) * {ch} + (({x}) // 4294967296) * {cl}) "
+        f"% 4294967296) * 4294967296) % 18446744073709551616"
+    )
+
+
+def _sql_xorshift(h: str, s: int) -> str:
+    y = f"(({h}) // {1 << s})"
+    return (
+        f"(CAST(xor(CAST(({h}) // 4294967296 AS BIGINT), "
+        f"CAST({y} // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 "
+        f"+ CAST(xor(CAST(({h}) % 4294967296 AS BIGINT), "
+        f"CAST({y} % 4294967296 AS BIGINT)) AS HUGEINT))"
+    )
+
+
+def _sql_bitlen(r: str) -> str:
+    parts = ["CASE"]
+    for b in range(65, 11, -1):
+        parts.append(f"WHEN ({r}) >= {1 << (b - 1)} THEN {b}")
+    parts.append("ELSE 11 END")
+    return " ".join(parts)
+
+
+def _hll_register_sql(tok: str, p: int = 12) -> str:
+    return f"""
+        WITH tok AS ({tok}),
+        v AS (SELECT source, CAST(COALESCE(token, 0) AS HUGEINT) AS t
+              FROM tok),
+        m1 AS (SELECT source, {_sql_mul64('t', 0x9E3779B97F4A7C15)} AS h
+               FROM v),
+        x1 AS (SELECT source, {_sql_xorshift('h', 33)} AS h FROM m1),
+        m2 AS (SELECT source, {_sql_mul64('h', 0xFF51AFD7ED558CCD)} AS h
+               FROM x1),
+        m3 AS (SELECT source, {_sql_mul64('h', 0x9E3779B97F4A7C15)} AS h
+               FROM m2),
+        x2 AS (SELECT source, {_sql_xorshift('h', 33)} AS h FROM m3),
+        m4 AS (SELECT source, {_sql_mul64('h', 0xBF58476D1CE4E5B9)} AS h
+               FROM x2),
+        x3 AS (SELECT source, {_sql_xorshift('h', 29)} AS h FROM m4),
+        rr AS (SELECT source, h // {1 << (64 - p)} AS idx,
+                      (h % {1 << (64 - p)}) * {1 << p} + {1 << (p - 1)}
+                      AS rest
+               FROM x3),
+        rd AS (SELECT source, idx,
+                      CAST(CAST(rest AS DOUBLE) AS HUGEINT) AS r
+               FROM rr),
+        rk AS (SELECT source, idx,
+                      GREATEST(1, LEAST({64 - p + 1},
+                                        65 - {_sql_bitlen('r')})) AS rank
+               FROM rd)
+        SELECT source, CAST(idx AS BIGINT) AS reg_idx,
+               CAST(MAX(rank) AS BIGINT) AS max_rank
+        FROM rk GROUP BY 1, 2
+    """
+
+
 def _rename(t: pa.Table, mapping: dict) -> pa.Table:
     return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
@@ -2116,6 +2189,24 @@ def _q_approx_distinct(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_hll_registers(sf_dir: str) -> pa.Table:
+    """The HLL sketch ITSELF, exact-oracled: per-source register table
+    (reg_idx, max_rank) from the distributed hash→partial→max-merge
+    chain.  The DuckDB oracle replicates the engine's value hash
+    (``join._hash_rows``) and the add_many avalanche step-for-step in
+    HUGEINT mod-2^64 arithmetic — three 64-bit multiplies via 32-bit
+    limbs, xor-shifts via BIGINT halves — and the float64 leading-zero
+    rank including its round-to-nearest edge (CAST to DOUBLE and back).
+    This upgrades the sketch path from pytest-only to hash-exact; only
+    ``approx_distinct``'s final ln-based estimate stays rows-only."""
+    from grass_ray.stages.grouped import hll_register_table
+    from grass_ray.stages.rollup import explode_tokens
+
+    pts = explode_tokens(_corpus(sf_dir))
+    out = hll_register_table(pts, key_cols=("source",), val_col="token")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_quantile_filter(sf_dir: str) -> pa.Table:
     """Percentile quality cut: drop the bottom decile of docs by mean
     unigram log-count.  The ranking value is lp/(1e6·n) — a single
@@ -2440,6 +2531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "algebra_calendar": _q_algebra_calendar,
         "bpe_tokenize": _q_bpe_tokenize,
         "curate_v3": _q_curate_v3,
+        "hll_registers": _q_hll_registers,
         # --- already driver-green in r2; flagships re-checked in the
         # --- remaining window slots ---
         "segment_dedup": _q_segment_dedup,
@@ -4044,6 +4136,10 @@ def oracle_sql() -> dict[str, str]:
         FROM day
         WHERE isodow(make_timestamp(CAST(w AS BIGINT) * 86400 * 1000000)) <= 5
     """
+    # HLL register table: the engine's full 64-bit hash chain
+    # (_hash_rows fingerprint + add_many avalanche) replicated in
+    # HUGEINT mod-2^64 arithmetic, then idx/rest/rank register math.
+    d["hll_registers"] = _hll_register_sql(tok)
     # Rabin–Karp fingerprint: Σ byte·B^(n-1-i) mod 2^64 reproduced with
     # a recursive HUGEINT modular-powers CTE; mod distributes over the
     # sum, each term < 2^72 and the doc sum < 2^84 — both inside

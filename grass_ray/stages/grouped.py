@@ -617,13 +617,31 @@ def approx_distinct(
     distinct counts (exact path: `join.distinct_keys` + count).
     Standard error ≈ 1.04/sqrt(2^p) (p=12 → ~1.6%)."""
     from grass_ray.functions.sketch import HyperLogLog
-    from grass_ray.stages.join import _hash_rows
 
     keys = list(key_cols)
+    partials = _hll_partials(ds, keys, val_col, p)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        sk = None
+        for blob in batch.column("sketch").to_pylist():
+            s = HyperLogLog.from_bytes(blob)
+            sk = s if sk is None else sk.merge(s)
+        cols = {k: batch.column(k).slice(0, 1) for k in keys}
+        cols["approx_distinct"] = pa.array(
+            [int(round(sk.estimate()))], type=pa.int64()
+        )
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
+
+
+def _hll_partials(ds, keys, val_col: str, p: int):
+    """Shared HLL partial stage: one serialized 2^p-byte sketch per key
+    per Arrow batch (the only thing the downstream groupby moves)."""
+    from grass_ray.functions.sketch import HyperLogLog
+    from grass_ray.stages.join import _hash_rows
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         h = _hash_rows(batch, [val_col]).astype(np.int64)
         df = batch.select(keys).to_pandas()
         df["_h"] = h
@@ -640,16 +658,46 @@ def approx_distinct(
         cols["sketch"] = pa.array(blobs, type=pa.binary())
         return pa.table(cols)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def hll_register_table(
+    ds,
+    *,
+    key_cols,
+    val_col: str,
+    p: int = 12,
+):
+    """Per-key HLL REGISTER table: (key..., reg_idx, max_rank), one row
+    per non-zero register — the sketch itself as rows.
+
+    The register contents are a pure deterministic function of the
+    value multiset (``join._hash_rows`` fingerprint + the add_many
+    avalanche + per-register max), so the entire distributed chain —
+    batch hash kernel, per-batch partial sketches, shuffle max-merge —
+    is exactly SQL-checkable: the DuckDB oracle replicates every
+    multiply/xor-shift step in HUGEINT mod-2^64 arithmetic and the
+    float64 leading-zero rank including its round-to-nearest edge (see
+    ``__ray_entry__._hll_register_sql``).  ``approx_distinct`` reuses
+    the same partials; only its final ln-based estimate is float."""
+    from grass_ray.functions.sketch import HyperLogLog
+
+    keys = list(key_cols)
+    partials = _hll_partials(ds, keys, val_col, p)
 
     def merge(batch: pa.Table) -> pa.Table:
         sk = None
         for blob in batch.column("sketch").to_pylist():
             s = HyperLogLog.from_bytes(blob)
             sk = s if sk is None else sk.merge(s)
-        cols = {k: batch.column(k).slice(0, 1) for k in keys}
-        cols["approx_distinct"] = pa.array(
-            [int(round(sk.estimate()))], type=pa.int64()
+        idxs = np.nonzero(sk.registers)[0]
+        cols = {
+            k: pa.array([batch.column(k)[0].as_py()] * len(idxs))
+            for k in keys
+        }
+        cols["reg_idx"] = pa.array(idxs.astype(np.int64), type=pa.int64())
+        cols["max_rank"] = pa.array(
+            sk.registers[idxs].astype(np.int64), type=pa.int64()
         )
         return pa.table(cols)
 

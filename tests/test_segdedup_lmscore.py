@@ -555,6 +555,41 @@ def test_approx_distinct_error_bound(ray_session):
             assert abs(got[g] - n) / n < 0.08, (g, got[g], n, nparts)
 
 
+def test_hll_register_table_exact(ray_session):
+    """The distributed register table equals a single driver-side
+    sketch over each key's values, for every block layout — pins the
+    partial/max-merge chain bit-exactly (the SQL oracle re-derives the
+    same registers independently in HUGEINT arithmetic)."""
+    import ray.data
+
+    from grass_ray.functions.sketch import HyperLogLog
+    from grass_ray.stages.grouped import hll_register_table
+    from grass_ray.stages.join import _hash_rows
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], size=4000),
+            "v": rng.integers(0, 1 << 62, size=4000),
+        }
+    )
+    want = {}
+    for g, grp in df.groupby("g"):
+        h = _hash_rows(
+            pa.table({"v": grp["v"].to_numpy()}), ["v"]
+        ).astype(np.int64)
+        sk = HyperLogLog(12).add_many(h)
+        idxs = np.nonzero(sk.registers)[0]
+        want[g] = list(zip(idxs.tolist(), sk.registers[idxs].tolist()))
+    for nparts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = hll_register_table(ds, key_cols=("g",), val_col="v").to_pandas()
+        for g, pairs in want.items():
+            sub = out[out["g"] == g].sort_values("reg_idx")
+            got = list(zip(sub["reg_idx"].tolist(), sub["max_rank"].tolist()))
+            assert got == pairs, (g, nparts)
+
+
 def test_tfidf_top_literal(ray_session):
     import math
 
