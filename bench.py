@@ -165,11 +165,22 @@ def run_bench() -> dict:
         "bpe_tokenize",
         "compact_roundtrip",
         "fingerprint_docs",
+        "hll_registers",
     ]
+    # min-of-2 per query: back-to-back in one Ray session the per-query
+    # times swing up to 2x from worker churn / object-store eviction
+    # (ROUND_NOTES); the second run measures the steady state the
+    # headline already reports (min-of-repeats).  Override with
+    # GRAFT_BENCH_QUERY_REPEATS=1 for a single-shot cold pass.
+    q_repeats = int(os.environ.get("GRAFT_BENCH_QUERY_REPEATS", "2"))
     for name in bench_queries:
-        t0 = time.perf_counter()
-        qs[name](SF_DIR)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(q_repeats):
+            t0 = time.perf_counter()
+            qs[name](SF_DIR)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     ray.shutdown()
     return {
