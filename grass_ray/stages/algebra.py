@@ -294,6 +294,61 @@ _AST_CMP = {
 }
 
 
+#: accessors that read map METADATA (time extents, dates, durations) —
+#: a condition built only from these is the reference's *temporal*
+#: conditional, which SELECTS maps per branch; any bare tier value in
+#: the condition makes it *spatial* (one mapcalc over the join of all
+#: series operands).  ``exist`` is metadata by definition; ``_topoh*``
+#: synthetics carry '#' match counts (also metadata).
+_META_FUNCS = (
+    {"td", "start_time", "end_time", "exist",
+     "start_date", "end_date", "start_datetime", "end_datetime"}
+    | _CAL_FUNCS
+)
+_NONTIER_NAMES = (
+    _META_FUNCS
+    | set(_FUNCS_1)
+    | {"if", "where", "isnull", "isntnull", "null", "date", "datetime",
+       "tmap", "map", "tindex", "tsnap", "tshift"}
+)
+
+
+def _cond_is_meta(node) -> bool:
+    """True when the condition subtree reads only map metadata.
+
+    Drives the reference's two conditional regimes
+    (``unittests_temporal_raster_conditionals.py``): a temporal
+    condition (td/start_date/exist/'#' counts only) selects the chosen
+    branch's maps per window — a window survives iff the CHOSEN branch
+    has a value (``unittests_temporal_raster_algebra.py:400-430``);
+    a spatial condition (cell values appear) compiles to ONE mapcalc
+    over the topological join of every series operand, so a window
+    survives only where ALL series branches have values
+    (``..._raster_conditionals.py:223-238``: if(A>1, A, D) keeps A∩D).
+    """
+    func_ids = set()
+    meta_args = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Call) and isinstance(n.func, ast.Name):
+            func_ids.add(id(n.func))
+            if n.func.id in _META_FUNCS:
+                for a in n.args:
+                    for sub in ast.walk(a):
+                        if isinstance(sub, ast.Name):
+                            meta_args.add(id(sub))
+    for n in ast.walk(node):
+        if not isinstance(n, ast.Name) or id(n) in func_ids:
+            continue
+        if (
+            id(n) in meta_args
+            or n.id.startswith("_topoh")
+            or n.id.startswith("_hash")
+        ):
+            continue
+        return False
+    return True
+
+
 def compile_tier_expr(expr: str, tier_names, gran_of):
     """Compile an algebra value-expression to ``fn(env) -> _Series``
     where env maps tier name -> _Series for one key.  ``gran_of`` maps
@@ -398,7 +453,21 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                 ev_, ep = at(els)
                 truth = cf != 0
                 nanc = np.isnan(cf)
-                keep = np.where(nanc, True, np.where(truth, tp, ep))
+                if _cond_is_meta(node.args[0]):
+                    # temporal condition: per-map branch SELECTION — a
+                    # window survives iff its chosen branch has a value
+                    keep = np.where(nanc, True, np.where(truth, tp, ep))
+                else:
+                    # spatial condition: ONE mapcalc over the join of
+                    # every series operand — all series branches must
+                    # hold a value (scalar branches never restrict);
+                    # if(A>1, A, D) keeps exactly A∩D
+                    # (unittests_temporal_raster_conditionals.py:223)
+                    keep = np.ones(len(w), dtype=bool)
+                    if isinstance(then, _Series):
+                        keep &= tp
+                    if isinstance(els, _Series):
+                        keep &= ep
                 r = np.where(truth, tv, ev_)
                 r = np.where(nanc, np.nan, r)
                 return _Series(
@@ -409,6 +478,22 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                 if isinstance(val, _Series):
                     return _Series(val.w, np.isnan(val.v).astype(np.float64))
                 return float(np.isnan(val))
+            if fname == "isntnull":
+                val = ev(node.args[0], env)
+                if isinstance(val, _Series):
+                    return _Series(
+                        val.w, (~np.isnan(val.v)).astype(np.float64)
+                    )
+                return float(not np.isnan(val))
+            if fname == "exist":
+                # map existence is METADATA: true at every registered
+                # window, even a null-valued one (the reference's
+                # exist() checks registration, not cell values —
+                # unittests_temporal_raster_conditionals.py:165)
+                val = ev(node.args[0], env)
+                if isinstance(val, _Series):
+                    return _Series(val.w, np.ones(len(val.w)))
+                return 1.0
             if fname == "null":
                 return float("nan")
             if fname in _FUNCS_1:
@@ -1099,7 +1184,10 @@ def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:
         re_end = _scan_right_operand(expr, m.end(), include_compare=cmp_ok)
         lds = _operand(expr[ls : m.start()], tiers, value_col)
         rds = _operand(expr[m.end() : re_end], tiers, value_col)
-        nm = f"_topo{len(tiers)}"
+        # '#' synthetics get their own prefix: match COUNTS are map
+        # metadata, so a condition over them stays a temporal
+        # (selection) conditional in _cond_is_meta
+        nm = f"_topoh{len(tiers)}" if op == "#" else f"_topo{len(tiers)}"
         res = tier_topo(
             lds, rds, op, rels, value_col=value_col, side=side
         ).materialize()

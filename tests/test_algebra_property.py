@@ -55,9 +55,11 @@ def _oracle_eval(node, env):
         table = dict(zip(s.w.tolist(), s.v.tolist()))
         return set(s.w.tolist()), (lambda w, _t=table: _t[w])
     if kind == "if":
-        # the CONDITION's time dimension rules (reference "conditional
-        # time dimension bug" golden): result windows are cond's, a
-        # window drops only when its CHOSEN branch is missing there
+        # every condition this grammar generates reads bare tier VALUES,
+        # so it is the reference's *spatial* conditional: one mapcalc
+        # over the topological join of ALL series operands — a window
+        # survives only where cond AND every series branch have a value
+        # (unittests_temporal_raster_conditionals.py:223-238)
         wc, fc = _oracle_eval(node[1], env)
         wa, fa = _oracle_eval(node[2], env)
         wb, fb = _oracle_eval(node[3], env)
@@ -66,16 +68,11 @@ def _oracle_eval(node, env):
             if np.isnan(c):
                 return None, (lambda w: float("nan"))
             return (wa, fa) if c > 0 else (wb, fb)
-        keep = set()
-        for w in wc:
-            c = fc(w)
-            if np.isnan(c):
-                keep.add(w)
-            elif c > 0:
-                if wa is None or w in wa:
-                    keep.add(w)
-            elif wb is None or w in wb:
-                keep.add(w)
+        keep = {
+            w
+            for w in wc
+            if (wa is None or w in wa) and (wb is None or w in wb)
+        }
 
         def f(w):
             c = fc(w)
