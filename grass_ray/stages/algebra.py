@@ -1169,6 +1169,12 @@ def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:
             continue
         rels = _expand_rels(m.group(2).split("|"))
         side = _SIDE_ALIASES.get(m.group(4), m.group(4))
+        if op == "#":
+            # the reference parses a side modifier in a hash qualifier
+            # but DISCARDS it — p_t_hash2 keeps only the relations from
+            # eval_toperator (temporal_algebra.py:2726-2741), so
+            # B {#,contains,r} A ≡ B {#,contains} A
+            side = "l"
         if side not in ("l", "r"):
             raise NotImplementedError(
                 f"extent side modifier {m.group(4)!r} changes result "
@@ -1510,8 +1516,12 @@ def tier_topo(
         raise ValueError("unknown topology side modifier")
     select_mode = op in (":", "!:")
     hash_mode = op == "#"
-    if hash_mode and side != "l":
-        raise NotImplementedError("'#' counts live on A granules: side 'l' only")
+    if hash_mode:
+        # the reference parses a side modifier in a hash qualifier but
+        # DISCARDS it — p_t_hash2 keeps only the relation list from
+        # eval_toperator (temporal_algebra.py:2726-2741); counts always
+        # live on A granules.
+        side = "l"
     if op == "!:":
         side = "l"
     flat = side in ("u", "d", "i")

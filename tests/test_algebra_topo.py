@@ -324,3 +324,17 @@ def test_ref_complex_arith_if(ref_maps):
     assert len(t) == 1
     got = dict(zip(t["windows"].tolist()[0], t["average"].tolist()[0]))
     assert got == {1: 9.0, 2: 10.0}
+
+
+def test_topo_hash_side_modifier_discarded(ab):
+    # p_t_hash2 (temporal_algebra.py:2726-2741) evaluates only the
+    # relation list of a hash qualifier; the side modifier is parsed
+    # but discarded, so {#,rel,r} == {#,rel,l} == {#,rel}.
+    a, b = ab
+    base = algebra("C = B {#, started|contains|finished} A", {"A": a, "B": b})[1]
+    for side in ("l", "r", "u", "d", "i"):
+        _n, out = algebra(
+            "C = B {#, started|contains|finished, %s} A" % side,
+            {"A": a, "B": b},
+        )
+        assert _vals(out, "hash_count") == _vals(base, "hash_count")
