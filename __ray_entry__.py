@@ -1978,6 +1978,25 @@ def _q_tokenize_rollup(sf_dir: str) -> pa.Table:
     return _rename(t, {"count": "cnt", "sum": "sum_tok", "average": "avg_tok"})
 
 
+def _q_tokenize_rollup_md5(sf_dir: str) -> pa.Table:
+    """Same ingest chain as tokenize_rollup but with the
+    ``md5_number_lower``-identical word hash, so the full
+    text→tokens→rollup chain is exactly SQL-replicable (the blake2b
+    default stays rows-only)."""
+    import ray.data
+
+    from grass_ray.sources.readers import tokenize_text
+    from grass_ray.stages.rollup import rollup
+
+    docs = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    corpus = tokenize_text(docs, vocab_size=32000, hash_fn="md5")
+    out = rollup(corpus, 16, ("count", "sum", "average"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _rename(t, {"count": "cnt", "sum": "sum_tok", "average": "avg_tok"})
+
+
 def _q_multimodal(sf_dir: str) -> pa.Table:
     """Multimodal plumbing: the deterministic fake image decode +
     feature pipeline, PLUS a REAL stdlib-wave PCM decode +
@@ -2499,7 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub": _q_scrub,
         "chunk_pack": _q_chunk_pack,
         "attr_univar": _q_attr_univar,
-        "tokenize_rollup": _q_tokenize_rollup,
+        "tokenize_rollup_md5": _q_tokenize_rollup_md5,
         "approx_quantiles": _q_approx_quantiles,
         "ngram_jaccard": _q_ngram_jaccard,
         "jaccard_adjacent": _q_jaccard_adjacent,
@@ -2513,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "algebra_topo_during": _q_algebra_topo_during,
         "what_col": _q_what_col,
         # --- never driver-checked (rows-only / non-SQL-expressible) ---
+        "tokenize_rollup": _q_tokenize_rollup,
         "events_time_report": _q_time_report,
         "pack_sequences": _q_pack_sequences,
         "curate_pipeline": _q_curate,
@@ -3837,6 +3857,33 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN h USING (source) JOIN i USING (source)
     """
     d["csv_rank_rollup"] = d["jsonl_rank_rollup"]
+    # the engine's HashTokenizer(hash_fn="md5") word hash is defined as
+    # DuckDB's md5_number_lower (lower 64 MD5 bits, little-endian), so
+    # the whole text→tokens→rollup chain replays exactly in SQL; the
+    # \w+|[^\w\s] span regex is byte-identical between Python re and
+    # RE2 on this ASCII corpus
+    d["tokenize_rollup_md5"] = """
+        WITH w AS (
+            SELECT doc_id, source, unnest(ws) AS word,
+                   generate_subscripts(ws, 1) - 1 AS pos
+            FROM (SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                             AS doc_id,
+                         source,
+                         regexp_extract_all(lower(text),
+                                            '\\w+|[^\\w\\s]') AS ws
+                  FROM documents)
+        ),
+        t AS (
+            SELECT doc_id, source, pos,
+                   CAST(md5_number_lower(word) % 32000 AS INT) AS token
+            FROM w
+        )
+        SELECT source, doc_id, pos // 16 AS "window",
+               CAST(count(token) AS BIGINT) AS cnt,
+               CAST(sum(token) AS DOUBLE) AS sum_tok,
+               avg(token) AS avg_tok
+        FROM t GROUP BY 1, 2, 3
+    """
     d["tfidf_top"] = """
         WITH w AS (
             SELECT doc_id,

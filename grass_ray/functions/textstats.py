@@ -140,6 +140,18 @@ def _stable_hash64(s: str) -> int:
     )
 
 
+def _md5_hash64(s: str) -> int:
+    """Lower 64 bits of the MD5 digest, little-endian — bit-identical
+    to DuckDB's ``md5_number_lower``, making hash-token pipelines
+    exactly SQL-replicable (the HUGEINT md5_number is the 16 digest
+    bytes little-endian; its lower limb is bytes 8..16)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8", "ignore")).digest()[8:16], "little"
+    )
+
+
 _WORD_HASH_CACHE: dict = {}
 
 

@@ -28,16 +28,28 @@ class HashTokenizer:
     Actor-pool stage: regex compiled once per actor; per batch the text
     column is tokenized and the corpus columns emitted.  Deterministic
     across processes/machines (blake2b word hash % vocab).
+
+    ``hash_fn="md5"`` selects the lower-64-bit little-endian MD5 word
+    hash instead — bit-identical to DuckDB's ``md5_number_lower``, so
+    the whole text→tokens→rollup chain becomes exactly
+    SQL-replicable (★tokenize_rollup_md5).  blake2b stays the default
+    (faster, and the committed hash of every existing query).
     """
 
     def __init__(self, vocab_size: int = 50257, text_col: str = "text",
-                 id_col: str = "doc_id", source_col: str = "source"):
+                 id_col: str = "doc_id", source_col: str = "source",
+                 hash_fn: str = "blake2b"):
         import re
 
-        from grass_ray.functions.textstats import _stable_hash64
+        from grass_ray.functions.textstats import _md5_hash64, _stable_hash64
 
         self.word = re.compile(r"\w+|[^\w\s]", re.UNICODE)
-        self.hash = _stable_hash64
+        if hash_fn == "blake2b":
+            self.hash = _stable_hash64
+        elif hash_fn == "md5":
+            self.hash = _md5_hash64
+        else:
+            raise ValueError(f"unknown hash_fn {hash_fn!r}")
         self.vocab = vocab_size
         self.text_col = text_col
         self.id_col = id_col

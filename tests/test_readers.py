@@ -27,6 +27,28 @@ def test_hash_tokenizer_deterministic():
     assert all(0 <= t < 1000 for t in toks)
 
 
+def test_hash_tokenizer_md5_matches_duckdb():
+    # hash_fn="md5" is DEFINED as DuckDB's md5_number_lower % vocab —
+    # the contract behind the exact ★tokenize_rollup_md5 oracle
+    import duckdb
+
+    tk = HashTokenizer(vocab_size=32000, hash_fn="md5")
+    text = "The quick-BROWN fox, 42 times; _under_ scored!"
+    toks = tk._tok(text)
+    con = duckdb.connect()
+    sql = con.execute(
+        r"""SELECT list(CAST(md5_number_lower(w) % 32000 AS INT) ORDER BY i)
+            FROM (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+                  FROM (SELECT regexp_extract_all(lower(?),
+                               '\w+|[^\w\s]') AS ws))""",
+        [text],
+    ).fetchone()[0]
+    assert toks == sql
+    # the vectorized batch path agrees with the per-row path
+    batch_toks = tk._tok_batch([text, "", text.upper()]).to_pylist()
+    assert batch_toks == [toks, [], tk._tok(text.upper())]
+
+
 def test_tokenize_documents_rollup(ray_session):
     """Real text -> tokens -> windowed rollup end to end."""
     import ray.data
