@@ -2198,8 +2198,11 @@ def _q_tfidf(sf_dir: str) -> pa.Table:
 def _q_approx_distinct(sf_dir: str) -> pa.Table:
     """HLL per-source distinct token counts (the fixed-size scale plan
     for distinct counting; exact path = distinct_keys + count).
-    Inherently approximate — rows-only; the error bound and
-    layout-invariance are pytest-checked."""
+    Value-hash EXACT: the register table replays the hash chain in
+    HUGEINT SQL (★hll_registers) and the estimate is a deterministic
+    integer-harmonic-sum + fixed-order float function of it — see
+    HyperLogLog.estimate; the error bound and layout-invariance stay
+    pytest-checked."""
     from grass_ray.stages.grouped import approx_distinct
     from grass_ray.stages.rollup import explode_tokens
 
@@ -2532,7 +2535,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "algebra_topo_during": _q_algebra_topo_during,
         "what_col": _q_what_col,
         # --- never driver-checked (rows-only / non-SQL-expressible) ---
-        "tokenize_rollup": _q_tokenize_rollup,
         "events_time_report": _q_time_report,
         "pack_sequences": _q_pack_sequences,
         "curate_pipeline": _q_curate,
@@ -2605,6 +2607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_1h": _q_cascade_1h,
         "events_1h": _q_events_1h,
         "dedup_exact": _q_dedup_exact,
+        # blake2b tokenizer path (rows-only; the md5 twin at slot 19
+        # exact-oracles the identical kernel)
+        "tokenize_rollup": _q_tokenize_rollup,
     }
 
 
@@ -4187,6 +4192,43 @@ def oracle_sql() -> dict[str, str]:
     # (_hash_rows fingerprint + add_many avalanche) replicated in
     # HUGEINT mod-2^64 arithmetic, then idx/rest/rank register math.
     d["hll_registers"] = _hll_register_sql(tok)
+    # HLL estimate on top of the register CTE, bit-exact: the harmonic
+    # sum is the INTEGER Σ 2^(64-rank) (HUGEINT; absent registers
+    # contribute 2^64 each), the float ops are left-associative DOUBLE
+    # exactly as HyperLogLog.estimate, math.log == ln on this libm,
+    # and the final integer is floor(x+0.5) on both sides.
+    d["approx_distinct"] = f"""
+        WITH regs AS ({_hll_register_sql(tok)}),
+        a AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS present,
+                   sum(CAST(1 AS HUGEINT) << (64 - max_rank)) AS sp
+            FROM regs GROUP BY 1
+        ),
+        s AS (
+            SELECT source, (4096 - present) AS zeros,
+                   sp + (4096 - present) * (CAST(1 AS HUGEINT) << 64)
+                       AS harm
+            FROM a
+        ),
+        e AS (
+            SELECT source, zeros,
+                   0.7213 / (1.0 + 1.079 / CAST(4096 AS DOUBLE))
+                       * CAST(4096 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                       * 18446744073709551616.0 / CAST(harm AS DOUBLE)
+                       AS raw
+            FROM s
+        )
+        SELECT source,
+               CAST(floor(
+                   CASE WHEN raw <= 2.5 * CAST(4096 AS DOUBLE)
+                             AND zeros > 0
+                        THEN CAST(4096 AS DOUBLE)
+                             * ln(CAST(4096 AS DOUBLE) / zeros)
+                        ELSE raw END + 0.5) AS BIGINT)
+                   AS approx_distinct
+        FROM e
+    """
     # Rabin–Karp fingerprint: Σ byte·B^(n-1-i) mod 2^64 reproduced with
     # a recursive HUGEINT modular-powers CTE; mod distributes over the
     # sum, each term < 2^72 and the doc sum < 2^84 — both inside

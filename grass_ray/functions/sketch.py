@@ -279,16 +279,27 @@ class HyperLogLog:
         return self
 
     def estimate(self) -> float:
+        """Deterministic, SQL-replicable estimate: the harmonic sum
+        Σ 2^-reg is computed EXACTLY as the integer Σ 2^(64-reg)
+        (scaled by 2^64), so the only float roundings are the final
+        fixed-order ops — bit-identical to the DuckDB derivation in
+        ★approx_distinct (HUGEINT sum + one CAST + left-assoc DOUBLE
+        arithmetic; ``math.log`` == DuckDB ``ln`` on this libm)."""
+        import math
+
         m = float(self.m)
         if self.p >= 7:
             alpha = 0.7213 / (1.0 + 1.079 / m)
         else:
             alpha = {4: 0.673, 5: 0.697, 6: 0.709}[self.p]
-        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
-        e = alpha * m * m / float(inv.sum())
-        zeros = int((self.registers == 0).sum())
+        cnts = np.bincount(self.registers, minlength=1)
+        s_int = sum(
+            c * (1 << (64 - r)) for r, c in enumerate(cnts.tolist()) if c
+        )
+        e = alpha * m * m * 18446744073709551616.0 / float(s_int)
+        zeros = int(cnts[0])
         if e <= 2.5 * m and zeros:
-            return m * float(np.log(m / zeros))  # linear counting
+            return m * math.log(m / zeros)  # linear counting
         return float(e)
 
     def to_bytes(self) -> bytes:

@@ -28,6 +28,8 @@ all-NULL window is NULL (not 0).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -627,8 +629,10 @@ def approx_distinct(
             s = HyperLogLog.from_bytes(blob)
             sk = s if sk is None else sk.merge(s)
         cols = {k: batch.column(k).slice(0, 1) for k in keys}
+        # floor(x + 0.5), not round(): Python round() is banker's,
+        # SQL round() is half-away — floor+0.5 is identical in both
         cols["approx_distinct"] = pa.array(
-            [int(round(sk.estimate()))], type=pa.int64()
+            [int(math.floor(sk.estimate() + 0.5))], type=pa.int64()
         )
         return pa.table(cols)
 
