@@ -1525,6 +1525,23 @@ def _q_simhash(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_simhash_md5(sf_dir: str) -> pa.Table:
+    """Same banded-SimHash pipeline with the md5_number_lower word
+    hash, so the WHOLE near-dup candidate chain — word spans → per-bit
+    majority vote → 16-bit band collision → hamming≤3 distinct pairs —
+    is value-hash-exact vs a pure-SQL replay (the blake2b default stays
+    rows-only; identical kernels, different hash constant)."""
+    import ray.data
+
+    from grass_ray.stages.dedup import simhash_candidates
+
+    ds = _read(f"{sf_dir}/documents.parquet")
+    return pa.Table.from_pandas(
+        simhash_candidates(ds, max_hamming=3, hash_fn="md5").to_pandas(),
+        preserve_index=False,
+    )
+
+
 def _q_ann(sf_dir: str) -> pa.Table:
     """Brute-force cosine top-10 for the 3 lowest-vec_id query vectors,
     with an exact DuckDB oracle (`list_cosine_similarity` over
@@ -2540,7 +2557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pipeline": _q_curate,
         "minhash_dedup": _q_minhash,
         "minhash_components": _q_minhash_components,
-        "simhash_candidates": _q_simhash,
+        "simhash_candidates_md5": _q_simhash_md5,
         "ann_topk": _q_ann,
         "ivf_topk": _q_ivf,
         "embedding_dedup": _q_embedding_dedup,
@@ -2607,9 +2624,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_1h": _q_cascade_1h,
         "events_1h": _q_events_1h,
         "dedup_exact": _q_dedup_exact,
-        # blake2b tokenizer path (rows-only; the md5 twin at slot 19
-        # exact-oracles the identical kernel)
+        # blake2b paths (rows-only; their md5 twins inside the driver
+        # window exact-oracle the identical kernels)
         "tokenize_rollup": _q_tokenize_rollup,
+        "simhash_candidates": _q_simhash,
     }
 
 
@@ -4192,6 +4210,48 @@ def oracle_sql() -> dict[str, str]:
     # (_hash_rows fingerprint + add_many avalanche) replicated in
     # HUGEINT mod-2^64 arithmetic, then idx/rest/rank register math.
     d["hll_registers"] = _hll_register_sql(tok)
+    # full SimHash near-dup chain in SQL: per-word md5_number_lower,
+    # per-bit frequency-weighted majority vote over bits 0..62 (bit 63
+    # is masked off in simhash64_batch), 4×16-bit pigeonhole bands,
+    # distinct hamming≤3 pairs oriented smaller-id-first.  Exact as
+    # long as no (band,key) bucket exceeds max_bucket (logged loudly
+    # by _segmented_pairs; never at driver sfs).
+    d["simhash_candidates_md5"] = """
+        WITH d AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[\\w'']+') AS ws
+            FROM documents
+        ),
+        w AS (SELECT doc_id, unnest(ws) AS word FROM d),
+        bits AS (
+            SELECT doc_id, bb.bit,
+                   2 * sum(CASE WHEN (md5_number_lower(word) >> bb.bit)
+                                     & 1 = 1
+                                THEN 1 ELSE 0 END) - count(*) AS acc
+            FROM w CROSS JOIN (SELECT unnest(range(0, 63)) AS bit) bb
+            GROUP BY 1, 2
+        ),
+        sim0 AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN acc > 0
+                                 THEN CAST(1 AS HUGEINT) << bit
+                                 ELSE 0 END) AS BIGINT) AS s
+            FROM bits GROUP BY 1
+        ),
+        sim AS (
+            SELECT d.doc_id, COALESCE(sim0.s, 0) AS s
+            FROM d LEFT JOIN sim0 USING (doc_id)
+        ),
+        bands AS (
+            SELECT doc_id, s, bb.band,
+                   (CAST(s AS UBIGINT) >> (16 * bb.band)) & 65535 AS key
+            FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    """
     # HLL estimate on top of the register CTE, bit-exact: the harmonic
     # sum is the INTEGER Σ 2^(64-rank) (HUGEINT; absent registers
     # contribute 2^64 each), the float ops are left-associative DOUBLE

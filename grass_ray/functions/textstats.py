@@ -153,17 +153,22 @@ def _md5_hash64(s: str) -> int:
 
 
 _WORD_HASH_CACHE: dict = {}
+_WORD_HASH_CACHE_MD5: dict = {}
 
 
-def _word_ids(words) -> np.ndarray:
+def _word_ids(words, hash_fn: str = "blake2b") -> np.ndarray:
     """Process-stable hash per word, memoized (vocabulary is small
-    relative to the token stream)."""
-    cache = _WORD_HASH_CACHE
+    relative to the token stream).  ``hash_fn="md5"`` uses the
+    DuckDB-``md5_number_lower``-identical hash (separate cache)."""
+    if hash_fn == "blake2b":
+        cache, fn = _WORD_HASH_CACHE, _stable_hash64
+    else:
+        cache, fn = _WORD_HASH_CACHE_MD5, _md5_hash64
     out = np.empty(len(words), dtype=np.uint64)
     for i, w in enumerate(words):
         h = cache.get(w)
         if h is None:
-            h = np.uint64(_stable_hash64(w))
+            h = np.uint64(fn(w))
             if len(cache) < 1 << 20:
                 cache[w] = h
         out[i] = h

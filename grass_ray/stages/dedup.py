@@ -617,7 +617,7 @@ def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_c
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
 
-def simhash64_batch(texts) -> np.ndarray:
+def simhash64_batch(texts, hash_fn: str = "blake2b") -> np.ndarray:
     """Whole-batch 64-bit SimHash (frequency-weighted word sign hash).
 
     One word-span pass over the concatenated lowered stream (word
@@ -641,7 +641,9 @@ def simhash64_batch(texts) -> np.ndarray:
         return out
     wh = _span_hashes(cp, ws, we)
     _uniq, first_idx, inv = np.unique(wh, return_index=True, return_inverse=True)
-    ids = _word_ids([big[ws[i] : we[i]] for i in first_idx])[inv]
+    ids = _word_ids(
+        [big[ws[i] : we[i]] for i in first_idx], hash_fn=hash_fn
+    )[inv]
     bits = ((ids[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(
         np.int64
     )  # (N, 64)
@@ -662,28 +664,30 @@ def simhash64_batch(texts) -> np.ndarray:
     return out
 
 
-def simhash64(text: str) -> int:
+def simhash64(text: str, hash_fn: str = "blake2b") -> int:
     """64-bit SimHash over word hashes (frequency-weighted)."""
-    return int(simhash64_batch([text])[0])
+    return int(simhash64_batch([text], hash_fn=hash_fn)[0])
 
 
 class SimHasher:
-    def __init__(self, id_col="doc_id", text_col="text"):
-        self.id_col, self.text_col = id_col, text_col
+    def __init__(self, id_col="doc_id", text_col="text", hash_fn="blake2b"):
+        self.id_col, self.text_col, self.hash_fn = id_col, text_col, hash_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hashes = simhash64_batch(batch.column(self.text_col).to_pylist())
+        hashes = simhash64_batch(
+            batch.column(self.text_col).to_pylist(), hash_fn=self.hash_fn
+        )
         return batch.append_column("simhash", pa.array(hashes, type=pa.int64()))
 
 
-def simhash_candidates(ds, *, max_hamming=3, id_col="doc_id", text_col="text", max_bucket: int = 2048):
+def simhash_candidates(ds, *, max_hamming=3, id_col="doc_id", text_col="text", max_bucket: int = 2048, hash_fn: str = "blake2b"):
     """Near-dup candidate pairs by simhash band collision (pigeonhole:
     bands = max_hamming+1 16-bit slices).  Distinct pairs as a Dataset;
     oversized buckets are capped with a log (no silent truncation)."""
     from grass_ray.stages.join import distinct_keys
 
     hashed = ds.map_batches(
-        lambda b, _k=(id_col, text_col): SimHasher(*_k)(b),
+        lambda b, _k=(id_col, text_col, hash_fn): SimHasher(*_k)(b),
         batch_format="pyarrow",
         batch_size=1024,
     )

@@ -132,3 +132,34 @@ def test_word_count_batch_parity():
     for t in texts:
         ref.update(rx.findall((t or "").lower()))
     assert got == dict(ref)
+
+
+def test_simhash_md5_matches_duckdb():
+    # hash_fn="md5" defines the word hash as DuckDB's md5_number_lower
+    # — the contract behind the exact ★simhash_candidates_md5 oracle
+    import duckdb
+
+    # ASCII-only: Python \w is unicode, RE2 \w is ASCII — the oracle
+    # contract (like fingerprint_docs) holds on the ASCII corpus
+    texts = [t for t in _texts() if (t or "").isascii()]
+    assert texts
+    got = D.simhash64_batch(texts, hash_fn="md5")
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        ref = con.execute(
+            r"""WITH w AS (SELECT unnest(regexp_extract_all(lower(?),
+                                  '[\w'']+')) AS word),
+            bits AS (
+                SELECT bb.bit,
+                       2 * sum(CASE WHEN (md5_number_lower(word) >> bb.bit)
+                                         & 1 = 1 THEN 1 ELSE 0 END)
+                           - count(*) AS acc
+                FROM w CROSS JOIN (SELECT unnest(range(0, 63)) AS bit) bb
+                GROUP BY 1
+            )
+            SELECT COALESCE(CAST(sum(CASE WHEN acc > 0
+                        THEN CAST(1 AS HUGEINT) << bit
+                        ELSE 0 END) AS BIGINT), 0) FROM bits""",
+            [t or ""],
+        ).fetchone()[0]
+        assert got[i] == ref, (i, t[:40])
