@@ -1630,6 +1630,22 @@ def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_ngram_jaccard_md5(sf_dir: str) -> pa.Table:
+    """ngram_jaccard with the md5 word hash in the SimHash candidate
+    stage: candidates AND the exact 3-gram Jaccard verify both replay
+    in SQL, upgrading the pipeline to a value-hash-exact oracle."""
+    import ray.data
+
+    from grass_ray.stages.dedup import simhash_candidates, verify_pairs_jaccard
+
+    ds = _read(f"{sf_dir}/documents.parquet")
+    cand = simhash_candidates(ds, hash_fn="md5").map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    out = verify_pairs_jaccard(cand, ds, threshold=0.0, k_shingle=3)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_jaccard_adjacent(sf_dir: str) -> pa.Table:
     """Exact word-3-gram Jaccard over the deterministic consecutive-id
     pairs (even doc_id, doc_id+1) — same distributed verify plan as the
@@ -2540,7 +2556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attr_univar": _q_attr_univar,
         "tokenize_rollup_md5": _q_tokenize_rollup_md5,
         "approx_quantiles": _q_approx_quantiles,
-        "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_jaccard_md5": _q_ngram_jaccard_md5,
         "jaccard_adjacent": _q_jaccard_adjacent,
         "components_chain": _q_components_chain,
         "retention_trim": _q_retention_trim,
@@ -2628,6 +2644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window exact-oracle the identical kernels)
         "tokenize_rollup": _q_tokenize_rollup,
         "simhash_candidates": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
     }
 
 
@@ -4216,8 +4233,8 @@ def oracle_sql() -> dict[str, str]:
     # distinct hamming≤3 pairs oriented smaller-id-first.  Exact as
     # long as no (band,key) bucket exceeds max_bucket (logged loudly
     # by _segmented_pairs; never at driver sfs).
-    d["simhash_candidates_md5"] = """
-        WITH d AS (
+    simhash_chain = """
+        d AS (
             SELECT doc_id, regexp_extract_all(lower(text), '[\\w'']+') AS ws
             FROM documents
         ),
@@ -4245,12 +4262,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, s, bb.band,
                    (CAST(s AS UBIGINT) >> (16 * bb.band)) & 65535 AS key
             FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+        )"""
+    d["simhash_candidates_md5"] = f"""
+        WITH {simhash_chain}
+        SELECT id_a, id_b, hamming FROM cand
+    """
+    # SimHash-md5 candidates verified with exact word-3-gram Jaccard —
+    # the whole ngram_jaccard pipeline in SQL (the engine scores
+    # distinct 64-bit shingle hashes, the oracle distinct literal
+    # grams: identical sets absent a hash collision)
+    d["ngram_jaccard_md5"] = f"""
+        WITH {simhash_chain},
+        g AS (
+            SELECT doc_id,
+                CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                     ELSE list_distinct(list_transform(
+                         range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+                END AS grams
+            FROM d
+        ),
+        m AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(ga.grams, gb.grams)) AS i,
+                   len(list_distinct(ga.grams || gb.grams)) AS u
+            FROM cand
+            JOIN g ga ON ga.doc_id = cand.id_a
+            JOIN g gb ON gb.doc_id = cand.id_b
         )
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.s, b.s)) <= 3
+        SELECT id_a, id_b,
+               CASE WHEN u = 0 THEN 1.0
+                    ELSE CAST(i AS DOUBLE) / u END AS jaccard
+        FROM m
     """
     # HLL estimate on top of the register CTE, bit-exact: the harmonic
     # sum is the INTEGER Σ 2^(64-rank) (HUGEINT; absent registers
