@@ -101,6 +101,136 @@ def _sql_mul64(x: str, c: int) -> str:
     )
 
 
+def _sql_mul64v(x: str, y: str) -> str:
+    """Variable×variable multiply mod 2^64 in HUGEINT 32-bit limbs
+    (the constant-multiplier form is :func:`_sql_mul64`)."""
+    return (
+        f"((({x}) % 4294967296) * (({y}) % 4294967296) + "
+        f"(((({x}) % 4294967296) * (({y}) // 4294967296) + "
+        f"(({x}) // 4294967296) * (({y}) % 4294967296)) "
+        f"% 4294967296) * 4294967296) % 18446744073709551616"
+    )
+
+
+def _minhash_md5_sql() -> str:
+    """The whole minhash_dedup(hash_fn="md5") pipeline in SQL:
+    word→md5_number_lower ids, k=5 rolling-polynomial shingle hashes
+    (mod-2^64 HUGEINT limb arithmetic, short-doc whole-text hash),
+    64 universal-hash permutations (the _perm_params(42) constants
+    inlined as VALUES), 16 bands of 4 rows keyed by the band
+    polynomial, distinct band-collision candidates, exact 5-gram
+    Jaccard ≥ 0.8 verify (literal grams ≡ hashed sets absent a 64-bit
+    collision), drop = verified id_b, keep the rest.  Assumes no
+    zero-word documents (checked true of this corpus; the engine pairs
+    those via the all-sentinel signature) and no bucket above
+    max_bucket (logged loudly by _segmented_pairs)."""
+    import numpy as np
+
+    from grass_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(64)
+    base = 1099511628211
+    m64 = 1 << 64
+    bp = [pow(base, j, m64) for j in range(5)]
+    perm_rows = ",\n            ".join(
+        f"({i}, CAST({int(a[i])} AS HUGEINT), CAST({int(b[i])} AS HUGEINT))"
+        for i in range(64)
+    )
+    win_sum = " + ".join(
+        _sql_mul64(f"w{j}.id", bp[j]) for j in range(5)
+    )
+    short_case = " ".join(
+        f"WHEN {j} THEN {_sql_mul64('id', bp[j])}" for j in range(4)
+    )
+    band_case = " ".join(
+        f"WHEN {r} THEN {_sql_mul64('sig', bp[r])}" for r in range(4)
+    )
+    perm_mix = _sql_mul64v("p.a", "s.h")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   list_transform(regexp_extract_all(text, '[\\w'']+'),
+                                  x -> lower(x)) AS ws
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, unnest(ws) AS word,
+                   generate_subscripts(ws, 1) - 1 AS wi, len(ws) AS nw
+            FROM d
+        ),
+        ids AS (
+            SELECT doc_id, wi, nw,
+                   CAST(md5_number_lower(word) AS HUGEINT) AS id
+            FROM w
+        ),
+        win AS (
+            SELECT w0.doc_id, ({win_sum}) % 18446744073709551616 AS hv
+            FROM ids w0
+            JOIN ids w1 ON w1.doc_id = w0.doc_id AND w1.wi = w0.wi + 1
+            JOIN ids w2 ON w2.doc_id = w0.doc_id AND w2.wi = w0.wi + 2
+            JOIN ids w3 ON w3.doc_id = w0.doc_id AND w3.wi = w0.wi + 3
+            JOIN ids w4 ON w4.doc_id = w0.doc_id AND w4.wi = w0.wi + 4
+        ),
+        shortd AS (
+            SELECT doc_id,
+                   sum(CASE wi {short_case} END)
+                       % 18446744073709551616 AS hv
+            FROM ids WHERE nw < 5 GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, hv // 2 AS h
+            FROM (SELECT * FROM win UNION ALL SELECT * FROM shortd)
+        ),
+        perms AS (
+            SELECT * FROM (VALUES
+            {perm_rows}) p(i, a, b)
+        ),
+        sig AS (
+            SELECT s.doc_id, p.i,
+                   min((({perm_mix}) + p.b)
+                       % 18446744073709551616 // 2) AS sig
+            FROM sh s CROSS JOIN perms p
+            GROUP BY 1, 2
+        ),
+        bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   sum(CASE i % 4 {band_case} END)
+                       % 18446744073709551616 // 2 AS bh
+            FROM sig GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        g AS (
+            SELECT doc_id,
+                CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                     ELSE list_distinct(list_transform(
+                         range(1, len(ws) - 3),
+                         i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                              || ' ' || ws[i + 3] || ' ' || ws[i + 4]))
+                END AS grams
+            FROM d
+        ),
+        ver AS (
+            SELECT id_a, id_b
+            FROM cand
+            JOIN g ga ON ga.doc_id = cand.id_a
+            JOIN g gb ON gb.doc_id = cand.id_b
+            WHERE CASE WHEN len(list_distinct(ga.grams || gb.grams)) = 0
+                       THEN 1.0
+                       ELSE CAST(len(list_intersect(ga.grams, gb.grams))
+                                 AS DOUBLE)
+                            / len(list_distinct(ga.grams || gb.grams))
+                  END >= 0.8
+        )
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM ver)
+    """
+
+
 def _sql_xorshift(h: str, s: int) -> str:
     y = f"(({h}) // {1 << s})"
     return (
@@ -1501,6 +1631,22 @@ def _q_minhash(sf_dir: str) -> pa.Table:
     return t.select(["doc_id", "source"])
 
 
+def _q_minhash_md5(sf_dir: str) -> pa.Table:
+    """minhash_dedup with the md5_number_lower word hash: shingle
+    polynomial, 64 permutations, banding, candidate distinct, Jaccard
+    verify and the drop rule ALL replay exactly in SQL
+    (`_minhash_md5_sql`), upgrading the flagship near-dup operator to
+    a value-hash-exact oracle (blake2b default stays rows-only)."""
+    import ray.data
+
+    from grass_ray.stages.dedup import minhash_dedup
+
+    ds = _read(f"{sf_dir}/documents.parquet")
+    kept, _pairs = minhash_dedup(ds, threshold=0.8, hash_fn="md5")
+    t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "source"])
+
+
 def _q_minhash_components(sf_dir: str) -> pa.Table:
     """Transitive dup-group policy: verified near-dup pairs closed into
     connected components (distributed min-label propagation), one
@@ -2571,7 +2717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_report": _q_time_report,
         "pack_sequences": _q_pack_sequences,
         "curate_pipeline": _q_curate,
-        "minhash_dedup": _q_minhash,
+        "minhash_dedup_md5": _q_minhash_md5,
         "minhash_components": _q_minhash_components,
         "simhash_candidates_md5": _q_simhash_md5,
         "ann_topk": _q_ann,
@@ -2645,6 +2791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_rollup": _q_tokenize_rollup,
         "simhash_candidates": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dedup": _q_minhash,
     }
 
 
@@ -4270,6 +4417,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
         )"""
+    d["minhash_dedup_md5"] = _minhash_md5_sql()
     d["simhash_candidates_md5"] = f"""
         WITH {simhash_chain}
         SELECT id_a, id_b, hamming FROM cand

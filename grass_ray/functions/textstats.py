@@ -623,7 +623,8 @@ def _word_span_arrays(texts, *, ascii_words: bool):
 
 
 def kgram_hashes_batch(
-    texts, k: int, *, ascii_words: bool = False, short_doc_hash: bool = True
+    texts, k: int, *, ascii_words: bool = False, short_doc_hash: bool = True,
+    hash_fn: str = "blake2b",
 ):
     """Per-document UNIQUE word k-gram hashes for a whole batch in one
     numpy pass — the batch kernel form of :func:`shingles`
@@ -665,7 +666,7 @@ def kgram_hashes_batch(
     else:
         # shingles() lowers each word AFTER matching on the original text
         reps = [big[wstarts[i] : wends[i]].lower() for i in first_idx]
-    ids = _word_ids(reps)[inv]
+    ids = _word_ids(reps, hash_fn=hash_fn)[inv]
     invpow, bpow = _powers(nw_total)
     with np.errstate(over="ignore"):
         g = np.empty(nw_total + 1, dtype=np.uint64)

@@ -166,8 +166,9 @@ class MinHasher:
     one fused numpy pass per batch instead of a string join + blake2b
     per (doc, band)."""
 
-    def __init__(self, num_perm=64, bands=16, k_shingle=5, id_col="doc_id", text_col="text"):
+    def __init__(self, num_perm=64, bands=16, k_shingle=5, id_col="doc_id", text_col="text", hash_fn="blake2b"):
         assert num_perm % bands == 0
+        self.hash_fn = hash_fn
         self.a, self.b = _perm_params(num_perm)
         self.bands = bands
         self.rows_per_band = num_perm // bands
@@ -188,7 +189,7 @@ class MinHasher:
         ids = batch.column(self.id_col)
         texts = batch.column(self.text_col).to_pylist()
         n = len(texts)
-        flat, lens = kgram_hashes_batch(texts, self.k)
+        flat, lens = kgram_hashes_batch(texts, self.k, hash_fn=self.hash_fn)
         sigs = minhash_signature_batch(flat, lens, self.a, self.b).reshape(
             n, self.bands, self.rows_per_band
         )
@@ -297,12 +298,12 @@ def _minhash_kernel(batch: pa.Table, key) -> pa.Table:
     pool's spin-up latency or its concurrency cap)."""
     mh = _MINHASHERS.get(key)
     if mh is None:
-        num_perm, bands, k_shingle, id_col, text_col = key
+        num_perm, bands, k_shingle, id_col, text_col, hash_fn = key
         mh = _MINHASHERS.setdefault(
             key,
             MinHasher(
                 num_perm=num_perm, bands=bands, k_shingle=k_shingle,
-                id_col=id_col, text_col=text_col,
+                id_col=id_col, text_col=text_col, hash_fn=hash_fn,
             ),
         )
     return mh(batch)
@@ -317,6 +318,7 @@ def minhash_candidates(
     id_col="doc_id",
     text_col="text",
     max_bucket: int = 512,
+    hash_fn: str = "blake2b",
 ):
     """(id_a < id_b) candidate pairs sharing at least one LSH bucket,
     distinct, as a Dataset (never collected on the driver).
@@ -327,7 +329,7 @@ def minhash_candidates(
     truncation — no silent cap."""
     from grass_ray.stages.join import distinct_keys
 
-    key = (num_perm, bands, k_shingle, id_col, text_col)
+    key = (num_perm, bands, k_shingle, id_col, text_col, hash_fn)
     band_rows = ds.map_batches(
         lambda b, _k=key: _minhash_kernel(b, _k),
         batch_format="pyarrow",
@@ -411,6 +413,7 @@ def minhash_verified_pairs(
     id_col="doc_id",
     text_col="text",
     max_bucket: int = 512,
+    hash_fn: str = "blake2b",
 ):
     """MinHash-LSH candidate pairs verified with exact Jaccard — fully
     distributed (see :func:`verify_pairs_jaccard` for the verify plan).
@@ -418,6 +421,7 @@ def minhash_verified_pairs(
     cand = minhash_candidates(
         ds, num_perm=num_perm, bands=bands, k_shingle=k_shingle,
         id_col=id_col, text_col=text_col, max_bucket=max_bucket,
+        hash_fn=hash_fn,
     )
     return verify_pairs_jaccard(
         cand, ds, threshold=threshold, k_shingle=k_shingle,
@@ -560,7 +564,7 @@ def verify_pairs_jaccard(
     return j2.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
-def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_col="doc_id", text_col="text", components=False, max_bucket: int = 512):
+def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_col="doc_id", text_col="text", components=False, max_bucket: int = 512, hash_fn: str = "blake2b"):
     """Near-dup removal: verify candidates with exact Jaccard, then drop
     duplicates.  Default drop rule: any doc with a verified smaller-id
     neighbor (1-hop).  ``components=True`` instead closes the verified
@@ -577,7 +581,7 @@ def minhash_dedup(ds, *, threshold=0.8, num_perm=64, bands=16, k_shingle=5, id_c
     verified = minhash_verified_pairs(
         ds, threshold=threshold, num_perm=num_perm, bands=bands,
         k_shingle=k_shingle, id_col=id_col, text_col=text_col,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, hash_fn=hash_fn,
     ).materialize()
     n_verified = verified.count()
     if n_verified == 0:

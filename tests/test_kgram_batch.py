@@ -163,3 +163,33 @@ def test_simhash_md5_matches_duckdb():
             [t or ""],
         ).fetchone()[0]
         assert got[i] == ref, (i, t[:40])
+
+
+def test_kgram_md5_matches_int_reference():
+    # hash_fn="md5" shingle hash: h(s) = (Σ_j md5lower(word[s+j])·B^j
+    # mod 2^64) >> 1, distinct ascending per doc — pure-int reference
+    import hashlib
+
+    B = 1099511628211
+    M = 1 << 64
+
+    def md5l(w):
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+
+    texts = ["the quick brown fox jumps over the lazy dog", "tiny doc", ""]
+    flat, lens = T.kgram_hashes_batch(texts, 5, hash_fn="md5")
+    got = np.split(flat, np.cumsum(lens)[:-1])
+    for t, g in zip(texts, got):
+        words = [w.lower() for w in T.WORD_RE.findall(t)]
+        if not words:
+            assert len(g) == 0
+            continue
+        if len(words) < 5:
+            hs = [sum(md5l(w) * pow(B, j, M) for j, w in enumerate(words)) % M]
+        else:
+            hs = [
+                sum(md5l(words[s + j]) * pow(B, j, M) for j in range(5)) % M
+                for s in range(len(words) - 4)
+            ]
+        ref = sorted(set(h >> 1 for h in hs))
+        assert list(g) == ref, t
