@@ -231,6 +231,39 @@ def _minhash_md5_sql() -> str:
     """
 
 
+def _minhash_components_md5_sql() -> str:
+    """minhash_dedup(components=True, hash_fn="md5") in SQL: the
+    verified-pair chain from :func:`_minhash_md5_sql` closed into
+    connected components with a recursive transitive-closure CTE
+    (symmetric edges, component label = min reachable id — the
+    engine's min-label propagation fixpoint), keeping one
+    representative (the label) per component."""
+    base = _minhash_md5_sql()
+    head, tail = base.rsplit("SELECT doc_id, source FROM documents", 1)
+    assert "WHERE doc_id NOT IN (SELECT id_b FROM ver)" in tail
+    return (
+        head.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+        + """,
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM ver
+            UNION SELECT id_b, id_a FROM ver
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS node, LEAST(min(b), a) AS component
+            FROM reach GROUP BY a
+        )
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN
+              (SELECT node FROM comp WHERE node <> component)
+    """
+    )
+
+
 def _sql_xorshift(h: str, s: int) -> str:
     y = f"(({h}) // {1 << s})"
     return (
@@ -1660,6 +1693,20 @@ def _q_minhash_components(sf_dir: str) -> pa.Table:
     return t.select(["doc_id", "source"])
 
 
+def _q_minhash_components_md5(sf_dir: str) -> pa.Table:
+    """The transitive component policy over md5-minhash verified pairs
+    — distributed min-label propagation checked against a recursive
+    transitive-closure SQL fixpoint."""
+    from grass_ray.stages.dedup import minhash_dedup
+
+    ds = _read(f"{sf_dir}/documents.parquet")
+    kept, _pairs = minhash_dedup(
+        ds, threshold=0.8, components=True, hash_fn="md5"
+    )
+    t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "source"])
+
+
 def _q_simhash(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -2718,7 +2765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "curate_pipeline": _q_curate,
         "minhash_dedup_md5": _q_minhash_md5,
-        "minhash_components": _q_minhash_components,
+        "minhash_components_md5": _q_minhash_components_md5,
         "simhash_candidates_md5": _q_simhash_md5,
         "ann_topk": _q_ann,
         "ivf_topk": _q_ivf,
@@ -2792,6 +2839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dedup": _q_minhash,
+        "minhash_components": _q_minhash_components,
     }
 
 
@@ -4418,6 +4466,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.s, b.s)) <= 3
         )"""
     d["minhash_dedup_md5"] = _minhash_md5_sql()
+    d["minhash_components_md5"] = _minhash_components_md5_sql()
     d["simhash_candidates_md5"] = f"""
         WITH {simhash_chain}
         SELECT id_a, id_b, hamming FROM cand
