@@ -112,7 +112,36 @@ def _sql_mul64v(x: str, y: str) -> str:
     )
 
 
-def _minhash_md5_sql() -> str:
+def _synthetic_chain_docs():
+    """Three deterministic docs forming the policy-divergent dup shape
+    (a,c) + (b,c) verified, (a,b) not: base c has 112 distinct words
+    (108 5-grams); a replaces the FIRST 10 words, b the LAST 10, so
+    jac(a,c)=jac(b,c)=98/118≈0.83 ≥ 0.8 but jac(a,b)=88/128≈0.69 < 0.8.
+    c carries the largest doc_id, so the 1-hop rule drops only c while
+    the transitive component {a,b,c} (label a) drops b AND c — this is
+    what makes the components oracle non-vacuous on a corpus whose
+    organic dup graph has no chains."""
+    base = [f"w{i:03d}" for i in range(112)]
+    a_words = [f"a{i:03d}" for i in range(10)] + base[10:]
+    b_words = base[:-10] + [f"b{i:03d}" for i in range(10)]
+    return [
+        (9000001, " ".join(a_words), "synthetic"),
+        (9000002, " ".join(b_words), "synthetic"),
+        (9000003, " ".join(base), "synthetic"),
+    ]
+
+
+def _synthetic_chain_sql() -> str:
+    rows = ", ".join(
+        f"({i}, '{t}', '{src}')" for i, t, src in _synthetic_chain_docs()
+    )
+    return (
+        "(SELECT doc_id, text, source FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {rows}) s(doc_id, text, source))"
+    )
+
+
+def _minhash_md5_sql(docs_src: str = "documents") -> str:
     """The whole minhash_dedup(hash_fn="md5") pipeline in SQL:
     word→md5_number_lower ids, k=5 rolling-polynomial shingle hashes
     (mod-2^64 HUGEINT limb arithmetic, short-doc whole-text hash),
@@ -151,7 +180,7 @@ def _minhash_md5_sql() -> str:
             SELECT doc_id, source,
                    list_transform(regexp_extract_all(text, '[\\w'']+'),
                                   x -> lower(x)) AS ws
-            FROM documents
+            FROM {docs_src} doc_src
         ),
         w AS (
             SELECT doc_id, unnest(ws) AS word,
@@ -226,7 +255,7 @@ def _minhash_md5_sql() -> str:
                             / len(list_distinct(ga.grams || gb.grams))
                   END >= 0.8
         )
-        SELECT doc_id, source FROM documents
+        SELECT doc_id, source FROM {docs_src} doc_src
         WHERE doc_id NOT IN (SELECT id_b FROM ver)
     """
 
@@ -237,13 +266,21 @@ def _minhash_components_md5_sql() -> str:
     connected components with a recursive transitive-closure CTE
     (symmetric edges, component label = min reachable id — the
     engine's min-label propagation fixpoint), keeping one
-    representative (the label) per component."""
-    base = _minhash_md5_sql()
-    head, tail = base.rsplit("SELECT doc_id, source FROM documents", 1)
+    representative (the label) per component.
+
+    Both sides run over documents AUGMENTED with the deterministic
+    :func:`_synthetic_chain_docs` trio — the corpus' organic dup graph
+    has no chains, so without it this oracle would be byte-identical
+    to minhash_dedup_md5 and never distinguish the transitive policy
+    from the 1-hop drop rule (the trio makes them differ by one row)."""
+    docs_src = _synthetic_chain_sql()
+    base = _minhash_md5_sql(docs_src)
+    marker = f"SELECT doc_id, source FROM {docs_src} doc_src"
+    head, tail = base.rsplit(marker, 1)
     assert "WHERE doc_id NOT IN (SELECT id_b FROM ver)" in tail
     return (
         head.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
-        + """,
+        + f""",
         edges AS (
             SELECT id_a AS a, id_b AS b FROM ver
             UNION SELECT id_b, id_a FROM ver
@@ -257,7 +294,7 @@ def _minhash_components_md5_sql() -> str:
             SELECT a AS node, LEAST(min(b), a) AS component
             FROM reach GROUP BY a
         )
-        SELECT doc_id, source FROM documents
+        SELECT doc_id, source FROM {docs_src} doc_src
         WHERE doc_id NOT IN
               (SELECT node FROM comp WHERE node <> component)
     """
@@ -1696,12 +1733,30 @@ def _q_minhash_components(sf_dir: str) -> pa.Table:
 def _q_minhash_components_md5(sf_dir: str) -> pa.Table:
     """The transitive component policy over md5-minhash verified pairs
     — distributed min-label propagation checked against a recursive
-    transitive-closure SQL fixpoint."""
+    transitive-closure SQL fixpoint.  The corpus is augmented with the
+    deterministic `_synthetic_chain_docs` trio (pairs (a,c),(b,c), no
+    (a,b)) so the oracle actually separates the transitive policy from
+    the 1-hop drop rule — the organic dup graph has no chains."""
+    import ray.data
+
     from grass_ray.stages.dedup import minhash_dedup
 
-    ds = _read(f"{sf_dir}/documents.parquet")
+    ds = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ids, texts, srcs = zip(*_synthetic_chain_docs())
+    extra = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(srcs),
+        }
+    )
     kept, _pairs = minhash_dedup(
-        ds, threshold=0.8, components=True, hash_fn="md5"
+        ds.union(ray.data.from_arrow(extra)),
+        threshold=0.8,
+        components=True,
+        hash_fn="md5",
     )
     t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
     return t.select(["doc_id", "source"])

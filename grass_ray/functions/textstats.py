@@ -162,8 +162,10 @@ def _word_ids(words, hash_fn: str = "blake2b") -> np.ndarray:
     DuckDB-``md5_number_lower``-identical hash (separate cache)."""
     if hash_fn == "blake2b":
         cache, fn = _WORD_HASH_CACHE, _stable_hash64
-    else:
+    elif hash_fn == "md5":
         cache, fn = _WORD_HASH_CACHE_MD5, _md5_hash64
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     out = np.empty(len(words), dtype=np.uint64)
     for i, w in enumerate(words):
         h = cache.get(w)

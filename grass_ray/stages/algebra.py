@@ -1168,7 +1168,11 @@ def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:
             )
             continue
         rels = _expand_rels(m.group(2).split("|"))
-        side = _SIDE_ALIASES.get(m.group(4), m.group(4))
+        side = _SIDE_ALIASES.get(m.group(4))
+        if side is None:
+            raise ValueError(
+                f"unknown topology side modifier {m.group(4)!r}"
+            )
         if op == "#":
             # the reference parses a side modifier in a hash qualifier
             # but DISCARDS it — p_t_hash2 keeps only the relations from
@@ -1486,7 +1490,8 @@ def tier_topo(
       with ≥1 matching B window; value folds A's value with every
       matching B value in temporal order;
     * ``#`` — per-A-window count of matching B windows (``hash_count``;
-      side 'l' only);
+      any ``side`` is accepted but DISCARDED, as in the reference's
+      p_t_hash2 — counts always live on A granules);
     * ``:`` / ``!:`` — selection: keep A windows with (without) any
       matching B window, values unchanged (``!:`` ignores ``side`` —
       kept granules have no matches, so extents never change).

@@ -338,3 +338,13 @@ def test_topo_hash_side_modifier_discarded(ab):
             {"A": a, "B": b},
         )
         assert _vals(out, "hash_count") == _vals(base, "hash_count")
+
+
+def test_topo_unknown_side_rejected_in_expression(ab):
+    # typo'd side tokens must error in NESTED qualifiers too, not be
+    # silently swallowed by the '#' side-discard coercion
+    a, b = ab
+    import pytest
+
+    with pytest.raises(ValueError, match="side modifier"):
+        algebra("C = (B {#, contains, rihgt} A) + A", {"A": a, "B": b})

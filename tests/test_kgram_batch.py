@@ -193,3 +193,12 @@ def test_kgram_md5_matches_int_reference():
             ]
         ref = sorted(set(h >> 1 for h in hs))
         assert list(g) == ref, t
+
+
+def test_unknown_hash_fn_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        T._word_ids(["x"], hash_fn="sha1")
+    with pytest.raises(ValueError, match="hash_fn"):
+        T.kgram_hashes_batch(["some words here"], 2, hash_fn="blake2")
