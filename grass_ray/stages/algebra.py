@@ -245,7 +245,66 @@ def _align(x, y):
     return None, x, y
 
 
+def _has_dup_windows(w) -> bool:
+    return len(w) > 1 and bool((w[1:] == w[:-1]).any())
+
+
+def _binop_dup(op: str, x: _Series, y: _Series) -> _Series:
+    """Aligned arithmetic with DUPLICATE windows — the reference's
+    equal-timestamp implicit aggregation
+    (testsuite/unittests_temporal_raster_algebra_equal_ts.py): every
+    LEFT occurrence folds successively with ALL right values in its
+    window (R = A + A over four equal-time maps → r_i = a_i + Σa).
+    ``+ - * /`` reduce vectorized (successive fold ≡ sum/product);
+    the rare rest folds per occurrence.  Output keeps the left side's
+    duplicate windows (the reference result fails its own topology
+    check the same way)."""
+    # operands are window-sorted by construction (per_bucket stable
+    # sort; intersect1d and this function preserve it) — re-sort
+    # defensively, reduceat needs contiguous segments
+    if _has_dup_windows(x.w) and (np.diff(x.w) < 0).any():
+        o = np.argsort(x.w, kind="stable")
+        x = _Series(x.w[o], x.v[o])
+    if (np.diff(y.w) < 0).any():
+        o = np.argsort(y.w, kind="stable")
+        y = _Series(y.w[o], y.v[o])
+    uw, starts = np.unique(y.w, return_index=True)
+    pos = np.searchsorted(uw, x.w)
+    pos_c = np.minimum(pos, len(uw) - 1)
+    valid = (pos < len(uw)) & (uw[pos_c] == x.w)
+    xi = np.flatnonzero(valid)
+    if len(xi) == 0:
+        return _Series(
+            np.empty(0, dtype=x.w.dtype), np.empty(0, dtype=np.float64)
+        )
+    a = np.asarray(x.v[xi], dtype=np.float64)
+    with np.errstate(all="ignore"):
+        if op in ("+", "-"):
+            agg = np.add.reduceat(np.asarray(y.v, dtype=np.float64), starts)
+            r = a + agg[pos[xi]] if op == "+" else a - agg[pos[xi]]
+        elif op in ("*", "/"):
+            agg = np.multiply.reduceat(
+                np.asarray(y.v, dtype=np.float64), starts
+            )
+            r = a * agg[pos[xi]] if op == "*" else a / agg[pos[xi]]
+        else:
+            ends = np.concatenate([starts[1:], [len(y.w)]])
+            r = np.empty(len(xi), dtype=np.float64)
+            for k, i in enumerate(xi):
+                v = float(a[k])
+                for b in y.v[starts[pos[i]] : ends[pos[i]]]:
+                    v = float(_binop(op, v, float(b)))
+                r[k] = v
+    return _Series(x.w[xi], r)
+
+
 def _binop(op: str, x, y):
+    if (
+        isinstance(x, _Series)
+        and isinstance(y, _Series)
+        and (_has_dup_windows(x.w) or _has_dup_windows(y.w))
+    ):
+        return _binop_dup(op, x, y)
     w, a, b = _align(x, y)
     with np.errstate(all="ignore"):
         if op == "+":

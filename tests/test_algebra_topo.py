@@ -348,3 +348,48 @@ def test_topo_unknown_side_rejected_in_expression(ab):
 
     with pytest.raises(ValueError, match="side modifier"):
         algebra("C = (B {#, contains, rihgt} A) + A", {"A": a, "B": b})
+
+
+def test_ref_equal_ts_implicit_aggregation():
+    # reference testsuite/unittests_temporal_raster_algebra_equal_ts.py:
+    # four maps registered at the SAME instant; R = A + A implicitly
+    # aggregates — r_i = a_i + (a1+a2+a3+a4) = 11,12,13,14
+    def eqtier(vals):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": ["s"],
+                    "doc_id": ["d"],
+                    "gran": pa.array([60], type=pa.int64()),
+                    "windows": pa.array(
+                        [[0] * len(vals)], type=pa.list_(pa.int64())
+                    ),
+                    "average": pa.array(
+                        [[float(v) for v in vals]],
+                        type=pa.list_(pa.float64()),
+                    ),
+                }
+            )
+        )
+
+    a = eqtier([1, 2, 3, 4])
+    for expr in ("R = A + A", "R = A {+, equal, l} A"):
+        _n, out = algebra(expr, {"A": a})
+        t = out.to_pandas()
+        assert list(t["windows"].tolist()[0]) == [0, 0, 0, 0], expr
+        assert list(t["average"].tolist()[0]) == [11.0, 12.0, 13.0, 14.0], expr
+
+    # single equal-time map against the aggregate:
+    # tmap {+,equal,l} A -> 100 + 10 = 110 for each of the 4 maps
+    single = eqtier([100])
+    _n, out = algebra("R = S + A", {"S": single, "A": a})
+    t = out.to_pandas()
+    assert list(t["average"].tolist()[0]) == [110.0]
+    # A + S: each a_i + 100
+    _n, out = algebra("R = A + S", {"A": a, "S": single})
+    t = out.to_pandas()
+    assert list(t["average"].tolist()[0]) == [101.0, 102.0, 103.0, 104.0]
+    # non-reducible op folds successively per occurrence
+    _n, out = algebra("R = A % S", {"A": a, "S": single})
+    t = out.to_pandas()
+    assert list(t["average"].tolist()[0]) == [1.0, 2.0, 3.0, 4.0]
