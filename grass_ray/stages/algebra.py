@@ -623,6 +623,20 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                         )
                     return float(val.v[0])
                 return float(val)
+            if fname == "merge":
+                # reference p_t_merge (temporal_algebra.py: resultlist
+                # = maplistA + maplistB): plain concatenation of the
+                # operands' granule lists — duplicate windows allowed
+                # (the equal-ts shape); stable window sort for the
+                # engine's ordered-series invariant
+                parts = [ev(a, env) for a in node.args]
+                sers = [p for p in parts if isinstance(p, _Series)]
+                if len(sers) != len(parts) or not sers:
+                    raise ValueError("merge() expects tier operands")
+                w = np.concatenate([s.w for s in sers])
+                v = np.concatenate([s.v for s in sers])
+                o = np.argsort(w, kind="stable")
+                return _Series(w[o], v[o])
             if fname == "tindex":
                 # A[k]: at output window w the value of A at window w+k
                 s = ev(node.args[0], env)

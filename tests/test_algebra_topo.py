@@ -393,3 +393,39 @@ def test_ref_equal_ts_implicit_aggregation():
     _n, out = algebra("R = A % S", {"A": a, "S": single})
     t = out.to_pandas()
     assert list(t["average"].tolist()[0]) == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_ref_merge_function(ab):
+    # reference p_t_merge: merge(A,D) = maplistA + maplistB (plain
+    # concatenation, duplicates allowed); merge composes with
+    # qualified sub-expressions (unittests_temporal_algebra.py
+    # test_temporal_select_operators / merge tests)
+    def tier(windows, vals):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": ["s"],
+                    "doc_id": ["d"],
+                    "gran": pa.array([60], type=pa.int64()),
+                    "windows": pa.array([windows], type=pa.list_(pa.int64())),
+                    "average": pa.array(
+                        [[float(v) for v in vals]], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    a = tier([0, 1, 2, 3], [1, 2, 3, 4])
+    d = tier([1, 2], [8, 9])
+    _n, out = algebra("R = merge(A, D)", {"A": a, "D": d})
+    t = out.to_pandas()
+    assert list(t["windows"].tolist()[0]) == [0, 1, 1, 2, 2, 3]
+    assert list(t["average"].tolist()[0]) == [1.0, 2.0, 8.0, 3.0, 9.0, 4.0]
+    # merge with a qualified sub-expression: at equal granularity no
+    # B granule has a (started|contains|finished) match, so !: keeps
+    # both and merge interleaves them with A (duplicates allowed)
+    b = tier([0, 2], [40, 50])
+    _n, out = algebra("R = merge(A, B {!:,contains} A)", {"A": a, "B": b})
+    t = out.to_pandas()
+    assert list(t["windows"].tolist()[0]) == [0, 0, 1, 2, 2, 3]
+    assert list(t["average"].tolist()[0]) == [1.0, 40.0, 2.0, 3.0, 50.0, 4.0]
