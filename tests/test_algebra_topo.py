@@ -429,3 +429,46 @@ def test_ref_merge_function(ab):
     t = out.to_pandas()
     assert list(t["windows"].tolist()[0]) == [0, 0, 1, 2, 2, 3]
     assert list(t["average"].tolist()[0]) == [1.0, 40.0, 2.0, 3.0, 50.0, 4.0]
+
+
+def test_ref_select_side_modifiers(ray_session):
+    # reference unittests_temporal_algebra test_temporal_select_operators
+    # 1/4/5/6: A = daily maps 1..4 (days 0..3), C = one 2-day granule
+    # covering days [1,3); during-selection with sides l/r/d/u
+    def tier(windows, vals, gran, worigin=None):
+        cols = {
+            "source": ["s"],
+            "doc_id": ["d"],
+            "gran": pa.array([gran], type=pa.int64()),
+            "windows": pa.array([windows], type=pa.list_(pa.int64())),
+            "average": pa.array(
+                [[float(v) for v in vals]], type=pa.list_(pa.float64())
+            ),
+        }
+        if worigin is not None:
+            cols["worigin"] = pa.array([worigin], type=pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
+
+    a = tier([0, 1, 2, 3], [1, 2, 3, 4], 1)
+    c = tier([0], [7], 2, worigin=1)
+    # side l (default): a2,a3 keep their own daily extents
+    _n, out = algebra("R = A {:,during} C", {"A": a, "C": c})
+    t = out.to_pandas()
+    assert list(t["windows"].tolist()[0]) == [1, 2]
+    assert list(t["average"].tolist()[0]) == [2.0, 3.0]
+    # side r: results take C's extent -> duplicate windows on C's grid
+    # (reference: both maps Jan2-Jan4, topology check False)
+    _n, out = algebra("R = A {:,during,r} C", {"A": a, "C": c})
+    t = out.to_pandas()
+    assert int(t["gran"][0]) == 2 and int(t["worigin"][0]) == 1
+    assert list(t["windows"].tolist()[0]) == [0, 0]
+    assert list(t["average"].tolist()[0]) == [2.0, 3.0]
+    # sides d/u: flat interval rows, both spanning [1,3)
+    for side in ("d", "u"):
+        _n, out = algebra(
+            "R = A {:,during,%s} C" % side, {"A": a, "C": c}
+        )
+        t = out.to_pandas().sort_values("average")
+        assert t["start"].tolist() == [1, 1]
+        assert t["end"].tolist() == [3, 3]
+        assert t["average"].tolist() == [2.0, 3.0]
