@@ -21,7 +21,7 @@ from grass_ray.sources.corpus import (
     synth_corpus,
     synth_corpus_table,
 )
-from grass_ray.stages.cascade import cascade, explode_nested
+from grass_ray.stages.cascade import cascade, explode_nested, refine
 from grass_ray.stages.gapfill import find_gaps, gapfill
 from grass_ray.stages.grouped import rollup_events, rollup_points, rollup_points_holistic
 from grass_ray.stages.rollup import explode_tokens, rollup, series_collapse
@@ -157,6 +157,7 @@ __all__ = [
     "apply_mapcalc",
     "build_tiers",
     "cascade",
+    "refine",
     "embedding_dedup",
     "bpe_train",
     "bpe_encode",

@@ -144,6 +144,71 @@ def cascade(ds, factor: int, **kw):
     )
 
 
+def refine_batch(batch: pa.Table, factor: int) -> pa.Table:
+    """Nested tier -> FINER nested tier by replication: each window
+    splits into ``factor`` sub-windows carrying the same value — the
+    reference's common-granularity resample (``setup_common_granularity``
+    in temporal_raster_base_algebra.py: every operand is re-sampled to
+    the common granularity before evaluation, each coarse map simply
+    covering all its fine steps).  Extents are preserved exactly:
+    gran' = gran/factor, w -> w·factor + j, worigin unchanged.  Value
+    columns replicate verbatim (right for state-like values such as
+    average/min/max; a replicated ``count``/``sum`` is NOT a per-fine-
+    window aggregate — refine is a topology resample, not a rollup)."""
+    if factor <= 0:
+        raise ValueError("refine factor must be positive")
+    gran = batch.column("gran").to_numpy(zero_copy_only=False)
+    if (gran % factor).any():
+        raise ValueError(
+            f"refine factor {factor} does not divide every gran "
+            f"(grans {sorted(set(gran.tolist()))[:5]})"
+        )
+    windows = batch.column("windows")
+    if isinstance(windows, pa.ChunkedArray):
+        windows = windows.combine_chunks()
+    lens = np.asarray(
+        windows.value_lengths().to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    flat_w = np.asarray(windows.flatten().to_numpy(zero_copy_only=False)).astype(
+        np.int64
+    )
+    new_w = (
+        flat_w[:, None] * factor + np.arange(factor, dtype=np.int64)[None, :]
+    ).ravel()
+    rep = np.repeat(np.arange(len(flat_w), dtype=np.int64), factor)
+    new_offsets = np.zeros(batch.num_rows + 1, dtype=np.int64)
+    np.cumsum(lens * factor, out=new_offsets[1:])
+    cols = {}
+    for k in batch.column_names:
+        col = batch.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if k == "gran":
+            cols[k] = pa.array(gran // factor, type=pa.int64())
+        elif k == "windows":
+            cols[k] = pa.LargeListArray.from_arrays(
+                pa.array(new_offsets), pa.array(new_w)
+            ).cast(pa.list_(pa.int64()))
+        elif isinstance(col.type, pa.ListType):
+            flat = col.flatten()
+            cols[k] = pa.LargeListArray.from_arrays(
+                pa.array(new_offsets), flat.take(pa.array(rep))
+            ).cast(pa.list_(flat.type))
+        else:
+            cols[k] = col
+    return pa.table(cols)
+
+
+def refine(ds, factor: int):
+    """Nested tier Dataset -> finer nested tier (stateless, no
+    shuffle) — the inverse direction of :func:`cascade`."""
+    return ds.map_batches(
+        lambda b: refine_batch(b, factor),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+
+
 def explode_nested(ds, value_cols=None):
     """Nested tier -> flat points (source, doc_id, gran, window, cols...)."""
 

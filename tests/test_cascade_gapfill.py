@@ -161,3 +161,62 @@ def test_explode_nested(ray_session):
     ref = pts.to_pandas().sort_values(["doc_id", "window"]).reset_index(drop=True)
     for m in METHODS:
         assert out[m].equals(ref[m]), m
+
+
+def test_refine_common_granularity_goldens(ray_session):
+    # reference unittests_temporal_raster_algebra_grs.py tests 1-2: the
+    # -g common-granularity mode resamples every operand to the finest
+    # granularity by replication, then evaluates aligned.
+    # A monthly 1..6; B 3-month {7,8}; C 6-month {9}.
+    import ray.data
+
+    from grass_ray.stages.algebra import algebra
+    from grass_ray.stages.cascade import cascade, refine
+
+    def tier(windows, vals, gran):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": ["s"],
+                    "doc_id": ["d"],
+                    "gran": pa.array([gran], type=pa.int64()),
+                    "windows": pa.array([windows], type=pa.list_(pa.int64())),
+                    "average": pa.array(
+                        [[float(v) for v in vals]], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    A = tier([0, 1, 2, 3, 4, 5], [1, 2, 3, 4, 5, 6], 1)
+    B3 = tier([0, 1], [7, 8], 3)
+    B = refine(B3, 3)
+    C = refine(tier([0], [9], 6), 6)
+    _n, out = algebra("R = A + B + C", {"A": A, "B": B, "C": C})
+    t = out.to_pandas()
+    assert list(t["windows"].tolist()[0]) == [0, 1, 2, 3, 4, 5]
+    # reference asserts min 17 (=1+7+9) and max 23 (=6+8+9)
+    assert list(t["average"].tolist()[0]) == [17.0, 18.0, 19.0, 21.0, 22.0, 23.0]
+    _n, out = algebra("R = if(C == 9, A - 1)", {"A": A, "C": C})
+    t = out.to_pandas()
+    assert list(t["average"].tolist()[0]) == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+
+    # round trip: refine then cascade(average) returns the original
+    # tier (all sub-values equal -> mean is the value; count scales)
+    def add_tier_cols(b):
+        ws = b.column("windows").to_pylist()
+        vs = b.column("average").to_pylist()
+        lst = pa.list_(pa.float64())
+        b = b.append_column(
+            "count", pa.array([[1.0] * len(w) for w in ws], type=lst)
+        )
+        for c in ("sum", "minimum", "maximum"):
+            b = b.append_column(c, pa.array(vs, type=lst))
+        return b
+
+    back = cascade(
+        refine(B3, 3).map_batches(add_tier_cols, batch_format="pyarrow"), 3
+    ).to_pandas()
+    assert int(back["gran"][0]) == 3
+    assert list(back["windows"].tolist()[0]) == [0, 1]
+    assert list(back["average"].tolist()[0]) == [7.0, 8.0]
