@@ -1491,6 +1491,25 @@ def _q_codec_roundtrip(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_refine_explode(sf_dir: str) -> pa.Table:
+    """Common-granularity resample (algebra -g mode): the 60-position
+    rollup refined 4× to a 15-position grid by replication, exploded
+    to points — SQL replays it as the windowed average cross-joined
+    with the four sub-window indices."""
+    from grass_ray.stages.cascade import explode_nested, refine
+    from grass_ray.stages.rollup import rollup
+
+    nested = rollup(
+        _corpus(sf_dir), 60, ("count", "sum", "average"), nested=True
+    )
+    pts = explode_nested(refine(nested, 4), value_cols=("average",))
+    t = pa.Table.from_pandas(pts.to_pandas(), preserve_index=False)
+    return _rename(
+        t.select(["source", "doc_id", "gran", "window", "average"]),
+        {"average": "avg_tok"},
+    )
+
+
 def _q_compact_roundtrip(sf_dir: str) -> pa.Table:
     """Segment-merge maintenance with an exact oracle: build the 1m
     tier, fragment every partition dir into two parquet files (the
@@ -2888,6 +2907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_1h": _q_cascade_1h,
         "events_1h": _q_events_1h,
         "dedup_exact": _q_dedup_exact,
+        "refine_explode": _q_refine_explode,
         # blake2b paths (rows-only; their md5 twins inside the driver
         # window exact-oracle the identical kernels)
         "tokenize_rollup": _q_tokenize_rollup,
@@ -4147,6 +4167,18 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN h USING (source) JOIN i USING (source)
     """
     d["csv_rank_rollup"] = d["jsonl_rank_rollup"]
+    # refine is a pure topology resample: each 60-window average
+    # replicates onto its four 15-position sub-windows
+    d["refine_explode"] = f"""
+        WITH tok AS ({tok}),
+        r AS (
+            SELECT source, doc_id, pos // 60 AS w, avg(token) AS a
+            FROM tok GROUP BY 1, 2, 3
+        )
+        SELECT source, doc_id, CAST(15 AS BIGINT) AS gran,
+               w * 4 + j.j AS "window", a AS avg_tok
+        FROM r CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    """
     # the engine's HashTokenizer(hash_fn="md5") word hash is defined as
     # DuckDB's md5_number_lower (lower 64 MD5 bits, little-endian), so
     # the whole text→tokens→rollup chain replays exactly in SQL; the
