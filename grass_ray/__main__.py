@@ -108,6 +108,46 @@ def cmd_gapfill(args):
     ray.shutdown()
 
 
+def cmd_algebra(args):
+    """t.rast.algebra analog: evaluate an expression over named tiers.
+
+    Bindings are ``NAME=store_root:tier``; ``--common-granularity``
+    is the reference's ``-g`` mode — every operand is refined (value
+    replication) to the gcd of the operand granularities before
+    evaluation (temporal_raster_base_algebra.setup_common_granularity).
+    """
+    import math as _math
+
+    ray = _ray()
+    from grass_ray.pipelines.tiers import read_tier
+    from grass_ray.stages.algebra import algebra
+    from grass_ray.stages.cascade import refine
+    from grass_ray.state.manifest import TierStore
+
+    tiers = {}
+    for b in args.tier:
+        name, _, spec = b.partition("=")
+        root, _, tname = spec.rpartition(":")
+        if not (name and root and tname):
+            raise SystemExit(f"binding {b!r} is not NAME=store_root:tier")
+        tiers[name] = read_tier(TierStore(root), tname)
+    if args.common_granularity:
+        grans = {
+            n: int(ds.limit(1).take(1)[0]["gran"]) for n, ds in tiers.items()
+        }
+        g = _math.gcd(*grans.values()) if len(grans) > 1 else next(
+            iter(grans.values())
+        )
+        tiers = {
+            n: (refine(ds, grans[n] // g) if grans[n] != g else ds)
+            for n, ds in tiers.items()
+        }
+    out_name, res = algebra(args.expr, tiers, value_col=args.value_col)
+    res.write_parquet(args.out)
+    print(json.dumps({"result": out_name, "out": args.out}))
+    ray.shutdown()
+
+
 def cmd_export(args):
     from grass_ray.pipelines.catalog import export_tier
     from grass_ray.state.manifest import TierStore
@@ -396,6 +436,23 @@ def main(argv=None):
     l.add_argument("--fmt", default="table", choices=["table", "csv", "json"])
     l.add_argument("--limit", type=int, default=20)
     l.set_defaults(fn=cmd_list)
+
+    al = sub.add_parser(
+        "algebra", help="evaluate a temporal-algebra expression "
+        "(t.rast.algebra; --common-granularity = the -g mode)"
+    )
+    al.add_argument("expr", help='e.g. "R = A + B"')
+    al.add_argument(
+        "--tier", action="append", required=True,
+        help="binding NAME=store_root:tier (repeatable)",
+    )
+    al.add_argument("--out", required=True)
+    al.add_argument("--value-col", default="average")
+    al.add_argument(
+        "--common-granularity", action="store_true",
+        help="refine all operands to the gcd granularity first",
+    )
+    al.set_defaults(fn=cmd_algebra)
 
     g = sub.add_parser("gapfill", help="gap-fill a tier (t.rast.gapfill)")
     g.add_argument("--store", required=True)

@@ -226,3 +226,42 @@ def test_merge_tiers_earlier_source_wins(ray_session, tmp_path):
     merge_tiers(store, ["b", "a"], "m_ba")
     assert keyed("m_ab") == ka
     assert keyed("m_ba") == kb
+
+
+def test_cli_algebra_common_granularity(ray_session, tmp_path):
+    # the t.rast.algebra module UX: expression over two store tiers,
+    # -g analog refines the 1h operand onto the 1m grid (own Ray
+    # session in a subprocess, like every CLI entry)
+    import json
+    import subprocess
+    import sys
+
+    from grass_ray.pipelines.tiers import build_tiers
+    from grass_ray.sources.corpus import corpus_from_documents
+
+    root = str(tmp_path / "store")
+    build_tiers(
+        corpus_from_documents("/root/testdata/sf0.001"),
+        root,
+        tier_specs=(("1m", 60), ("1h", 3600)),
+        num_partitions=2,
+    )
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "grass_ray", "algebra", "R = A + B",
+            "--tier", f"A={root}:1m", "--tier", f"B={root}:1h",
+            "--out", out, "--common-granularity",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "RAY_ADDRESS": ""},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["result"] == "R"
+    import duckdb
+
+    n_keys, n_pts = duckdb.sql(
+        f"SELECT count(*), sum(len(windows)) "
+        f"FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()
+    assert n_keys == 500 and n_pts == 2803
