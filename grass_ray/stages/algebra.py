@@ -607,9 +607,13 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                 if not (isinstance(arg, ast.Constant) and isinstance(arg.value, str)):
                     raise ValueError(f'{fname}() expects a string literal')
                 return float(_parse_epoch(arg.value, fname))
-            if fname == "tmap":
-                # single-map tier lift (reference tmap(singletmap)) —
-                # a registered single granule is already a tier here
+            if fname in ("tmap", "strds", "stvds", "str3ds"):
+                # tmap: single-map tier lift (reference
+                # tmap(singletmap)) — a registered single granule is
+                # already a tier here.  strds/stvds/str3ds: the
+                # reference's PARSER TYPE CASTS for mixed-type
+                # expressions (unittests_temporal_algebra_mixed_stds);
+                # the engine has one tier type, so they are identity
                 return ev(node.args[0], env)
             if fname == "map" and len(node.args) == 1:
                 # standalone (time-constant) map: its one value

@@ -472,3 +472,21 @@ def test_ref_select_side_modifiers(ray_session):
         assert t["start"].tolist() == [1, 1]
         assert t["end"].tolist() == [3, 3]
         assert t["average"].tolist() == [2.0, 3.0]
+
+
+def test_ref_mixed_stds_type_casts(ab):
+    # unittests_temporal_algebra_mixed_stds: stvds()/str3ds()/strds()
+    # are parser type casts — identity over the engine's single tier
+    # type; mixed-type expressions parse and evaluate verbatim
+    a, b = ab
+    base = algebra("C = A {:, during} B", {"A": a, "B": b})[1]
+    for cast in ("stvds", "str3ds", "strds"):
+        _n, out = algebra(
+            "C = A {:, during} %s(B)" % cast, {"A": a, "B": b}
+        )
+        assert _vals(out) == _vals(base), cast
+    _n, out = algebra(
+        "C = if(A {#, during} stvds(B) == 1, A)", {"A": a, "B": b}
+    )
+    base2 = algebra("C = if(A {#, during} B == 1, A)", {"A": a, "B": b})[1]
+    assert _vals(out) == _vals(base2)
