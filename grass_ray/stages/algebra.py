@@ -54,6 +54,18 @@ _FUNCS_1 = {
     "sqrt": np.sqrt,
     "exp": np.exp,
     "log": np.log,
+    # the raster lexer's remaining mapcalc_functions
+    # (temporal_raster_base_algebra.py): trig + casts; int() truncates
+    # toward zero like r.mapcalc, float()/double() are identity in the
+    # engine's float64 value domain
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+    "asin": np.arcsin,
+    "acos": np.arccos,
+    "int": np.trunc,
+    "float": np.asarray,
+    "double": np.asarray,
 }
 
 #: calendar accessors of the reference grammar — ``start_month(A)``,

@@ -58,6 +58,14 @@ _FUNCS = {
     "log": np.log,
     "min": np.minimum,
     "max": np.maximum,
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+    "asin": np.arcsin,
+    "acos": np.arccos,
+    "int": np.trunc,
+    "float": np.asarray,
+    "double": np.asarray,
     "if": None,  # handled via IfExp-style call: if(cond, a, b)
     "isnull": np.isnan,
     "null": lambda: np.nan,
@@ -159,6 +167,14 @@ def mapcalc_expr(expr: str):
             "log": np.log,
             "min": np.minimum,
             "max": np.maximum,
+            "sin": np.sin,
+            "cos": np.cos,
+            "tan": np.tan,
+            "asin": np.arcsin,
+            "acos": np.arccos,
+            "int": np.trunc,
+            "float": np.asarray,
+            "double": np.asarray,
             "isnull": lambda v: np.isnan(v).astype(np.float64),
             "null": lambda: np.nan,
         }

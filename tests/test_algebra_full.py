@@ -641,3 +641,41 @@ def test_if_relation_review_fixes(ray_session):
             {"B": b2, "T": t2, "E": e2},
         )
         bad.materialize()
+
+
+def test_mapcalc_function_vocabulary(ray_session):
+    # the raster lexer's full mapcalc_functions set evaluates in both
+    # the mapcalc kernel and the algebra expression evaluator
+    import numpy as np
+    import ray.data
+
+    from grass_ray.stages.algebra import algebra
+    from grass_ray.stages.extract import mapcalc_expr
+
+    fn = mapcalc_expr("int(tan(x)) + float(cos(x) * cos(x) + sin(x) * sin(x))")
+    out = fn(np.array([0.0, 1.0, -1.5]))
+    assert np.allclose(out, [1.0, 2.0, -13.0])
+
+    def tier(vals):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": ["s"],
+                    "doc_id": ["d"],
+                    "gran": pa.array([60], type=pa.int64()),
+                    "windows": pa.array(
+                        [list(range(len(vals)))], type=pa.list_(pa.int64())
+                    ),
+                    "average": pa.array(
+                        [[float(v) for v in vals]], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    _n, out = algebra(
+        "R = int(A) + double(sin(A) * sin(A) + cos(A) * cos(A))",
+        {"A": tier([0.5, 1.9, -2.7])},
+    )
+    t = out.to_pandas()
+    assert np.allclose(list(t["average"].tolist()[0]), [1.0, 2.0, -1.0])
