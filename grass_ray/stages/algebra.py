@@ -55,14 +55,15 @@ _FUNCS_1 = {
     "exp": np.exp,
     "log": np.log,
     # the raster lexer's remaining mapcalc_functions
-    # (temporal_raster_base_algebra.py): trig + casts; int() truncates
-    # toward zero like r.mapcalc, float()/double() are identity in the
-    # engine's float64 value domain
-    "sin": np.sin,
-    "cos": np.cos,
-    "tan": np.tan,
-    "asin": np.arcsin,
-    "acos": np.arccos,
+    # (temporal_raster_base_algebra.py): trig + casts.  r.mapcalc trig
+    # is DEGREE-based (raster/r.mapcalc: sin/cos/tan take degrees,
+    # asin/acos return degrees); int() truncates toward zero;
+    # float()/double() are identity in the float64 value domain
+    "sin": lambda v: np.sin(np.deg2rad(v)),
+    "cos": lambda v: np.cos(np.deg2rad(v)),
+    "tan": lambda v: np.tan(np.deg2rad(v)),
+    "asin": lambda v: np.rad2deg(np.arcsin(v)),
+    "acos": lambda v: np.rad2deg(np.arccos(v)),
     "int": np.trunc,
     "float": np.asarray,
     "double": np.asarray,
@@ -267,10 +268,18 @@ def _binop_dup(op: str, x: _Series, y: _Series) -> _Series:
     (testsuite/unittests_temporal_raster_algebra_equal_ts.py): every
     LEFT occurrence folds successively with ALL right values in its
     window (R = A + A over four equal-time maps → r_i = a_i + Σa).
-    ``+ - * /`` reduce vectorized (successive fold ≡ sum/product);
-    the rare rest folds per occurrence.  Output keeps the left side's
-    duplicate windows (the reference result fails its own topology
-    check the same way)."""
+    ``+ - * /`` reduce vectorized — algebraically equal to the
+    reference's successive fold (a-b1-b2 = a-(b1+b2)), though float
+    ROUNDING follows the reduced form and an intermediate that only
+    one form overflows differs; the rare rest (%, //, **,
+    comparisons, &, |) folds successively per occurrence.  Output
+    keeps the left side's duplicate windows (the reference result
+    fails its own topology check the same way)."""
+    if len(x.w) == 0 or len(y.w) == 0:
+        return _Series(
+            np.asarray(x.w[:0], dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
     # operands are window-sorted by construction (per_bucket stable
     # sort; intersect1d and this function preserve it) — re-sort
     # defensively, reduceat needs contiguous segments
@@ -514,6 +523,23 @@ def compile_tier_expr(expr: str, tier_names, gran_of):
                         return (
                             np.full(len(w), np.nan),
                             np.zeros(len(w), dtype=bool),
+                        )
+                    if np.array_equal(x.w, w):
+                        # identical layout (incl. equal-ts duplicate
+                        # windows, e.g. if(A>0, A)): per-OCCURRENCE
+                        # positional pairing
+                        return (
+                            np.asarray(x.v, dtype=np.float64),
+                            np.ones(len(w), dtype=bool),
+                        )
+                    if _has_dup_windows(x.w):
+                        raise ValueError(
+                            "conditional branch carries duplicate "
+                            "windows with a different layout than the "
+                            "condition — per-occurrence pairing is "
+                            "ambiguous; fold the branch (e.g. B + 0*B "
+                            "on a unique grid) or use an identical "
+                            "operand shape"
                         )
                     idx = np.searchsorted(x.w, w)
                     idx_c = np.minimum(idx, len(x.w) - 1)
@@ -783,7 +809,15 @@ def tier_expr(
             order = np.argsort(ws, kind="stable")
             g = groups.setdefault(key, {})
             g[d["_tier"][i]] = _Series(ws[order], vs[order])
-            g["_gran"] = d["gran"][i]
+            gr = d["gran"][i]
+            if g.setdefault("_gran", gr) != gr:
+                raise ValueError(
+                    "aligned algebra over operands with DIFFERENT "
+                    f"granularities ({g['_gran']} vs {gr}) — window "
+                    "indices are not comparable across grids; cascade/"
+                    "refine to a common granularity first (the CLI's "
+                    "--common-granularity flag)"
+                )
             o = d["_o"][i] or 0
             if g.setdefault("_worigin", o) != o:
                 raise ValueError(

@@ -58,11 +58,12 @@ _FUNCS = {
     "log": np.log,
     "min": np.minimum,
     "max": np.maximum,
-    "sin": np.sin,
-    "cos": np.cos,
-    "tan": np.tan,
-    "asin": np.arcsin,
-    "acos": np.arccos,
+    # r.mapcalc trig is DEGREE-based; int() truncates toward zero
+    "sin": lambda v: np.sin(np.deg2rad(v)),
+    "cos": lambda v: np.cos(np.deg2rad(v)),
+    "tan": lambda v: np.tan(np.deg2rad(v)),
+    "asin": lambda v: np.rad2deg(np.arcsin(v)),
+    "acos": lambda v: np.rad2deg(np.arccos(v)),
     "int": np.trunc,
     "float": np.asarray,
     "double": np.asarray,
@@ -157,27 +158,15 @@ def mapcalc_expr(expr: str):
     code = compile(tree, "<mapcalc>", "eval")
 
     def fn(x: np.ndarray) -> np.ndarray:
-        env = {
-            "x": x,
-            "_cmp": _nan_cmp,
-            "where": _nan_where,
-            "abs": np.abs,
-            "sqrt": np.sqrt,
-            "exp": np.exp,
-            "log": np.log,
-            "min": np.minimum,
-            "max": np.maximum,
-            "sin": np.sin,
-            "cos": np.cos,
-            "tan": np.tan,
-            "asin": np.arcsin,
-            "acos": np.arccos,
-            "int": np.trunc,
-            "float": np.asarray,
-            "double": np.asarray,
-            "isnull": lambda v: np.isnan(v).astype(np.float64),
-            "null": lambda: np.nan,
-        }
+        env = {k: v for k, v in _FUNCS.items() if v is not None}
+        env.update(
+            {
+                "x": x,
+                "_cmp": _nan_cmp,
+                "where": _nan_where,
+                "isnull": lambda v: np.isnan(v).astype(np.float64),
+            }
+        )
         with np.errstate(all="ignore"):
             return np.asarray(
                 eval(code, {"__builtins__": {}}, env), dtype=np.float64

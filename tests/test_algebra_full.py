@@ -652,9 +652,15 @@ def test_mapcalc_function_vocabulary(ray_session):
     from grass_ray.stages.algebra import algebra
     from grass_ray.stages.extract import mapcalc_expr
 
-    fn = mapcalc_expr("int(tan(x)) + float(cos(x) * cos(x) + sin(x) * sin(x))")
-    out = fn(np.array([0.0, 1.0, -1.5]))
-    assert np.allclose(out, [1.0, 2.0, -13.0])
+    # r.mapcalc trig is degree-based: sin(90)=1, tan(45)=1,
+    # acos(0)=90; sin^2+cos^2 stays 1 in any unit
+    fn = mapcalc_expr(
+        "int(tan(x)) + float(cos(x) * cos(x) + sin(x) * sin(x))"
+    )
+    out = fn(np.array([0.0, 45.0, 60.0]))
+    assert np.allclose(out, [1.0, 2.0, 2.0])
+    fn2 = mapcalc_expr("sin(x) + acos(0.0)")
+    assert np.allclose(fn2(np.array([90.0])), [91.0])
 
     def tier(vals):
         return ray.data.from_arrow(
@@ -679,3 +685,6 @@ def test_mapcalc_function_vocabulary(ray_session):
     )
     t = out.to_pandas()
     assert np.allclose(list(t["average"].tolist()[0]), [1.0, 2.0, -1.0])
+    _n, out = algebra("R = sin(A)", {"A": tier([90.0, 30.0])})
+    t = out.to_pandas()
+    assert np.allclose(list(t["average"].tolist()[0]), [1.0, 0.5])

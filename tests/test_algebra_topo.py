@@ -350,7 +350,7 @@ def test_topo_unknown_side_rejected_in_expression(ab):
         algebra("C = (B {#, contains, rihgt} A) + A", {"A": a, "B": b})
 
 
-def test_ref_equal_ts_implicit_aggregation():
+def test_ref_equal_ts_implicit_aggregation(ray_session):
     # reference testsuite/unittests_temporal_raster_algebra_equal_ts.py:
     # four maps registered at the SAME instant; R = A + A implicitly
     # aggregates — r_i = a_i + (a1+a2+a3+a4) = 11,12,13,14
@@ -393,6 +393,20 @@ def test_ref_equal_ts_implicit_aggregation():
     _n, out = algebra("R = A % S", {"A": a, "S": single})
     t = out.to_pandas()
     assert list(t["average"].tolist()[0]) == [1.0, 2.0, 3.0, 4.0]
+    # conditionals over equal-ts operands pair per OCCURRENCE when the
+    # branch layout matches the condition (if(A>0, A) is per-map)
+    _n, out = algebra("R = if(A > 1, A)", {"A": a})
+    t = out.to_pandas()
+    got = t["average"].tolist()[0]
+    # spatial if keeps the false occurrence as NULL (r.mapcalc
+    # semantics); the true branch pairs per occurrence
+    assert np.isnan(got[0]) and list(got[1:]) == [2.0, 3.0, 4.0]
+    # dup-window series combined with an empty sub-result: empty, not
+    # an IndexError
+    _n, out = algebra("R = A + (A - tshift(A, 1000))", {"A": a})
+    assert out.count() == 0 or all(
+        len(w) == 0 for w in out.to_pandas()["windows"].tolist()
+    )
 
 
 def test_ref_merge_function(ab):
