@@ -2852,7 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _q_fingerprint,
         "algebra_calendar": _q_algebra_calendar,
         "bpe_tokenize": _q_bpe_tokenize,
-        "curate_v3": _q_curate_v3,
+        "refine_explode": _q_refine_explode,
         "hll_registers": _q_hll_registers,
         # --- already driver-green in r2; flagships re-checked in the
         # --- remaining window slots ---
@@ -2907,7 +2907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_1h": _q_cascade_1h,
         "events_1h": _q_events_1h,
         "dedup_exact": _q_dedup_exact,
-        "refine_explode": _q_refine_explode,
+        "curate_v3": _q_curate_v3,
         # blake2b paths (rows-only; their md5 twins inside the driver
         # window exact-oracle the identical kernels)
         "tokenize_rollup": _q_tokenize_rollup,
