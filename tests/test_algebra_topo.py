@@ -504,3 +504,33 @@ def test_ref_mixed_stds_type_casts(ab):
     )
     base2 = algebra("C = if(A {#, during} B == 1, A)", {"A": a, "B": b})[1]
     assert _vals(out) == _vals(base2)
+
+
+def test_equal_ts_successive_fold_ops(ab):
+    # the non-reducible dup-fold branch (**, comparisons) folds
+    # successively per occurrence: a ** b then the result ** next b...
+    def eqtier(windows, vals):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": ["s"],
+                    "doc_id": ["d"],
+                    "gran": pa.array([60], type=pa.int64()),
+                    "windows": pa.array([windows], type=pa.list_(pa.int64())),
+                    "average": pa.array(
+                        [[float(v) for v in vals]], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    a = eqtier([0, 0], [2.0, 3.0])
+    b = eqtier([0, 0], [2.0, 1.0])
+    # per left occurrence: ((x ** 2) ** 1) = x^2
+    _n, out = algebra("R = A ** B", {"A": a, "B": b})
+    t = out.to_pandas()
+    assert list(t["average"].tolist()[0]) == [4.0, 9.0]
+    # comparison fold: (2 > 2)=0, (0 > 1)=0; (3 > 2)=1, (1 > 1)=0
+    _n, out = algebra("R = A > B", {"A": a, "B": b})
+    t = out.to_pandas()
+    assert list(t["average"].tolist()[0]) == [0.0, 0.0]
