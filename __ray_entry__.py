@@ -141,7 +141,11 @@ def _synthetic_chain_sql() -> str:
     )
 
 
-def _minhash_md5_sql(docs_src: str = "documents") -> str:
+def _minhash_md5_sql(
+    docs_src: str = "documents",
+    threshold: float = 0.8,
+    select_cols: str = "doc_id, source",
+) -> str:
     """The whole minhash_dedup(hash_fn="md5") pipeline in SQL:
     word→md5_number_lower ids, k=5 rolling-polynomial shingle hashes
     (mod-2^64 HUGEINT limb arithmetic, short-doc whole-text hash),
@@ -253,9 +257,9 @@ def _minhash_md5_sql(docs_src: str = "documents") -> str:
                        ELSE CAST(len(list_intersect(ga.grams, gb.grams))
                                  AS DOUBLE)
                             / len(list_distinct(ga.grams || gb.grams))
-                  END >= 0.8
+                  END >= {threshold}
         )
-        SELECT doc_id, source FROM {docs_src} doc_src
+        SELECT {select_cols} FROM {docs_src} doc_src
         WHERE doc_id NOT IN (SELECT id_b FROM ver)
     """
 
@@ -299,6 +303,70 @@ def _minhash_components_md5_sql() -> str:
               (SELECT node FROM comp WHERE node <> component)
     """
     )
+
+
+def _pack_cte(block_len: int) -> str:
+    """CTE chain replaying pack_spans_global over a ``tok`` CTE of
+    (doc_id, pos, token): per-doc kept length (count of non-NULL
+    tokens), prefix-sum offsets in doc order (zero-padded ids sort
+    identically to the engine's integer doc index), then each doc
+    exploded into its overlapping fixed-length blocks."""
+    L = block_len
+    return f"""
+        k AS (SELECT doc_id, CAST(count(token) AS BIGINT) AS n
+              FROM tok GROUP BY 1),
+        o AS (SELECT doc_id, n,
+                     CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s
+              FROM k),
+        sp AS (SELECT doc_id, s, s + n AS e FROM o WHERE n > 0),
+        spans AS (
+            SELECT doc_id, CAST(u.b AS BIGINT) AS block_id,
+                   CAST(GREATEST(s, u.b * {L}) - u.b * {L} AS BIGINT)
+                       AS span_start,
+                   CAST(LEAST(e, (u.b + 1) * {L}) - GREATEST(s, u.b * {L})
+                        AS BIGINT) AS span_len
+            FROM sp
+            CROSS JOIN UNNEST(range(s // {L}, (e - 1) // {L} + 1)) AS u(b)
+        )
+    """
+
+
+_PACK_BLOCKS_SELECT = """
+        SELECT block_id, CAST(sum(span_len) AS BIGINT) AS n_tok,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM spans GROUP BY 1
+    """
+
+
+def _curate_md5_sql(block_len: int = 1024) -> str:
+    """The curate() chain end-to-end in SQL (see _q_curate_md5):
+    quality-score filter (formula-identical floats) → min-doc_id exact
+    text dedup (window form) → MinHash-md5 near-dedup at 0.7 →
+    deterministic token synthesis over survivors → global pack."""
+    from grass_ray.sources.corpus import corpus_sql
+
+    qsub = f"(SELECT doc_id, quality_score FROM ({_quality_features_sql()}) qf)"
+    keepq = f"""(
+        SELECT d.doc_id, d.source, d.text, d.n_chars
+        FROM documents d JOIN {qsub} q ON q.doc_id = d.doc_id
+        WHERE q.quality_score >= 0.2
+    )"""
+    docs_src = f"""(
+        SELECT doc_id, source, text, n_chars FROM (
+            SELECT kq.*, min(doc_id) OVER (PARTITION BY text) AS _w
+            FROM {keepq} kq
+        ) WHERE doc_id = _w
+    )"""
+    mh = _minhash_md5_sql(
+        docs_src=docs_src, threshold=0.7,
+        select_cols="doc_id, source, n_chars",
+    )
+    return f"""
+        WITH mh AS ({mh}),
+        tok AS ({corpus_sql(inner='mh')}),
+        {_pack_cte(block_len)}
+        {_PACK_BLOCKS_SELECT}
+    """
 
 
 def _sql_xorshift(h: str, s: int) -> str:
@@ -1851,6 +1919,33 @@ def _q_ivf(sf_dir: str) -> pa.Table:
     return ivf_topk(ds, q, k=10, n_clusters=16, nprobe=6)
 
 
+def _q_ivf_full(sf_dir: str) -> pa.Table:
+    """IVF with ``nprobe == n_clusters`` scans every partition, so the
+    result is EXACTLY brute-force cosine top-k — same query vectors,
+    float64 scoring and round6 contract as ★ann_topk, whose DuckDB
+    oracle this query shares.  Proves the centroid-partitioned
+    build/search plumbing end-to-end (hive layout, probed-dir read,
+    coalesce-combine merge) against an exact oracle; the pruned-recall
+    variant stays rows-only as `ivf_topk`."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from grass_ray.stages.similarity import ivf_topk
+
+    path = f"{sf_dir}/embeddings.parquet"
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.sort_by("vec_id").slice(0, 3)
+    q = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()]
+    )
+    ds = _read(path)
+    out = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=16, dtype=np.float64)
+    score = pc.divide(
+        pc.floor(pc.add(pc.multiply(out.column("score"), 1e6), 0.5)), 1e6
+    )
+    return out.set_column(out.schema.get_field_index("score"), "score", score)
+
+
 def _q_embedding_dedup(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup: centroid-bucketed pair detection over
     the embeddings table; returns the surviving vec_ids."""
@@ -2229,6 +2324,27 @@ def _q_pack_sequences(sf_dir: str) -> pa.Table:
     return t.select(["block_id", "n_tok", "n_docs"])
 
 
+def _q_pack_spans_global(sf_dir: str) -> pa.Table:
+    """Layout-independent sequence packing, span detail: doc spans over
+    fixed 1024-token blocks of the global non-null token stream
+    (distributed prefix scan, zero token movement) — exact DuckDB
+    window-scan oracle."""
+    from grass_ray.stages.chunk import pack_spans_global
+
+    out = pack_spans_global(_corpus(sf_dir), block_len=1024)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_pack_global(sf_dir: str) -> pa.Table:
+    """Layout-independent sequence packing, per-block aggregates
+    (block_id, n_tok, n_docs) — exact DuckDB oracle (the per-Ray-block
+    greedy variant stays rows-only as `pack_sequences`)."""
+    from grass_ray.stages.chunk import pack_blocks_global
+
+    out = pack_blocks_global(_corpus(sf_dir), block_len=1024)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_curate(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -2236,6 +2352,24 @@ def _q_curate(sf_dir: str) -> pa.Table:
 
     ds = _read(f"{sf_dir}/documents.parquet")
     packed, _report = curate(ds, min_quality=0.2, dedup_threshold=0.7, block_len=1024)
+    t = pa.Table.from_pandas(packed.to_pandas(), preserve_index=False)
+    return t.select(["block_id", "n_tok", "n_docs"])
+
+
+def _q_curate_md5(sf_dir: str) -> pa.Table:
+    """The full composed curation pipeline with an EXACT end-to-end
+    oracle: analyze→quality filter→exact dedup→MinHash(md5) near-dedup→
+    deterministic corpus→global pack, each stage's SQL fragment chained
+    in one statement (quality formula, min-doc_id text dedup, the
+    64-perm HUGEINT MinHash replay at threshold 0.7, token synthesis,
+    prefix-scan packing)."""
+    from grass_ray.stages.curate import curate
+
+    ds = _read(f"{sf_dir}/documents.parquet")
+    packed, _report = curate(
+        ds, min_quality=0.2, dedup_threshold=0.7, block_len=1024,
+        hash_fn="md5", pack="global",
+    )
     t = pa.Table.from_pandas(packed.to_pandas(), preserve_index=False)
     return t.select(["block_id", "n_tok", "n_docs"])
 
@@ -2794,14 +2928,17 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering contract: the driver only records CORRECTNESS rows for
-    the FIRST 50 entries.  Round-2 verified the first 50 of the old
-    order; round-3 front-loads the 41 entries that have never had a
-    driver row (28 of them exact-oracled), then the most
-    important already-driver-green flagships fill out the window.
-    tools/check_oracle.py still sweeps all entries regardless of order.
+    the FIRST 50 entries.  Round-4 makes every one of the first 50
+    EXACT-oracled (rows+schema+value-hash): the r3 window's 8
+    `no_oracle` rows either gained exact twins this round
+    (pack_sequences_global/pack_spans_global, curate_pipeline_md5,
+    ivf_topk_full) or moved past position 50 (the inherently
+    non-SQL-expressible iterative/approximate ops, which the harness
+    still rows-only checks).  tools/check_oracle.py sweeps all entries
+    regardless of order.
     """
     return {
-        # --- never driver-checked before round 3 (exact-oracled) ---
+        # --- 1-33: the r3-verified exact block (unchanged) ---
         "freq_tokenize": _q_freq_tokenize,
         "normalize_text": _q_normalize,
         "split_assign": _q_split,
@@ -2834,32 +2971,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_roundtrip": _q_compact_roundtrip,
         "algebra_topo_during": _q_algebra_topo_during,
         "what_col": _q_what_col,
-        # --- never driver-checked (rows-only / non-SQL-expressible) ---
         "events_time_report": _q_time_report,
-        "pack_sequences": _q_pack_sequences,
-        "curate_pipeline": _q_curate,
+        # --- 34-50: exact-oracled round-4 additions + flagships ---
+        "pack_sequences_global": _q_pack_global,
+        "pack_spans_global": _q_pack_spans_global,
+        "curate_pipeline_md5": _q_curate_md5,
         "minhash_dedup_md5": _q_minhash_md5,
         "minhash_components_md5": _q_minhash_components_md5,
         "simhash_candidates_md5": _q_simhash_md5,
         "ann_topk": _q_ann,
+        "ivf_topk_full": _q_ivf_full,
+        "curate_v2": _q_curate_v2,
+        "fingerprint_docs": _q_fingerprint,
+        "algebra_calendar": _q_algebra_calendar,
+        "refine_explode": _q_refine_explode,
+        "hll_registers": _q_hll_registers,
+        "segment_dedup": _q_segment_dedup,
+        "lm_score": _q_lm_score,
+        "mix_sources": _q_mix_sources,
+        "det_shuffle": _q_det_shuffle,
+        # ---------------- past the 50-row driver window ----------------
+        # rows-only / non-SQL-expressible (iterative fits, approximate
+        # recall, per-Ray-block layouts, hash-seeded blake2b twins)
+        "pack_sequences": _q_pack_sequences,
+        "curate_pipeline": _q_curate,
         "ivf_topk": _q_ivf,
         "embedding_dedup": _q_embedding_dedup,
         "semdedup": _q_semdedup,
         "multimodal_features": _q_multimodal,
         "kmeans_clusters": _q_kmeans,
-        "curate_v2": _q_curate_v2,
-        # --- never driver-checked (added after the r3 reorder) ---
-        "fingerprint_docs": _q_fingerprint,
-        "algebra_calendar": _q_algebra_calendar,
         "bpe_tokenize": _q_bpe_tokenize,
-        "refine_explode": _q_refine_explode,
-        "hll_registers": _q_hll_registers,
-        # --- already driver-green in r2; flagships re-checked in the
-        # --- remaining window slots ---
-        "segment_dedup": _q_segment_dedup,
-        "lm_score": _q_lm_score,
-        "mix_sources": _q_mix_sources,
-        "det_shuffle": _q_det_shuffle,
         "decontaminate_bloom": _q_decontaminate_bloom,
         # --- already driver-green in r2 (past the 50-row window) ---
         "rollup_1h": lambda sf: _q_rollup(sf, 3600),
@@ -4655,4 +4796,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n, 0) AS BIGINT)) AS fingerprint
         FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
     """
+    # layout-independent sequence packing: prefix-scan doc offsets +
+    # per-doc block explode, replayed as a window scan (_pack_cte)
+    d["pack_spans_global"] = f"""
+        WITH tok AS ({tok}),
+        {_pack_cte(1024)}
+        SELECT block_id, doc_id, span_start, span_len FROM spans
+    """
+    d["pack_sequences_global"] = f"""
+        WITH tok AS ({tok}),
+        {_pack_cte(1024)}
+        {_PACK_BLOCKS_SELECT}
+    """
+    # the composed curation pipeline end-to-end (quality filter → exact
+    # dedup → MinHash-md5 0.7 → corpus synthesis → global pack)
+    d["curate_pipeline_md5"] = _curate_md5_sql(1024)
+    # nprobe == n_clusters scans every IVF partition → exactly the
+    # brute-force top-k; shares ann_topk's oracle (same queries/round6)
+    d["ivf_topk_full"] = d["ann_topk"]
     return d

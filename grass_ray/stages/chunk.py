@@ -52,13 +52,16 @@ def doc_offsets(ds, *, docs_per_partition: int = 2000, id_col: str = "doc_id",
     totals = (
         narrow.groupby("_part").aggregate(Sum(len_col, alias_name="_total"))
     ).to_pandas()
-    totals = totals.sort_values("_part")
-    bases = dict(
-        zip(
-            totals["_part"].astype(int),
-            np.concatenate([[0], np.cumsum(totals["_total"].to_numpy())[:-1]]).astype(np.int64),
+    if len(totals) == 0:  # empty input: aggregate loses its schema
+        bases = {}
+    else:
+        totals = totals.sort_values("_part")
+        bases = dict(
+            zip(
+                totals["_part"].astype(int),
+                np.concatenate([[0], np.cumsum(totals["_total"].to_numpy())[:-1]]).astype(np.int64),
+            )
         )
-    )
     ref = ray.put(bases)
 
     def per_part(batch: pa.Table) -> pa.Table:
@@ -139,6 +142,115 @@ def chunk_stats(corpus_ds, seq_len: int, *, docs_per_partition: int = 2000):
         partials,
         ["chunk_id"],
         [("cnt", "sum", "cnt"), ("sum_tok", "sum", "sum_tok")],
+    )
+
+
+def _kept_lengths(col) -> np.ndarray:
+    """Per-doc count of NON-NULL tokens in a list<int32> column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = np.asarray(
+        col.value_lengths().to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    valid = col.flatten().is_valid().to_numpy(zero_copy_only=False)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    kept = np.zeros(len(lens), dtype=np.int64)
+    if (lens > 0).any():
+        kept[lens > 0] = np.add.reduceat(
+            valid.astype(np.int64), starts[lens > 0]
+        )
+    return kept
+
+
+def pack_spans_global(
+    corpus_ds,
+    block_len: int = 2048,
+    *,
+    docs_per_partition: int = 2000,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+):
+    """Globally-consistent sequence packing: doc spans over fixed
+    ``block_len`` blocks of the whole-corpus NON-NULL token stream in
+    doc-index order — independent of Ray block layout (the per-Ray-block
+    variant is :func:`grass_ray.stages.curate.pack_sequences`).
+
+    Plan: per-doc kept length map-side → distributed prefix scan
+    (:func:`doc_offsets`, driver fold bounded by the partition count) →
+    each doc independently explodes into its overlapping blocks
+    map-side.  No token exchange at all: the spans are pure arithmetic
+    on (offset, kept_len), so 100 TB of tokens never move.
+
+    Returns (block_id, doc_id, span_start, span_len) — span_start is
+    the offset within the block; spans cover every block exactly
+    (sum(span_len) per block == block_len except the final block).
+    """
+
+    def kept_kernel(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_kept": pa.array(_kept_lengths(batch.column(tokens_col))),
+            }
+        )
+
+    kept = corpus_ds.map_batches(kept_kernel, batch_format="pyarrow")
+    offs = doc_offsets(
+        kept, docs_per_partition=docs_per_partition, id_col=id_col,
+        len_col="n_kept",
+    )
+
+    def spans(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_kept").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column("offset").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        pos = np.flatnonzero(n > 0)
+        s2, e2 = s[pos], s[pos] + n[pos]
+        b0, b1 = s2 // block_len, (e2 - 1) // block_len
+        counts = b1 - b0 + 1
+        total = int(counts.sum())
+        row_of = np.repeat(np.arange(len(pos)), counts)
+        starts = np.zeros(len(pos), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        blk = b0[row_of] + (np.arange(total, dtype=np.int64) - np.repeat(starts, counts))
+        lo = np.maximum(s2[row_of], blk * block_len)
+        hi = np.minimum(e2[row_of], (blk + 1) * block_len)
+        return pa.table(
+            {
+                "block_id": pa.array(blk),
+                id_col: ids.take(pa.array(pos[row_of])),
+                "span_start": pa.array(lo - blk * block_len),
+                "span_len": pa.array(hi - lo),
+            }
+        )
+
+    return offs.map_batches(spans, batch_format="pyarrow")
+
+
+def pack_blocks_global(corpus_ds, block_len: int = 2048, **kw):
+    """Per-block aggregates of :func:`pack_spans_global`:
+    (block_id, n_tok, n_docs) — one narrow bucket exchange over span
+    rows (≤ docs + total_tokens/block_len rows, never the tokens)."""
+    from grass_ray.stages.join import bucket_agg
+
+    spans = pack_spans_global(corpus_ds, block_len, **kw)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "block_id": batch.column("block_id"),
+                "n_tok": batch.column("span_len"),
+                "n_docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    return bucket_agg(
+        spans.map_batches(narrow, batch_format="pyarrow"),
+        ["block_id"],
+        [("n_tok", "sum", "n_tok"), ("n_docs", "sum", "n_docs")],
     )
 
 

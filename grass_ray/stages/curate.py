@@ -165,12 +165,21 @@ def curate(
     block_len: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "blake2b",
+    pack: str = "local",
 ):
     """The composed curation pipeline over a documents table:
 
     analyze (actor pool) → quality/lang filter → exact dedup →
     MinHash near-dedup → tokenize (deterministic corpus derivation) →
     pack into training blocks.
+
+    ``hash_fn`` selects the MinHash word hash ("blake2b" default;
+    "md5" is the DuckDB-replayable oracle hash).  ``pack="local"``
+    packs per Ray block (`pack_sequences`); ``"global"`` uses the
+    layout-independent prefix-scan packing
+    (:func:`grass_ray.stages.chunk.pack_blocks_global`) whose output
+    is exact-oracle-checkable.
 
     Returns (packed_blocks_ds, report dict).
     """
@@ -192,7 +201,8 @@ def curate(
     filtered = analyzed.map_batches(keep, batch_format="pyarrow")
     deduped = exact_dedup(filtered, col=text_col, id_col=id_col)
     kept, pairs = minhash_dedup(
-        deduped, threshold=dedup_threshold, id_col=id_col, text_col=text_col
+        deduped, threshold=dedup_threshold, id_col=id_col, text_col=text_col,
+        hash_fn=hash_fn,
     )
     report["near_dup_pairs"] = pairs.count()
     corpus = kept.map_batches(
@@ -201,7 +211,12 @@ def curate(
         ),
         batch_format="pyarrow",
     )
-    packed = pack_sequences(corpus, block_len=block_len)
+    if pack == "global":
+        from grass_ray.stages.chunk import pack_blocks_global
+
+        packed = pack_blocks_global(corpus, block_len=block_len)
+    else:
+        packed = pack_sequences(corpus, block_len=block_len)
     return packed, report
 
 

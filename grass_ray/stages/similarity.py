@@ -221,9 +221,13 @@ def ivf_search(
     nprobe: int = 4,
     id_col="vec_id",
     vec_col="embedding",
+    dtype=np.float32,
 ):
     """Search a built IVF index: per query, read ONLY the ``nprobe``
-    nearest centroids' partitions (pruned read), brute-force within."""
+    nearest centroids' partitions (pruned read), brute-force within.
+    ``dtype`` sets the scoring precision (float32 scale path; float64
+    matches a double-precision oracle — with ``nprobe == n_clusters``
+    the result is then exactly brute-force :func:`ann_topk`)."""
     import glob
     import os
 
@@ -231,7 +235,7 @@ def ivf_search(
     import ray.data
 
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q = _normalize(np.asarray(queries, dtype=dtype))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     needed = sorted(set(probe.reshape(-1).tolist()))
     files = []
@@ -268,7 +272,7 @@ def ivf_search(
             dtype=np.int64,
         )
         ids = np.asarray(batch.column(id_col).to_pylist())
-        m = _normalize(_to_matrix(batch.column(vec_col)))
+        m = _normalize(_to_matrix(batch.column(vec_col), dtype=q_.dtype))
         out_q, out_v, out_s = [], [], []
         for qi in range(q_.shape[0]):
             mask = np.isin(cents, probe_[qi])
@@ -305,6 +309,7 @@ def ivf_topk(
     vec_col="embedding",
     seed: int = 42,
     index_dir: str | None = None,
+    dtype=np.float32,
 ):
     """IVF approximate top-k: build (or reuse) a centroid-partitioned
     index, then search with a pruned read.  One-shot convenience over
@@ -327,7 +332,8 @@ def ivf_topk(
                 vec_col=vec_col,
             )
         return ivf_search(
-            index_dir, queries, k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+            index_dir, queries, k, nprobe=nprobe, id_col=id_col,
+            vec_col=vec_col, dtype=dtype,
         )
     finally:
         # ivf_search materializes its result, so a caller-unnamed

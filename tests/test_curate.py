@@ -81,6 +81,26 @@ def test_curate_pipeline(ray_session):
     assert "near_dup_pairs" in report
 
 
+def test_curate_global_pack_consistent_with_local(ray_session):
+    """pack='global' must keep the same survivor token stream as the
+    per-Ray-block pack: identical total tokens, every block full except
+    at most the last, and md5 vs blake2b near-dedup agree on this
+    corpus (both hashes drive the same Jaccard-verified drop rule)."""
+    import ray.data
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    loc, _ = curate(ds, min_quality=0.2, dedup_threshold=0.7, block_len=512)
+    glo, _ = curate(
+        ds, min_quality=0.2, dedup_threshold=0.7, block_len=512,
+        hash_fn="md5", pack="global",
+    )
+    dl, dg = loc.to_pandas(), glo.to_pandas()
+    assert int(dl["n_tok"].sum()) == int(dg["n_tok"].sum())
+    dg = dg.sort_values("block_id").reset_index(drop=True)
+    assert (dg["n_tok"].iloc[:-1] == 512).all()
+    assert 0 < int(dg["n_tok"].iloc[-1]) <= 512
+
+
 def test_curate_v2_bpe_tokenizer(ray_session):
     """tokenizer='bpe' must keep the identical survivor/split set as
     the rank tokenizer (same filter stages), with valid subword ids."""

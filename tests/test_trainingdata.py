@@ -199,6 +199,29 @@ def test_ivf_topk_recall(ray_session):
     assert recall / 3 >= 0.6
 
 
+def test_ivf_full_probe_equals_brute_force(ray_session):
+    """nprobe == n_clusters scans every partition → IVF must reproduce
+    ann_topk EXACTLY (ids, ranks, float64 scores) — the ivf_topk_full
+    oracle contract."""
+    import ray.data
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(path)
+    df = pd.read_parquet(path)
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)[:3]
+    exact = ann_topk(ds, q, k=5, dtype=np.float64).to_pandas()
+    full = ivf_topk(
+        ds, q, k=5, n_clusters=8, nprobe=8, dtype=np.float64
+    ).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+    assert exact[cols].equals(full[cols])
+    # scores agree to round6 (matmul vs matvec differ in the last ulp —
+    # the ivf_topk_full oracle contract rounds both sides)
+    assert np.allclose(
+        exact["score"].to_numpy(), full["score"].to_numpy(), atol=1e-9, rtol=0
+    )
+
+
 def test_embedding_dedup(ray_session):
     import ray.data
 
