@@ -700,6 +700,31 @@ def asof_join(
     return both.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def _derive_bucket_span(ds_left, ds_right, start_col, end_col) -> int:
+    """p90 interval length over BOTH sides via one narrow mergeable-
+    KLL pass per side (the quantile_filter shape): the driver folds one
+    tiny sketch blob per block, never the intervals."""
+    from grass_ray.functions.sketch import KLLSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = KLLSketch(1 << 14).update_many((e - s).astype(np.float64))
+        return pa.table({"sketch": pa.array([sk.to_bytes()], type=pa.binary())})
+
+    sk = None
+    for ds in (ds_left, ds_right):
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            for blob in b.column("sketch").to_pylist():
+                s = KLLSketch.from_bytes(blob)
+                sk = s if sk is None else sk.merge(s)
+    if sk is None or sk.n == 0:
+        return 1024
+    return max(64, int(sk.quantile(0.9)))
+
+
 def interval_join(
     ds_left,
     ds_right,
@@ -707,7 +732,7 @@ def interval_join(
     key_cols=(),
     start_col: str = "start",
     end_col: str = "end",
-    bucket_span: int = 1024,
+    bucket_span: int | None = None,
     suffix: str = "_r",
 ):
     """Range join: pairs of (left, right) intervals that overlap
@@ -716,14 +741,26 @@ def interval_join(
     join (``spatio_temporal_relationships.py:496-516``).
 
     Plan: each interval replicates to every coarse bucket of width
-    ``bucket_span`` it touches; a bucket-local cross check keeps actual
-    overlaps; pairs spanning several buckets are deduplicated by
-    attributing each pair to the bucket containing
-    ``max(start_l, start_r)``.  Partitioning assumption: interval
-    lengths ≪ total span (replication factor ≈ len/bucket_span + 1);
-    pick ``bucket_span`` ≥ the typical interval length.
+    ``bucket_span`` it touches; pairs spanning several buckets are
+    deduplicated by attributing each pair to the bucket containing
+    ``max(start_l, start_r)``.  Within a bucket the KEYED path merges
+    via Acero; the key-less path enumerates overlaps with a
+    **sort-merge sweep** (two contiguous start-range lookups per
+    interval), so per-bucket work and memory are O(inputs + true
+    matches) — never the |L|·|R| cross product, even when skewed
+    interval lengths pile one bucket high.
+
+    ``bucket_span=None`` (default) auto-derives the span from the data:
+    the p90 interval length of both sides (one narrow KLL-sketch pass),
+    so ≥90% of intervals replicate to at most 2 buckets.  Pass an int
+    to pin it (results are identical for any span — it only moves the
+    partitioning).
     """
     keys = list(key_cols)
+    if bucket_span is None:
+        bucket_span = _derive_bucket_span(
+            ds_left, ds_right, start_col, end_col
+        )
 
     def expand(side: str):
         def kernel(batch: pa.Table) -> pa.Table:
@@ -812,24 +849,65 @@ def interval_join(
         r = batch.filter(pc.invert(is_l)).select(rkeep)
         if keys:
             tbl = _merge_tables(l, r, keys, "inner")
+            if tbl.num_rows:
+                s_l = tbl.column(start_col).to_numpy(zero_copy_only=False)
+                e_l = tbl.column(end_col).to_numpy(zero_copy_only=False)
+                s_r = tbl.column(rstart).to_numpy(zero_copy_only=False)
+                e_r = tbl.column(rend).to_numpy(zero_copy_only=False)
+                ov = (s_l < e_r) & (s_r < e_l)
+                own = (
+                    np.floor_divide(np.maximum(s_l, s_r), bucket_span)
+                    == bucket
+                )
+                tbl = tbl.filter(pa.array(ov & own))
         else:
-            # key-less range join: bucket-local cross product via pandas
-            # (Acero has no cross join)
-            merged = (
-                l.to_pandas()
-                .assign(_x=1)
-                .merge(r.to_pandas().assign(_x=1), on="_x")
-                .drop(columns=["_x"])
+            # key-less range join: bucket-local SORT-MERGE SWEEP.  Each
+            # overlapping pair owned by this bucket falls in exactly one
+            # of two contiguous start ranges — (A) rights whose start
+            # lies in [s_l, e_l) ∩ bucket, (B) lefts whose start lies in
+            # (s_r, e_r) ∩ bucket — so pairs are enumerated with two
+            # searchsorted range explosions: O(n log n + matches), never
+            # the |L|·|R| cross product the old pandas merge built.
+            sl = l.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            el = l.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sr = r.column(rstart).to_numpy(zero_copy_only=False).astype(np.int64)
+            er = r.column(rend).to_numpy(zero_copy_only=False).astype(np.int64)
+            lv = np.flatnonzero(el > sl)  # empty intervals never overlap
+            rv = np.flatnonzero(er > sr)
+            lorder = lv[np.argsort(sl[lv], kind="stable")]
+            rorder = rv[np.argsort(sr[rv], kind="stable")]
+            sls, els = sl[lorder], el[lorder]
+            srs, ers = sr[rorder], er[rorder]
+            lo_b, hi_b = bucket * bucket_span, (bucket + 1) * bucket_span
+
+            def explode(starts_sorted, lo, hi):
+                a0 = np.searchsorted(starts_sorted, lo, side="left")
+                a1 = np.searchsorted(starts_sorted, hi, side="left")
+                cnt = np.maximum(a1 - a0, 0)
+                total = int(cnt.sum())
+                src = np.repeat(np.arange(len(lo), dtype=np.int64), cnt)
+                cstarts = np.zeros(len(lo), dtype=np.int64)
+                np.cumsum(cnt[:-1], out=cstarts[1:])
+                tgt = a0[src] + (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(cstarts, cnt)
+                )
+                return src, tgt
+            # (A) s_r >= s_l: right start in [max(s_l, lo_b), min(e_l, hi_b))
+            liA, riA = explode(
+                srs, np.maximum(sls, lo_b), np.minimum(els, hi_b)
             )
-            tbl = pa.Table.from_pandas(merged, preserve_index=False)
-        if tbl.num_rows:
-            s_l = tbl.column(start_col).to_numpy(zero_copy_only=False)
-            e_l = tbl.column(end_col).to_numpy(zero_copy_only=False)
-            s_r = tbl.column(rstart).to_numpy(zero_copy_only=False)
-            e_r = tbl.column(rend).to_numpy(zero_copy_only=False)
-            ov = (s_l < e_r) & (s_r < e_l)
-            own = np.floor_divide(np.maximum(s_l, s_r), bucket_span) == bucket
-            tbl = tbl.filter(pa.array(ov & own))
+            # (B) s_r < s_l: left start in [max(s_r+1, lo_b), min(e_r, hi_b))
+            riB, liB = explode(
+                sls, np.maximum(srs + 1, lo_b), np.minimum(ers, hi_b)
+            )
+            li = pa.array(np.concatenate([lorder[liA], lorder[liB]]))
+            ri = pa.array(np.concatenate([rorder[riA], rorder[riB]]))
+            lt, rt = l.take(li), r.take(ri)
+            tbl = pa.Table.from_arrays(
+                list(lt.columns) + list(rt.columns),
+                names=list(lt.column_names) + list(rt.column_names),
+            )
         cols = []
         for name, typ in out_fields:
             col = tbl.column(name)

@@ -113,6 +113,47 @@ def test_interval_join_matches_bruteforce(ray_session, l_iv, r_iv, span):
     assert got == want, (l_iv, r_iv, span)
 
 
+def test_interval_join_skewed_bucket_bounded(ray_session):
+    """10⁴ intervals per side piled into ONE bucket (r3 VERDICT wrong
+    #2): the key-less regime must enumerate only true matches — the old
+    per-bucket cross product would build 10⁸ pairs here.  Also checks
+    the auto-derived bucket_span path (bucket_span=None)."""
+    import time
+
+    n = 10_000
+    ls = np.arange(n, dtype=np.int64) * 2  # [2i, 2i+1): disjoint units
+    rs = ls + 1  # [2i+1, 2i+2): never overlaps any left
+    # plus 50 known overlapping pairs: right j covers left j exactly
+    rs2 = ls[:50]
+    a = ray.data.from_arrow(
+        pa.table({"lid": np.arange(n), "start": ls, "end": ls + 1})
+    )
+    b = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": np.arange(n + 50),
+                "start": np.concatenate([rs, rs2]),
+                "end": np.concatenate([rs + 1, rs2 + 1]),
+            }
+        )
+    )
+    t0 = time.perf_counter()
+    out = interval_join(
+        a, b, start_col="start", end_col="end",
+        bucket_span=1 << 30,  # everything lands in bucket 0
+    ).to_pandas()
+    dt = time.perf_counter() - t0
+    assert sorted(zip(out["lid"], out["rid"])) == [
+        (i, n + i) for i in range(50)
+    ]
+    assert dt < 30  # the 1e8-pair cross product would OOM/never finish
+    # auto-derived span: same matches
+    out2 = interval_join(a, b, start_col="start", end_col="end").to_pandas()
+    assert sorted(zip(out2["lid"], out2["rid"])) == [
+        (i, n + i) for i in range(50)
+    ]
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     events=st.lists(
