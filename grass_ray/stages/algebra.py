@@ -826,17 +826,22 @@ class _NestedOut:
         self.orig: list[int] = []
         self.w_parts: list[np.ndarray] = []
         self.v_parts: list[np.ndarray] = []
+        self.s_parts: list[np.ndarray] = []
+        self.e_parts: list[np.ndarray] = []
 
-    def emit(self, row: int, gran: int, orig: int, w, v):
+    def emit(self, row: int, gran: int, orig: int, w, v, s=None, e=None):
         self.rep.append(row)
         self.gran.append(gran)
         self.orig.append(orig)
         self.w_parts.append(np.asarray(w, dtype=np.int64))
         self.v_parts.append(np.asarray(v))
+        if s is not None:
+            self.s_parts.append(np.asarray(s, dtype=np.int64))
+            self.e_parts.append(np.asarray(e, dtype=np.int64))
 
     def table(
         self, value_name: str, *, value_int: bool = False,
-        with_orig: bool = True,
+        with_orig: bool = True, with_extents: bool = False,
     ) -> pa.Table:
         idx = pa.array(np.asarray(self.rep, dtype=np.int64))
         cols = {k: self._cols[k].take(idx) for k in self.keys}
@@ -844,8 +849,70 @@ class _NestedOut:
         if with_orig:
             cols["worigin"] = pa.array(np.asarray(self.orig, dtype=np.int64))
         cols["windows"] = _list_of(self.w_parts, ints=True)
+        if with_extents:
+            # explicit per-window extents (a "ragged" tier — u/d/i side
+            # modifiers produce arbitrary intervals)
+            cols["wstarts"] = _list_of(self.s_parts, ints=True)
+            cols["wends"] = _list_of(self.e_parts, ints=True)
         cols[value_name] = _list_of(self.v_parts, ints=value_int)
         return pa.table(cols)
+
+
+def _grid_project_batch(batch: pa.Table, value_cols) -> pa.Table:
+    """EXACT equal-extent projection of a RAGGED tier batch onto its own
+    grid, for aligned (window-id-matched) consumption: keep windows
+    whose explicit extent [s,e) IS a grid cell (e-s == gran and
+    (s-worigin) % gran == 0), remapped to window id (s-worigin)//gran;
+    drop the rest.  An off-grid extent can never be EQUAL to a grid
+    granule, and the reference's plain operators default to
+    {op,equal,l} (``temporal_algebra.py``), so dropping is exact
+    against grid operands.  Corner (documented): two ragged operands
+    whose OFF-grid extents coincide would match in the reference but
+    not here — that needs extent-keyed alignment.
+    """
+    n = batch.num_rows
+    wo, wflat = _list_views(batch.column("windows"), floats=False)
+    _so, sflat = _list_views(batch.column("wstarts"), floats=False)
+    _eo, eflat = _list_views(batch.column("wends"), floats=False)
+    lens = np.diff(wo)
+    gran = _scalar_i64(batch, "gran")
+    orig = (
+        _scalar_i64(batch, "worigin")
+        if "worigin" in batch.column_names
+        else np.zeros(n, dtype=np.int64)
+    )
+    g_el = np.repeat(gran, lens)
+    o_el = np.repeat(orig, lens)
+    ok = (eflat - sflat == g_el) & ((sflat - o_el) % np.maximum(g_el, 1) == 0)
+    new_w = np.where(g_el > 0, (sflat - o_el) // np.maximum(g_el, 1), wflat)
+    row_of = np.repeat(np.arange(n), lens)
+    kept = np.bincount(row_of[ok], minlength=n).astype(np.int64)
+    offs = pa.array(
+        np.concatenate([[0], np.cumsum(kept)]).astype(np.int32),
+        type=pa.int32(),
+    )
+    cols = {}
+    for name in batch.column_names:
+        if name in ("wstarts", "wends"):
+            continue
+        if name == "windows":
+            cols[name] = pa.ListArray.from_arrays(
+                offs, pa.array(new_w[ok], type=pa.int64())
+            )
+        elif name in value_cols:
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )[ok]
+            cols[name] = pa.ListArray.from_arrays(
+                offs,
+                pa.array(flat, type=pa.float64(), mask=np.isnan(flat)),
+            )
+        else:
+            cols[name] = batch.column(name)
+    return pa.table(cols)
 
 
 def tier_expr(
@@ -900,6 +967,11 @@ def tier_expr(
         def tag(batch: pa.Table, _nm=nm, _vc=vc) -> pa.Table:
             from grass_ray.stages.join import _bucket_ids
 
+            if "wstarts" in batch.column_names:
+                # ragged operand (nested u/d/i result): aligned
+                # arithmetic matches equal extents — project onto the
+                # grid exactly (_grid_project_batch)
+                batch = _grid_project_batch(batch, (_vc,))
             vcol = batch.column(_vc)
             if isinstance(vcol, pa.ChunkedArray):
                 vcol = vcol.combine_chunks()
@@ -1289,6 +1361,11 @@ def _merge_nested(ds_then, ds_else, value_col: str, *, keys=_DEFAULT_KEYS, bucke
         def kernel(batch: pa.Table) -> pa.Table:
             from grass_ray.stages.join import _bucket_ids
 
+            if "wstarts" in batch.column_names:
+                raise NotImplementedError(
+                    "if-else merge over a RAGGED tier (u/d/i extents) "
+                    "is not supported — project to a grid first"
+                )
             t = batch.append_column(
                 "_prio", pa.array([prio] * batch.num_rows, type=pa.int8())
             )
@@ -1395,12 +1472,31 @@ def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:
                     f"match aggregator {agg!r} only applies to the "
                     "boolean qualifiers (&&/||)"
                 )
-            if m.group(4) and _SIDE_ALIASES.get(m.group(4)) != "l":
-                raise NotImplementedError(
-                    "match aggregator + extent side modifier together "
-                    "({op,rel,|/&,r}) is not implemented — the carrier "
-                    "rewrite would land on the wrong dimension"
+            agg_side = _SIDE_ALIASES.get(m.group(4)) if m.group(4) else "l"
+            if agg_side != "l":
+                # aggregator + extent side modifier ({&&,rel,|,r}):
+                # evaluate directly — the matched rights pre-fold with
+                # the aggregator (_topo_fold match_agg), the extents
+                # follow the side modifier.  CLEAN trivalent semantics;
+                # the reference testsuite's conditionals 10-12
+                # expectations encode its buggy recurse_compare
+                # evaluator (temporal_algebra.py:2278-2294, documented
+                # in ROUND_NOTES) and are deliberately not replicated.
+                ls = _scan_left_operand(expr, m.start(), include_compare=True)
+                re_end = _scan_right_operand(
+                    expr, m.end(), include_compare=True
                 )
+                lds = _operand(expr[ls : m.start()], tiers, value_col)
+                rds = _operand(expr[m.end() : re_end], tiers, value_col)
+                rels_a = _expand_rels(m.group(2).split("|"))
+                nm = f"_topo{len(tiers)}"
+                res = tier_topo(
+                    lds, rds, op, rels_a, value_col=value_col,
+                    side=agg_side, match_agg=agg, emit_mode="ragged",
+                ).materialize()
+                tiers[nm] = (res, value_col)
+                expr = f"{expr[:ls]} {nm} {expr[re_end:]}"
+                continue
             side_s = ""
             ls = _scan_left_operand(expr, m.start(), include_compare=True)
             re_end = _scan_right_operand(expr, m.end(), include_compare=True)
@@ -1427,12 +1523,11 @@ def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:
             # eval_toperator (temporal_algebra.py:2726-2741), so
             # B {#,contains,r} A ≡ B {#,contains} A
             side = "l"
-        if side not in ("l", "r"):
-            raise NotImplementedError(
-                f"extent side modifier {m.group(4)!r} changes result "
-                "extents to arbitrary intervals; it is supported at "
-                "statement level only (A {op,rel," + str(m.group(4)) + "} B)"
-            )
+        # u/d/i inside an expression: the synthetic tier is RAGGED
+        # (explicit per-window extents) — further qualified ops match
+        # on those extents; aligned arithmetic grid-projects them
+        # (_grid_project_batch, the reference's {op,equal,l} default)
+        emit_mode = "ragged" if side in ("u", "d", "i") else "flat"
         # the reference's conditional topology operators combine full
         # comparison terms (t_var_expr COND_OP t_var_expr,
         # temporal_algebra.py:2782+) — swallow comparisons for &&/||;
@@ -1447,7 +1542,8 @@ def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:
         # (selection) conditional in _cond_is_meta
         nm = f"_topoh{len(tiers)}" if op == "#" else f"_topo{len(tiers)}"
         res = tier_topo(
-            lds, rds, op, rels, value_col=value_col, side=side
+            lds, rds, op, rels, value_col=value_col, side=side,
+            emit_mode=emit_mode,
         ).materialize()
         tiers[nm] = (res, "hash_count" if op == "#" else value_col)
         expr = f"{expr[:ls]} {nm} {expr[re_end:]}"
@@ -1530,11 +1626,37 @@ def _rewrite_hash(rhs: str, tiers: dict, value_col: str) -> str:
         rhs = rhs[: m.start()] + nm + rhs[m.end():]
 
 
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        whole = True
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    whole = False
+                    break
+        if not whole:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
 def _operand(s: str, tiers: dict, value_col: str):
     s = s.strip()
     if s in tiers:
         return _tier_ds(tiers[s])
-    return tier_expr(s, tiers, value_col=value_col)
+    # a parenthesized qualified sub-term must stay a DIRECT tier
+    # reference (it may be RAGGED — tier_expr would grid-project its
+    # explicit extents away): rewrite qualifiers first, then resolve a
+    # bare (possibly parenthesized) synthetic name without tier_expr
+    s2 = _strip_outer_parens(_rewrite_topo(s, tiers, value_col))
+    if s2 in tiers:
+        return _tier_ds(tiers[s2])
+    return tier_expr(s2, tiers, value_col=value_col)
 
 
 def _tshift(ds, n: int):
@@ -1608,21 +1730,19 @@ _TOPO_PREDS = {
 }
 
 
-def _topo_matches(wa, ga, wb, gb, relations, oa=0, ob=0):
-    """(ia, ib) index pairs of A windows x B windows whose nominal
-    extents [o + w·g, o + (w+1)·g) satisfy ANY of the requested
-    relations.  Chunked over A so the pair grid stays bounded."""
-    as_all = wa * ga + oa
-    bs = wb * gb + ob
-    be = bs + gb
+def _topo_matches(sa, ea, sb, eb, relations):
+    """(ia, ib) index pairs of A granules x B granules whose explicit
+    half-open extents satisfy ANY of the requested relations.  Chunked
+    over A so the pair grid stays bounded.  (Callers derive grid
+    extents o + w·g when a tier has no explicit per-window extents.)"""
     ia_parts, ib_parts = [], []
-    chunk = max(1, (4 << 20) // max(len(wb), 1))
-    for lo in range(0, len(wa), chunk):
-        as_ = as_all[lo : lo + chunk, None]
-        ae = as_ + ga
-        m = np.zeros((as_.shape[0], len(wb)), dtype=bool)
+    chunk = max(1, (4 << 20) // max(len(sb), 1))
+    for lo in range(0, len(sa), chunk):
+        as_ = sa[lo : lo + chunk, None]
+        ae = ea[lo : lo + chunk, None]
+        m = np.zeros((as_.shape[0], len(sb)), dtype=bool)
         for rel in relations:
-            m |= _TOPO_PREDS[rel](as_, ae, bs[None, :], be[None, :])
+            m |= _TOPO_PREDS[rel](as_, ae, sb[None, :], eb[None, :])
         ia, ib = np.nonzero(m)
         ia_parts.append(ia + lo)
         ib_parts.append(ib)
@@ -1632,15 +1752,43 @@ def _topo_matches(wa, ga, wb, gb, relations, oa=0, ob=0):
     return np.concatenate(ia_parts), np.concatenate(ib_parts)
 
 
-def _topo_fold(op, a_vals, b_vals, ia, ib, na):
+def _topo_fold(op, a_vals, b_vals, ia, ib, na, match_agg=None):
     """result[a] = a_vals[a] op b_1 op b_2 ... over the matched B values
     in temporal order (GRASS applies the operator successively along the
     topology list).  Decomposable ops fold via segment sum/product; the
-    rest fold via a bounded Python loop.  Returns (values, matched_mask)."""
+    rest fold via a bounded Python loop.  Returns (values, matched_mask).
+
+    ``match_agg`` ("|" or "&", boolean ops only) is the reference's
+    explicit match aggregator (``temporal_operator.py`` {&&,rel,|}
+    forms): the matched B values pre-fold with OR/AND into ONE operand,
+    then A combines once — A op (B1 | B2 | ...) instead of the
+    successive A op B1 op B2.  Trivalent: NaN if any matched B is NaN
+    (consistent with the successive fold's NaN poisoning)."""
     matched = np.zeros(na, dtype=bool)
     matched[ia] = True
     out = np.full(na, np.nan)
     if len(ia) == 0:
+        return out, matched
+    if match_agg is not None:
+        if op not in ("&&", "||") or match_agg not in ("|", "&"):
+            raise ValueError(
+                "match aggregator applies to boolean qualifiers only"
+            )
+        bv = b_vals[ib]
+        has_nan = np.zeros(na, dtype=bool)
+        np.logical_or.at(has_nan, ia, np.isnan(bv))
+        truth = (bv != 0) & ~np.isnan(bv)
+        if match_agg == "|":
+            agg_b = np.zeros(na, dtype=bool)
+            np.logical_or.at(agg_b, ia, truth)
+        else:
+            agg_b = np.ones(na, dtype=bool)
+            np.logical_and.at(agg_b, ia, truth)
+        with np.errstate(all="ignore"):
+            a_t = a_vals != 0
+            res = a_t & agg_b if op == "&&" else a_t | agg_b
+            out[matched] = res[matched].astype(np.float64)
+            out[matched & (np.isnan(a_vals) | has_nan)] = np.nan
         return out, matched
     with np.errstate(all="ignore"):
         if op in ("+", "-"):
@@ -1684,18 +1832,17 @@ def _topo_fold(op, a_vals, b_vals, ia, ib, na):
     return out, matched
 
 
-def _extent_fold(side, wa, ga, oa, wb, gb, ob, ia, ib):
+def _extent_fold(side, sa, ea, sb, eb, ia, ib):
     """Per-A-granule (start, end) position extents after the successive
     side fold over matched B extents, in B-chronological order — the
     reference applies each pair's extent operation onto the map's
     CURRENT extent (``temporal_algebra.py:1941-1967``), and intersect /
     union return None (extent unchanged) for empty / disjoint results
     (``temporal_extent.py:91-140,399-429``)."""
-    s = (wa * ga + oa).astype(np.int64)
-    e = (s + ga).astype(np.int64)
-    bs_all = wb * gb + ob
+    s = sa.astype(np.int64).copy()
+    e = ea.astype(np.int64).copy()
     for i, j in zip(ia, ib):
-        bs, be = int(bs_all[j]), int(bs_all[j] + gb)
+        bs, be = int(sb[j]), int(eb[j])
         if side == "r":
             s[i], e[i] = bs, be
         elif side == "i":
@@ -1721,6 +1868,8 @@ def tier_topo(
     out_col: str | None = None,
     buckets: int = 64,
     side: str = "l",
+    match_agg: str | None = None,
+    emit_mode: str = "flat",
 ):
     """``A {op, relation[|relation...][, side]} B`` over nested tiers
     whose granularities differ — the temporal-topology form of the
@@ -1754,7 +1903,19 @@ def tier_topo(
       the reference where the result topology check fails);
     * ``u`` / ``d`` / ``i`` (union / disjoint union / intersection):
       arbitrary intervals — FLAT output rows (key..., start, end,
-      <value>) in position units, statement-level only.
+      <value>) in position units with ``emit_mode="flat"`` (the
+      statement-level default), or a RAGGED nested tier with
+      ``emit_mode="ragged"``: rows keep A's window ids plus explicit
+      per-window ``wstarts``/``wends`` extents, so the result can feed
+      FURTHER topology-qualified operations (the nested-expression
+      form, ``temporal_operator.py:1-120``).
+
+    Either operand may itself be ragged (``wstarts``/``wends`` present):
+    matching then uses the explicit extents instead of the grid formula.
+
+    ``match_agg`` ("|"/"&", boolean ops only): pre-fold the matched B
+    values with OR/AND before combining with A — the reference's
+    explicit match aggregator (see :func:`_topo_fold`).
 
     Same scale shape as :func:`tier_hash`: ONE bucket exchange on the
     key hash; per-key pair grids chunked."""
@@ -1777,7 +1938,14 @@ def tier_topo(
         side = "l"
     if op == "!:":
         side = "l"
-    flat = side in ("u", "d", "i")
+    flat = side in ("u", "d", "i") and emit_mode == "flat"
+    a_ragged = "wstarts" in ds_a.schema().names
+    b_ragged = "wstarts" in ds_b.schema().names
+    ragged_out = (
+        (side == "l" and a_ragged)
+        or (side == "r" and b_ragged)
+        or (side in ("u", "d", "i") and emit_mode == "ragged")
+    )
 
     def tag(tag_side, vc):
         def kernel(batch: pa.Table) -> pa.Table:
@@ -1790,6 +1958,21 @@ def tier_topo(
                 cols["_o"] = pa.array(
                     np.zeros(batch.num_rows, dtype=np.int64)
                 )
+            # explicit extents (ragged tier) ride along; grid tiers get
+            # empty lists — the kernel derives o + w·g per window
+            if "wstarts" in batch.column_names:
+                cols["_ws"] = batch.column("wstarts")
+                cols["_we"] = batch.column("wends")
+            else:
+                zero = pa.array(
+                    np.zeros(batch.num_rows + 1, dtype=np.int32),
+                    type=pa.int32(),
+                )
+                empty = pa.ListArray.from_arrays(
+                    zero, pa.array([], type=pa.int64())
+                )
+                cols["_ws"] = empty
+                cols["_we"] = empty
             vcol = batch.column(vc)
             if isinstance(vcol, pa.ChunkedArray):
                 vcol = vcol.combine_chunks()
@@ -1813,6 +1996,8 @@ def tier_topo(
         order, gstarts, gends = _key_groups(batch, keys)
         wo, wflat = _list_views(batch.column("windows"), floats=False)
         vo, vflat = _list_views(batch.column("_v"), floats=True)
+        so, sflat = _list_views(batch.column("_ws"), floats=False)
+        eo, eflat = _list_views(batch.column("_we"), floats=False)
         gran_arr = _scalar_i64(batch, "gran")
         orig_arr = _scalar_i64(batch, "_o")
         side_arr = batch.column("_side").to_numpy(zero_copy_only=False)
@@ -1823,12 +2008,24 @@ def tier_topo(
         flat_v: list[np.ndarray] = []
 
         def series(r: int):
+            """(gran, orig, windows, values, starts, ends) sorted by
+            window id; extents explicit when the row is ragged, else
+            the grid formula o + w·g."""
             ws = wflat[wo[r] : wo[r + 1]]
             vs = vflat[vo[r] : vo[r + 1]]
             o_s = np.argsort(ws, kind="stable")
-            return int(gran_arr[r]), int(orig_arr[r]), ws[o_s], vs[o_s]
+            gran, orig = int(gran_arr[r]), int(orig_arr[r])
+            ws, vs = ws[o_s], vs[o_s]
+            xs = sflat[so[r] : so[r + 1]]
+            if len(xs) == len(ws) and len(ws):
+                s = xs[o_s]
+                e = eflat[eo[r] : eo[r + 1]][o_s]
+            else:
+                s = ws * gran + orig
+                e = s + gran
+            return gran, orig, ws, vs, s, e
 
-        def emit(row, gran, orig, w, v, s=None, e=None):
+        def emit(row, gran, orig, w, v, s, e):
             if len(w) == 0:
                 return  # a granule-less result map does not exist
             if flat:
@@ -1837,7 +2034,11 @@ def tier_topo(
                 flat_e.append(np.asarray(e, dtype=np.int64))
                 flat_v.append(np.asarray(v, dtype=np.float64))
                 return
-            out.emit(row, gran, orig, w, v)
+            out.emit(
+                row, gran, orig, w, v,
+                s=s if ragged_out else None,
+                e=e if ragged_out else None,
+            )
 
         for g in range(len(gstarts)):
             rows = order[gstarts[g] : gends[g]]
@@ -1849,21 +2050,24 @@ def tier_topo(
                     b_row = int(r)
             if a_row < 0:
                 continue
-            ga, oa, wa, va = series(a_row)
+            ga, oa, wa, va, sa, ea = series(a_row)
             if b_row < 0:
                 if select_mode and op == "!:":
-                    emit(a_row, ga, oa, wa, va)
+                    emit(a_row, ga, oa, wa, va, sa, ea)
                 elif hash_mode:
                     # no B rows for this key: every A window counts 0
                     # (empty topology list), same as a zero-match key
-                    emit(a_row, ga, oa, wa, np.zeros(len(wa), dtype=np.int64))
+                    emit(
+                        a_row, ga, oa, wa,
+                        np.zeros(len(wa), dtype=np.int64), sa, ea,
+                    )
                 continue
-            gb, ob, wb, vb = series(b_row)
-            ia, ib = _topo_matches(wa, ga, wb, gb, rels, oa, ob)
+            gb, ob, wb, vb, sb, eb = series(b_row)
+            ia, ib = _topo_matches(sa, ea, sb, eb, rels)
             if hash_mode:
                 cnt = np.zeros(len(wa), dtype=np.int64)
                 np.add.at(cnt, ia, 1)
-                emit(a_row, ga, oa, wa, cnt)
+                emit(a_row, ga, oa, wa, cnt, sa, ea)
                 continue
             matched = np.zeros(len(wa), dtype=bool)
             matched[ia] = True
@@ -1871,17 +2075,20 @@ def tier_topo(
                 keep = ~matched if op == "!:" else matched
                 vals = va
             else:
-                vals, matched = _topo_fold(op, va, vb, ia, ib, len(wa))
+                vals, matched = _topo_fold(
+                    op, va, vb, ia, ib, len(wa), match_agg=match_agg
+                )
                 keep = matched
             if side == "l":
-                emit(a_row, ga, oa, wa[keep], vals[keep])
+                emit(a_row, ga, oa, wa[keep], vals[keep], sa[keep], ea[keep])
             elif side == "r":
                 lastb = np.full(len(wa), -1, dtype=np.int64)
                 lastb[ia] = ib  # ascending b order: last match wins
-                emit(a_row, gb, ob, wb[lastb[keep]], vals[keep])
+                lb = lastb[keep]
+                emit(a_row, gb, ob, wb[lb], vals[keep], sb[lb], eb[lb])
             else:
-                s, e = _extent_fold(side, wa, ga, oa, wb, gb, ob, ia, ib)
-                emit(a_row, ga, oa, wa[keep], vals[keep], s=s[keep], e=e[keep])
+                s, e = _extent_fold(side, sa, ea, sb, eb, ia, ib)
+                emit(a_row, ga, oa, wa[keep], vals[keep], s[keep], e[keep])
 
         if flat:
             idx = pa.array(
@@ -1912,7 +2119,7 @@ def tier_topo(
             )
             cols[res_col] = pa.array(fv, type=pa.float64(), mask=np.isnan(fv))
             return pa.table(cols)
-        return out.table(res_col, value_int=hash_mode)
+        return out.table(res_col, value_int=hash_mode, with_extents=ragged_out)
 
     return u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
@@ -1933,6 +2140,10 @@ def tier_hash(ds_a, ds_b, *, key_cols=_DEFAULT_KEYS, buckets: int = 64):
         def kernel(batch: pa.Table) -> pa.Table:
             from grass_ray.stages.join import _bucket_ids
 
+            if "wstarts" in batch.column_names:
+                # ragged operand: plain `#` matches equal windows —
+                # grid-project the explicit extents exactly
+                batch = _grid_project_batch(batch, ())
             cols = {k: batch.column(k) for k in keys}
             cols["gran"] = batch.column("gran")
             cols["windows"] = batch.column("windows")

@@ -99,8 +99,10 @@ def test_nested_topology_qualifier(tiers):
     # self-during is empty (equal extents are never during-inclusive)
     _, res = algebra("R = A + (A {+,during} A)", dict(tiers))
     assert res.count() == 0
-    with pytest.raises(NotImplementedError):
-        algebra("R = A + (A {+,during,u} A)", dict(tiers))
+    # nested u: the synthetic is an (empty here) RAGGED tier — the
+    # aligned consumer grid-projects it; round-4 removed the guard
+    _, res = algebra("R = A + (A {+,during,u} A)", dict(tiers))
+    assert res.count() == 0
 
 
 def test_hash_in_expression(tiers):

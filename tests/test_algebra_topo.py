@@ -534,3 +534,83 @@ def test_equal_ts_successive_fold_ops(ab):
     _n, out = algebra("R = A > B", {"A": a, "B": b})
     t = out.to_pandas()
     assert list(t["average"].tolist()[0]) == [0.0, 0.0]
+
+
+def test_nested_udi_ragged(ref_maps):
+    """u/d/i side modifiers NESTED inside expressions (round-4): the
+    synthetic tier is RAGGED (explicit per-window extents); further
+    qualified ops match on those extents, aligned arithmetic
+    grid-projects them exactly (the reference's {op,equal,l} default
+    for plain operators).  Expectations hand-derived from the
+    reference's extent semantics (temporal_operator.py:1-120,
+    temporal_extent.py:91-140) over the testsuite fixture tiers."""
+
+    def vals(out, col="average"):
+        t = out.to_pandas()
+        got = {}
+        for _, r in t.iterrows():
+            got.update(dict(zip(r["windows"], r[col])))
+        return got
+
+    # inner union: b1(5)+c1(7)=12 on [0,3); A granules starts/during/
+    # finishes that extent -> 1+12, 2+12, 3+12 on A's grid
+    _n, out = algebra("R = A {+,during} (B {+,overlaps,u} C)", dict(ref_maps))
+    assert vals(out) == {0: 13.0, 1: 14.0, 2: 15.0}
+    # ragged LEFT operand of a hash: [0,3) started/contains/finished
+    # covers A granules 0,1,2
+    _n, out = algebra("R = (B {+,overlaps,u} C) {#,contains} A", dict(ref_maps))
+    assert vals(out, "hash_count") == {0: 3}
+    # equal-union extents coincide with B's own grid -> exact remap:
+    # aligned arithmetic sees w0=10, w1=12
+    _n, out = algebra("R = B + (B {+,equal,u} B)", dict(ref_maps))
+    assert vals(out) == {0: 15.0, 1: 18.0}
+    # off-grid union extent [0,3) can never EQUAL a gran-2 granule ->
+    # aligned intersection is empty (reference: equal-match finds none)
+    _n, out = algebra("R = B + (B {+,overlaps,u} C)", dict(ref_maps))
+    assert out.count() == 0
+
+
+def test_match_aggregator_with_side(ref_maps):
+    """{&&,rel,|,r} — match aggregator + extent side modifier
+    (round-4): the matched rights pre-fold with the aggregator
+    (_topo_fold match_agg), extents follow the side.  CLEAN trivalent
+    semantics; the reference testsuite's conditionals 10-12
+    expectations encode its buggy recurse_compare evaluator
+    (temporal_algebra.py:2278-2294) and are deliberately not
+    replicated (ROUND_NOTES round-3 analysis)."""
+    import ray.data as rd
+
+    def mk(gran, windows, values, origin=0):
+        cols = {
+            "source": ["s"],
+            "doc_id": ["d1"],
+            "gran": pa.array([gran], type=pa.int64()),
+            "windows": pa.array([windows], type=pa.list_(pa.int64())),
+            "average": pa.array([values], type=pa.list_(pa.float64())),
+        }
+        if origin:
+            cols["worigin"] = pa.array([origin], type=pa.int64())
+        return rd.from_arrow(pa.table(cols))
+
+    # function level: B(bool) {&&,over,|,r} C(bool) — both b granules
+    # match c, so both land (duplicated) on C's extent; values fold
+    # b_i && (c1 | ...) = [1&&1, 0&&1]
+    bb = mk(2, [0, 1], [1.0, 0.0])
+    cb = mk(2, [0], [1.0], origin=1)
+    out = tier_topo(
+        bb, cb, "&&", ["overlaps", "overlapped"], side="r", match_agg="|"
+    ).to_pandas()
+    assert out["gran"].tolist() == [2]
+    assert out["worigin"].tolist() == [1]
+    assert [list(x) for x in out["windows"]] == [[0, 0]]
+    assert [list(x) for x in out["average"]] == [[1.0, 0.0]]
+    # expression level (the testsuite-12 SHAPE on the fixture tiers):
+    # cond true only for b1 (start 0 < 2), which overlaps c1 -> the
+    # condition granule sits on C's extent -> then-side selects c1
+    _n, out = algebra(
+        "R = if(start_time(B) < 2 {&&,overlaps,|,r} td(C) == 2, C)",
+        dict(ref_maps),
+    )
+    t = out.to_pandas()
+    got = dict(zip(t["windows"].tolist()[0], t["average"].tolist()[0]))
+    assert got == {0: 7.0}
