@@ -104,18 +104,25 @@ def bpe_train(
         # distributed trim: local top-N per block -> one bounded final
         # group (vocab_topn's plan, inlined for the counts Dataset)
         def local(batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas().sort_values(
-                ["cnt", "word"], ascending=[False, True], kind="mergesort"
-            ).head(max_words)
-            return pa.Table.from_pandas(df.assign(_g=0), preserve_index=False)
+            import pyarrow.compute as pc
+
+            idx = pc.sort_indices(
+                batch,
+                sort_keys=[("cnt", "descending"), ("word", "ascending")],
+            )
+            t = batch.take(idx[:max_words])
+            return t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, dtype=np.int8))
+            )
 
         def final(batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas().sort_values(
-                ["cnt", "word"], ascending=[False, True], kind="mergesort"
-            ).head(max_words)
-            return pa.Table.from_pandas(
-                df[["word", "cnt"]], preserve_index=False
+            import pyarrow.compute as pc
+
+            idx = pc.sort_indices(
+                batch,
+                sort_keys=[("cnt", "descending"), ("word", "ascending")],
             )
+            return batch.take(idx[:max_words]).select(["word", "cnt"])
 
         counts_ds = (
             counts_ds.map_batches(local, batch_format="pyarrow")

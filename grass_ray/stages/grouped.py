@@ -392,10 +392,12 @@ def sessionize_multi(
         b = batch.take(order)
         n = b.num_rows
         secs = _epoch_seconds(b.column(ts_col))
-        kdf = b.select(keys).to_pandas()
         changed = np.ones(n, dtype=bool)
         if n > 1:
-            changed[1:] = (kdf.iloc[1:].reset_index(drop=True) != kdf.iloc[:-1].reset_index(drop=True)).any(axis=1).to_numpy()
+            same = np.ones(n - 1, dtype=bool)
+            for codes in _key_codes(b, keys):
+                same &= codes[1:] == codes[:-1]
+            changed[1:] = ~same
         v = b.column(val_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
         key_starts = np.flatnonzero(changed)
         tables = []
@@ -438,6 +440,62 @@ def sessionize_multi(
     )
 
 
+def _key_codes(t: pa.Table, keys):
+    """Per-key-column dictionary codes (equal codes ⇔ equal values) —
+    the vectorized building block for adjacent-row group detection."""
+    out = []
+    for k in keys:
+        col = t.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out.append(
+            col.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    return out
+
+
+def _sorted_group_ranks(t: pa.Table, keys) -> np.ndarray:
+    """Per-row rank within its key group (rows already key-sorted) —
+    sort_indices + run-length segmentation instead of a pandas
+    groupby round trip (r3 VERDICT cleanup #3)."""
+    n = t.num_rows
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    same = np.ones(n - 1, dtype=bool)
+    for codes in _key_codes(t, keys):
+        same &= codes[1:] == codes[:-1]
+    starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+    counts = np.diff(np.append(starts, n))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _key_group_slices(batch: pa.Table, keys):
+    """(order, starts, ends): rows sorted by the key columns (stable
+    Arrow C++ sort) with run-length group boundaries — per-batch
+    partial kernels segment key groups without pandas."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    z = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return z, z, z
+    kt = batch.select(list(keys))
+    order = (
+        pc.sort_indices(kt, sort_keys=[(k, "ascending") for k in keys])
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    same = np.ones(n - 1, dtype=bool)
+    for codes in _key_codes(kt, keys):
+        c = codes[order]
+        same &= c[1:] == c[:-1]
+    starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
+    ends = np.append(starts[1:], n)
+    return order, starts, ends
+
+
 def topk_per_group(
     ds,
     *,
@@ -458,25 +516,27 @@ def topk_per_group(
     ties = list(tie_cols)
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(
-            [*keys, val_col, *ties],
-            ascending=[True] * len(keys) + [False] + [True] * len(ties),
-            kind="mergesort",
+        import pyarrow.compute as pc
+
+        sort_keys = (
+            [(c, "ascending") for c in keys]
+            + [(val_col, "descending")]
+            + [(c, "ascending") for c in ties]
         )
-        out = df.groupby(keys, sort=False).head(k)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        t = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        rank = _sorted_group_ranks(t, keys)
+        return t.filter(pa.array(rank < k))
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
 
     def final_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(
-            [val_col, *ties],
-            ascending=[False] + [True] * len(ties),
-            kind="mergesort",
-        )
-        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+        import pyarrow.compute as pc
+
+        sort_keys = [(val_col, "descending")] + [
+            (c, "ascending") for c in ties
+        ]
+        idx = pc.sort_indices(batch, sort_keys=sort_keys)
+        return batch.take(idx[:k])
 
     return partials.groupby(keys).map_groups(final_topk, batch_format="pyarrow")
 
@@ -564,19 +624,19 @@ def approx_quantiles(
     keys = list(key_cols)
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.select(keys + [val_col]).to_pandas()
-        rows_k = {k: [] for k in keys}
-        blobs = []
-        for kv, grp in df.groupby(keys, sort=False):
-            if not isinstance(kv, tuple):
-                kv = (kv,)
-            sk = KLLSketch(k_cap).update_many(grp[val_col].to_numpy(dtype=np.float64))
-            for k, v in zip(keys, kv):
-                rows_k[k].append(v)
+        order, starts, ends = _key_group_slices(batch, keys)
+        vals = (
+            batch.column(val_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)[order]
+        )
+        reps, blobs = [], []
+        for g in range(len(starts)):
+            sk = KLLSketch(k_cap).update_many(vals[starts[g] : ends[g]])
+            reps.append(order[starts[g]])
             blobs.append(sk.to_bytes())
-        cols = {k: pa.array(rows_k[k]) for k in keys}
+        idx = pa.array(np.asarray(reps, dtype=np.int64))
+        cols = {k: batch.column(k).take(idx) for k in keys}
         cols["sketch"] = pa.array(blobs, type=pa.binary())
         return pa.table(cols)
 
@@ -647,18 +707,15 @@ def _hll_partials(ds, keys, val_col: str, p: int):
 
     def partial(batch: pa.Table) -> pa.Table:
         h = _hash_rows(batch, [val_col]).astype(np.int64)
-        df = batch.select(keys).to_pandas()
-        df["_h"] = h
-        rows_k = {k: [] for k in keys}
-        blobs = []
-        for kv, grp in df.groupby(keys, sort=False):
-            if not isinstance(kv, tuple):
-                kv = (kv,)
-            sk = HyperLogLog(p).add_many(grp["_h"].to_numpy())
-            for k, v in zip(keys, kv):
-                rows_k[k].append(v)
+        order, starts, ends = _key_group_slices(batch, keys)
+        hs = h[order]
+        reps, blobs = [], []
+        for g in range(len(starts)):
+            sk = HyperLogLog(p).add_many(hs[starts[g] : ends[g]])
+            reps.append(order[starts[g]])
             blobs.append(sk.to_bytes())
-        cols = {k: pa.array(rows_k[k]) for k in keys}
+        idx = pa.array(np.asarray(reps, dtype=np.int64))
+        cols = {k: batch.column(k).take(idx) for k in keys}
         cols["sketch"] = pa.array(blobs, type=pa.binary())
         return pa.table(cols)
 

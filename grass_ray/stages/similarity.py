@@ -53,27 +53,44 @@ def _merge_topk(cand_ds, k: int, id_col: str, fan_in: int = 16) -> pa.Table:
     id so the result is deterministic across block orderings (resumable
     runs reproduce bit-identically)."""
 
-    def combine(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["query_id", "score", id_col],
-            ascending=[True, False, True],
-            kind="mergesort",
+    def _sorted_ranks(batch: pa.Table):
+        """(sorted table, 0-based rank within query_id) — Arrow sort +
+        run-length segmentation, no pandas round trip."""
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("query_id", "ascending"),
+                ("score", "descending"),
+                (id_col, "ascending"),
+            ],
         )
-        out = df.groupby("query_id", sort=False).head(k)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        t = batch.take(idx)
+        q = t.column("query_id").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(q[1:] != q[:-1]) + 1]
+        ) if len(q) else np.empty(0, dtype=np.int64)
+        counts = np.diff(np.append(starts, len(q)))
+        rank = np.arange(len(q), dtype=np.int64) - np.repeat(starts, counts)
+        return t, rank
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t, rank = _sorted_ranks(batch)
+        return t.filter(pa.array(rank < k))
 
     def final(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["query_id", "score", id_col],
-            ascending=[True, False, True],
-            kind="mergesort",
-        )
-        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
-        df["score"] = df["score"].astype(np.float64)
-        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
-        df["rank"] = df["rank"].astype(np.int64)
-        return pa.Table.from_pandas(
-            df[["query_id", id_col, "score", "rank"]], preserve_index=False
+        t, rank = _sorted_ranks(batch)
+        keep = rank < k
+        t = t.filter(pa.array(keep))
+        rank = rank[keep]  # filtered rows keep their 0..k-1 group ranks
+        return pa.table(
+            {
+                "query_id": t.column("query_id").cast(pa.int64()),
+                id_col: t.column(id_col),
+                "score": t.column("score").cast(pa.float64()),
+                "rank": pa.array(rank + 1, type=pa.int64()),
+            }
         )
 
     out = (
