@@ -166,6 +166,11 @@ def run_bench() -> dict:
         "compact_roundtrip",
         "fingerprint_docs",
         "hll_registers",
+        # round-4 additions
+        "pack_sequences_global",
+        "curate_pipeline_md5",
+        "ivf_topk_full",
+        "algebra_topo_during",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction
