@@ -1939,8 +1939,20 @@ def tier_topo(
     if op == "!:":
         side = "l"
     flat = side in ("u", "d", "i") and emit_mode == "flat"
-    a_ragged = "wstarts" in ds_a.schema().names
-    b_ragged = "wstarts" in ds_b.schema().names
+
+    def _is_ragged(ds) -> bool:
+        # no-execution schema probe: a LAZY operand with unknown schema
+        # is treated as a grid tier — ragged tiers only come out of
+        # tier_topo's ragged mode, whose callers always materialize
+        # them (so their schema is known without running anything)
+        try:
+            sch = ds.schema(fetch_if_missing=False)
+        except TypeError:  # older Ray without the kwarg
+            sch = ds.schema()
+        return sch is not None and "wstarts" in sch.names
+
+    a_ragged = _is_ragged(ds_a)
+    b_ragged = _is_ragged(ds_b)
     ragged_out = (
         (side == "l" and a_ragged)
         or (side == "r" and b_ragged)
