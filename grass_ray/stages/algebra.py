@@ -858,17 +858,46 @@ class _NestedOut:
         return pa.table(cols)
 
 
+def _schema_ragged(ds) -> bool:
+    """No-execution schema probe for a RAGGED tier (explicit
+    ``wstarts``/``wends`` extents).  A LAZY operand with unknown schema
+    is treated as a grid tier — ragged tiers only come out of
+    tier_topo's ragged mode, whose callers always materialize them (so
+    their schema is known without running anything)."""
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+    except TypeError:  # older Ray without the kwarg
+        sch = ds.schema()
+    return sch is not None and "wstarts" in sch.names
+
+
+def _uniq_extents(s: np.ndarray, e: np.ndarray):
+    """Deterministic extent-keyed ids: lexsort-unique the (start, end)
+    pairs, return (uniq_s, uniq_e, inverse ids) — the alignment key for
+    all-ragged aligned arithmetic (two off-grid extents match iff they
+    COINCIDE, the reference's equal-extent rule)."""
+    order = np.lexsort((e, s))
+    ss, ee = s[order], e[order]
+    new = np.ones(len(ss), dtype=bool)
+    if len(ss) > 1:
+        new[1:] = (ss[1:] != ss[:-1]) | (ee[1:] != ee[:-1])
+    inv = np.empty(len(ss), dtype=np.int64)
+    inv[order] = np.cumsum(new) - 1
+    return ss[new], ee[new], inv
+
+
 def _grid_project_batch(batch: pa.Table, value_cols) -> pa.Table:
     """EXACT equal-extent projection of a RAGGED tier batch onto its own
-    grid, for aligned (window-id-matched) consumption: keep windows
-    whose explicit extent [s,e) IS a grid cell (e-s == gran and
-    (s-worigin) % gran == 0), remapped to window id (s-worigin)//gran;
-    drop the rest.  An off-grid extent can never be EQUAL to a grid
-    granule, and the reference's plain operators default to
-    {op,equal,l} (``temporal_algebra.py``), so dropping is exact
-    against grid operands.  Corner (documented): two ragged operands
-    whose OFF-grid extents coincide would match in the reference but
-    not here — that needs extent-keyed alignment.
+    grid, for aligned (window-id-matched) consumption AGAINST GRID
+    operands: keep windows whose explicit extent [s,e) IS a grid cell
+    (e-s == gran and (s-worigin) % gran == 0), remapped to window id
+    (s-worigin)//gran; drop the rest.  An off-grid extent can never be
+    EQUAL to a grid granule, and the reference's plain operators
+    default to {op,equal,l} (``temporal_algebra.py``), so dropping is
+    exact against grid operands.  When EVERY operand of an aligned
+    expression is ragged, :func:`tier_expr` matches on the explicit
+    extents instead (``_uniq_extents`` — coincident off-grid extents
+    match, as in the reference) and this projection is not applied.
     """
     n = batch.num_rows
     wo, wflat = _list_views(batch.column("windows"), floats=False)
@@ -959,6 +988,17 @@ def tier_expr(
     if not names_used:
         raise ValueError(f"expression references no known tier: {expr!r}")
 
+    # extent-keyed alignment: when EVERY operand is RAGGED (explicit
+    # wstarts/wends) and no temporal accessor reads the grid, match on
+    # the extents themselves — coincident off-grid extents align (the
+    # reference's equal-extent rule), and scalar arithmetic preserves
+    # the ragged extents instead of grid-projecting them away.  A mix
+    # of ragged and grid operands keeps the exact grid projection (an
+    # off-grid extent can never equal a grid granule).
+    extent_mode = not gran_of and all(
+        _schema_ragged(_tier_ds(tiers[nm])) for nm in names_used
+    )
+
     parts = []
     for nm in names_used:
         spec = tiers[nm]
@@ -967,10 +1007,10 @@ def tier_expr(
         def tag(batch: pa.Table, _nm=nm, _vc=vc) -> pa.Table:
             from grass_ray.stages.join import _bucket_ids
 
-            if "wstarts" in batch.column_names:
-                # ragged operand (nested u/d/i result): aligned
-                # arithmetic matches equal extents — project onto the
-                # grid exactly (_grid_project_batch)
+            if "wstarts" in batch.column_names and not extent_mode:
+                # ragged operand (nested u/d/i result) mixed with grid
+                # operands: aligned arithmetic matches equal extents —
+                # project onto the grid exactly (_grid_project_batch)
                 batch = _grid_project_batch(batch, (_vc,))
             vcol = batch.column(_vc)
             if isinstance(vcol, pa.ChunkedArray):
@@ -984,6 +1024,9 @@ def tier_expr(
                     np.zeros(batch.num_rows, dtype=np.int64)
                 )
             cols["windows"] = batch.column("windows")
+            if extent_mode:
+                cols["_ws"] = batch.column("wstarts")
+                cols["_we"] = batch.column("wends")
             cols["_v"] = vcol.cast(pa.list_(pa.float64()))
             cols["_tier"] = pa.array([_nm] * batch.num_rows)
             t = pa.table(cols)
@@ -1002,6 +1045,9 @@ def tier_expr(
         order, gstarts, gends = _key_groups(batch, keys)
         wo, wflat = _list_views(batch.column("windows"), floats=False)
         vo, vflat = _list_views(batch.column("_v"), floats=True)
+        if extent_mode:
+            so, sflat = _list_views(batch.column("_ws"), floats=False)
+            eo, eflat = _list_views(batch.column("_we"), floats=False)
         gran_arr = _scalar_i64(batch, "gran")
         orig_arr = _scalar_i64(batch, "_o")
         tier_arr = batch.column("_tier").to_numpy(zero_copy_only=False)
@@ -1009,9 +1055,45 @@ def tier_expr(
         need = set(names_used)
         for g in range(len(gstarts)):
             rows = order[gstarts[g] : gends[g]]
+            env: dict = {}
+            if extent_mode:
+                # extent-keyed alignment (all-ragged operands): window
+                # ids become ranks of the lexsorted DISTINCT (start,
+                # end) pairs across the key's operands, so coincident
+                # off-grid extents share an id and align exactly; the
+                # reference's equal-extent rule for plain {op,equal,l}
+                segs = [
+                    (int(r), sflat[so[r] : so[r + 1]],
+                     eflat[eo[r] : eo[r + 1]],
+                     vflat[vo[r] : vo[r + 1]])
+                    for r in rows
+                ]
+                all_s = np.concatenate([s for _, s, _, _ in segs])
+                all_e = np.concatenate([e for _, _, e, _ in segs])
+                uq_s, uq_e, inv = _uniq_extents(all_s, all_e)
+                pos = 0
+                rep = int(rows[0])
+                for r, s, _e, vs in segs:
+                    ids = inv[pos : pos + len(s)]
+                    pos += len(s)
+                    o_s = np.argsort(ids, kind="stable")
+                    env[tier_arr[r]] = _Series(ids[o_s], vs[o_s])
+                    if tier_arr[r] == names_used[0]:
+                        rep = r
+                if need - set(env):
+                    continue  # a key missing an operand
+                res = fn(env)
+                if not isinstance(res, _Series):
+                    raise ValueError("expression reduced to a scalar")
+                if len(res.w) == 0:
+                    continue
+                out.emit(
+                    rep, int(gran_arr[rep]), int(orig_arr[rep]),
+                    res.w, res.v, s=uq_s[res.w], e=uq_e[res.w],
+                )
+                continue
             # _gran/_worigin stay visible to fn: the calendar accessors
             # read the grid offset from the env
-            env: dict = {}
             for r in rows:
                 ws = wflat[wo[r] : wo[r + 1]]
                 vs = vflat[vo[r] : vo[r + 1]]
@@ -1041,7 +1123,7 @@ def tier_expr(
             if len(res.w) == 0:
                 continue  # empty temporal intersection: no result map
             out.emit(int(rows[0]), env["_gran"], env["_worigin"], res.w, res.v)
-        return out.table(out_col)
+        return out.table(out_col, with_extents=extent_mode)
 
     return u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 

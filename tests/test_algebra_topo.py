@@ -10,7 +10,7 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from grass_ray.stages.algebra import algebra, tier_topo
+from grass_ray.stages.algebra import algebra, algebra_program, tier_topo
 
 
 def _tier(gran, windows, values):
@@ -566,6 +566,57 @@ def test_nested_udi_ragged(ref_maps):
     assert vals(out) == {0: 15.0, 1: 18.0}
     # off-grid union extent [0,3) can never EQUAL a gran-2 granule ->
     # aligned intersection is empty (reference: equal-match finds none)
+    _n, out = algebra("R = B + (B {+,overlaps,u} C)", dict(ref_maps))
+    assert out.count() == 0
+
+
+def test_all_ragged_extent_alignment(ref_maps):
+    """Aligned arithmetic where EVERY operand is ragged (round-4
+    closing corner): matching switches from grid projection to
+    extent-keyed alignment — two coincident OFF-grid extents match
+    (the reference's equal-extent rule for plain {op,equal,l}
+    operators, temporal_algebra.py), non-coincident extents drop, and
+    the result STAYS ragged so it can feed further topology."""
+
+    def rag(out):
+        t = out.to_pandas()
+        got = []
+        for _, r in t.iterrows():
+            got += list(zip(r["wstarts"], r["wends"], r["average"]))
+        return sorted(got)
+
+    # coincident off-grid extents: (B{+,overlaps,u}C) is one ragged
+    # granule [0,3)=12; adding it to itself doubles it in place —
+    # the grid projection would have emptied both sides
+    _n, out = algebra(
+        "R = (B {+,overlaps,u} C) + (B {+,overlaps,u} C)", dict(ref_maps)
+    )
+    t = out.to_pandas()
+    assert "wstarts" in t.columns  # result is itself ragged
+    assert rag(out) == [(0, 3, 24.0)]
+    # non-coincident ragged extents never align: [0,2)/[2,4) (equal-
+    # union of B with itself) vs [0,3) -> empty intersection
+    _n, out = algebra(
+        "R = (B {+,equal,u} B) + (B {+,overlaps,u} C)", dict(ref_maps)
+    )
+    assert out.count() == 0
+    # on-grid coincident extents via the ragged path match themselves
+    _n, out = algebra(
+        "R = (B {+,equal,u} B) * (B {+,equal,u} B)", dict(ref_maps)
+    )
+    assert rag(out) == [(0, 2, 100.0), (2, 4, 144.0)]
+    # the ragged result feeds FURTHER topology: A granules 0,1,2 sit
+    # inside [0,3) (starts/during/finishes) -> 1+24, 2+24, 3+24
+    prog = (
+        "S = (B {+,overlaps,u} C) + (B {+,overlaps,u} C)\n"
+        "R = A {+,during} S"
+    )
+    env, out = algebra_program(prog, dict(ref_maps))
+    t = out.to_pandas()
+    got = dict(zip(t["windows"].tolist()[0], t["average"].tolist()[0]))
+    assert got == {0: 25.0, 1: 26.0, 2: 27.0}
+    # a MIX of ragged and grid operands keeps the exact grid
+    # projection (an off-grid extent can never equal a grid granule)
     _n, out = algebra("R = B + (B {+,overlaps,u} C)", dict(ref_maps))
     assert out.count() == 0
 
