@@ -2821,6 +2821,50 @@ def _q_kmeans(sf_dir: str) -> pa.Table:
     return t.select(["vec_id", "cluster"])
 
 
+def _q_kmeans_assign(sf_dir: str) -> pa.Table:
+    """EXACT twin for the nearest-centroid assignment kernel — the
+    per-batch broadcast-matmul stage every clustering/IVF path shares
+    (`similarity._assign_stage`: kmeans refit, semdedup, embedding
+    near-dup bucketing, ivf_build/search routing).  Centroids are
+    DETERMINISTIC (the 8 lowest-vec_id embeddings, so no iterative
+    fit), scoring is float64 with ties to the lowest centroid id, and
+    the winning cosine is emitted round6 — the ★ann_topk oracle
+    contract.  The iterative `kmeans_clusters` stays rows-only."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from grass_ray.stages.similarity import (
+        _assign_stage, _normalize,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.sort_by("vec_id").slice(0, 8)
+    cent = _normalize(
+        np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in head.column("embedding").to_pylist()
+            ]
+        )
+    )
+    ds = _read(path, columns=["vec_id", "embedding"])
+    out = _assign_stage(
+        ds, cent, "embedding", dtype=np.float64, with_score=True
+    ).select_columns(["vec_id", "centroid", "score"])
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    score = pc.divide(
+        pc.floor(pc.add(pc.multiply(t.column("score"), 1e6), 0.5)), 1e6
+    )
+    return pa.table(
+        {
+            "vec_id": t.column("vec_id"),
+            "centroid": t.column("centroid").cast(pa.int64()),
+            "score": score,
+        }
+    )
+
+
 def _q_freq_tokenize(sf_dir: str) -> pa.Table:
     """Frequency-rank vocabulary tokenization (word2vec-era count
     vocab): token id = corpus frequency rank (count desc, word asc).
@@ -2981,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates_md5": _q_simhash_md5,
         "ann_topk": _q_ann,
         "ivf_topk_full": _q_ivf_full,
+        "kmeans_assign": _q_kmeans_assign,
         "curate_v2": _q_curate_v2,
         "fingerprint_docs": _q_fingerprint,
         "algebra_calendar": _q_algebra_calendar,
@@ -4110,6 +4155,31 @@ def oracle_sql() -> dict[str, str]:
                    {_ROUND6_SQL.format('score')} AS score,
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "kmeans_assign": f"""
+            WITH c AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            s AS (
+                SELECT e.vec_id, c.cid,
+                       list_cosine_similarity(
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                           c.cv
+                       ) AS score
+                FROM embeddings e CROSS JOIN c
+            ),
+            r AS (
+                SELECT vec_id, cid, score,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY score DESC, cid
+                       ) AS rk
+                FROM s
+            )
+            SELECT vec_id, CAST(cid AS BIGINT) AS centroid,
+                   {_ROUND6_SQL.format('score')} AS score
+            FROM r WHERE rk = 1
         """,
         "quality_features": _quality_features_sql(),
         "langid": _langid_sql(),

@@ -171,6 +171,7 @@ def run_bench() -> dict:
         "curate_pipeline_md5",
         "ivf_topk_full",
         "algebra_topo_during",
+        "kmeans_assign",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction

@@ -189,16 +189,30 @@ def _fit_centroids(ds, n_clusters, sample_size, seed, vec_col):
     return kmeans_lite(X, n_clusters, seed=seed)
 
 
-def _assign_stage(ds, cent, vec_col, out_col="centroid"):
+def _assign_stage(
+    ds, cent, vec_col, out_col="centroid", dtype=np.float32,
+    with_score=False,
+):
+    """Nearest-centroid assignment: broadcast the (small) centroid
+    matrix once (``ray.put``), per-batch matmul + argmax — ties take
+    the LOWEST centroid index (numpy first-max; mirrors a SQL
+    ``row_number() ... ORDER BY score DESC, cid`` rank-1 pick).
+    ``with_score`` additionally emits the winning cosine as float64
+    (the ★ann_topk oracle-contract shape)."""
     import ray
 
     cref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
         cent_ = ray.get(cref)
-        m = _normalize(_to_matrix(batch.column(vec_col)))
-        a = np.argmax(m @ cent_.T, axis=1).astype(np.int32)
-        return batch.append_column(out_col, pa.array(a))
+        m = _normalize(_to_matrix(batch.column(vec_col), dtype))
+        scores = m @ cent_.T
+        a = np.argmax(scores, axis=1)
+        out = batch.append_column(out_col, pa.array(a.astype(np.int32)))
+        if with_score:
+            best = scores[np.arange(len(a)), a].astype(np.float64)
+            out = out.append_column("score", pa.array(best))
+        return out
 
     return ds.map_batches(assign, batch_format="pyarrow")
 

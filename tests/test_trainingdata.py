@@ -180,6 +180,43 @@ def test_ann_topk_exact(ray_session):
     assert got0 == want0
 
 
+def test_assign_stage_scores_vs_numpy(ray_session):
+    """_assign_stage with dtype=float64 + with_score (the
+    ★kmeans_assign oracle contract): deterministic first-k centroids,
+    argmax ties to the LOWEST centroid id, winning cosine emitted as
+    float64 — numpy-oracle exact."""
+    import ray.data
+
+    from grass_ray.stages.similarity import _assign_stage, _normalize
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    df = pd.read_parquet(path).sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    cent = _normalize(X[:4].copy())
+    ds = ray.data.read_parquet(path)
+    out = (
+        _assign_stage(ds, cent, "embedding", dtype=np.float64, with_score=True)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    Xn = _normalize(X)
+    scores = Xn @ cent.T
+    want = np.argmax(scores, axis=1)
+    assert out["centroid"].to_numpy().tolist() == want.tolist()
+    np.testing.assert_allclose(
+        out["score"].to_numpy(),
+        scores[np.arange(len(want)), want],
+        rtol=0,
+        atol=1e-12,
+    )
+    # the 4 centroid-source vectors assign to themselves with score ~1
+    assert out["centroid"][:4].tolist() == [0, 1, 2, 3]
+    # default (no score) keeps the original narrow schema
+    slim = _assign_stage(ds, cent, "embedding").to_pandas()
+    assert "score" not in slim.columns
+
+
 def test_ivf_topk_recall(ray_session):
     import ray.data
 
