@@ -2865,6 +2865,47 @@ def _q_kmeans_assign(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_semdedup_det(sf_dir: str) -> pa.Table:
+    """EXACT twin for SemDeDup's within-cluster cosine prune (the
+    chain-free paper rule: order a cluster by similarity-to-centroid
+    ASC with id tiebreak, drop item i iff max_{j<i} cos(i,j) > eps —
+    one masked matmul, no greedy recursion, so DuckDB can replay it as
+    a self-join max).  Deterministic centroids (the 8 lowest-vec_id
+    embeddings — no iterative fit), float64 scoring, eps=0.4 chosen
+    non-vacuous for the synthetic near-orthogonal embeddings (max
+    pairwise cosine ~0.51).  The fitted float32 production config
+    stays rows-only as `semdedup`."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from grass_ray.stages.similarity import semdedup
+
+    path = f"{sf_dir}/embeddings.parquet"
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.sort_by("vec_id").slice(0, 8)
+    cent = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            for v in head.column("embedding").to_pylist()
+        ]
+    )
+    ds = _read(path, columns=["vec_id", "embedding"])
+    _kept, drops = semdedup(
+        ds.materialize(), eps=0.4, centroids=cent, dtype=np.float64
+    )
+    t = pa.Table.from_pandas(drops.to_pandas(), preserve_index=False)
+    mx = pc.divide(
+        pc.floor(pc.add(pc.multiply(t.column("max_cosine"), 1e6), 0.5)), 1e6
+    )
+    return pa.table(
+        {
+            "vec_id": t.column("vec_id"),
+            "cluster": t.column("cluster").cast(pa.int64()),
+            "max_cosine": mx,
+        }
+    )
+
+
 def _q_freq_tokenize(sf_dir: str) -> pa.Table:
     """Frequency-rank vocabulary tokenization (word2vec-era count
     vocab): token id = corpus frequency rank (count desc, word asc).
@@ -3026,6 +3067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann,
         "ivf_topk_full": _q_ivf_full,
         "kmeans_assign": _q_kmeans_assign,
+        "semdedup_det": _q_semdedup_det,
         "curate_v2": _q_curate_v2,
         "fingerprint_docs": _q_fingerprint,
         "algebra_calendar": _q_algebra_calendar,
@@ -4180,6 +4222,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(cid AS BIGINT) AS centroid,
                    {_ROUND6_SQL.format('score')} AS score
             FROM r WHERE rk = 1
+        """,
+        "semdedup_det": f"""
+            WITH c AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            s AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       list_cosine_similarity(
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                           c.cv
+                       ) AS score
+                FROM embeddings e CROSS JOIN c
+            ),
+            a AS (
+                SELECT vec_id, embedding, cid, score,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY score DESC, cid
+                       ) AS rk
+                FROM s
+            ),
+            m AS (SELECT * FROM a WHERE rk = 1),
+            -- max cosine to any EARLIER item in the cluster's
+            -- (centroid-similarity ASC, vec_id ASC) order
+            p AS (
+                SELECT i.vec_id, i.cid,
+                       max(list_cosine_similarity(
+                           list_transform(i.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(j.embedding, x -> CAST(x AS DOUBLE))
+                       )) AS mx
+                FROM m i JOIN m j ON i.cid = j.cid
+                 AND (j.score < i.score
+                      OR (j.score = i.score AND j.vec_id < i.vec_id))
+                GROUP BY i.vec_id, i.cid
+            )
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+                   {_ROUND6_SQL.format('mx')} AS max_cosine
+            FROM p WHERE mx > 0.4
         """,
         "quality_features": _quality_features_sql(),
         "langid": _langid_sql(),

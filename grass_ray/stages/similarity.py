@@ -627,6 +627,8 @@ def semdedup(
     seed: int = 42,
     target_bucket: int = 1024,
     hard_cap: int = 8192,
+    centroids=None,
+    dtype=np.float32,
 ):
     """SemDeDup (Abbas et al. 2023): semantic dedup = k-means over the
     embedding space, then within-cluster cosine pruning.
@@ -648,14 +650,24 @@ def semdedup(
     is a distributed anti-join.  Returns ``(kept_ds, drops_ds)`` where
     drops carries (id, cluster, max_cosine) — never materialized on
     the driver.
+
+    ``centroids`` (optional): pre-supplied centroid matrix — skips the
+    iterative fit, making the whole procedure deterministic in the
+    input alone (with ``dtype=np.float64``, the ★semdedup_det exact
+    DuckDB twin's configuration; the float32 fitted path stays the
+    scale default).
     """
     import ray
 
     from grass_ray.stages.join import anti_join
 
-    cent, _, _ = kmeans_fit(
-        ds, n_clusters=n_clusters, vec_col=vec_col, iters=iters, seed=seed
-    )
+    if centroids is None:
+        cent, _, _ = kmeans_fit(
+            ds, n_clusters=n_clusters, vec_col=vec_col, iters=iters,
+            seed=seed,
+        )
+    else:
+        cent = _normalize(np.asarray(centroids, dtype=dtype))
     n_total = ds.count()
     k = cent.shape[0]
     n_bits = 0
@@ -664,11 +676,11 @@ def semdedup(
     dim = cent.shape[1]
     rng = np.random.default_rng(seed + 1)
     R = rng.standard_normal((n_bits, dim)).astype(np.float32) if n_bits else None
-    cref = ray.put((cent.astype(np.float32), R))
+    cref = ray.put((cent.astype(dtype), R))
 
     def assign(batch: pa.Table) -> pa.Table:
         cent_, R_ = ray.get(cref)
-        m = _normalize(_to_matrix(batch.column(vec_col)))
+        m = _normalize(_to_matrix(batch.column(vec_col), dtype))
         sims = m @ cent_.T
         a = np.argmax(sims, axis=1).astype(np.int64)
         csim = sims[np.arange(len(a)), a] if len(a) else np.empty(0)
@@ -687,7 +699,7 @@ def semdedup(
     def prune(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col).to_pylist())
         csim = batch.column("_csim").to_numpy(zero_copy_only=False)
-        m = _normalize(_to_matrix(batch.column(vec_col)))
+        m = _normalize(_to_matrix(batch.column(vec_col), dtype))
         if len(ids) > hard_cap:
             print(
                 f"semdedup: bucket of {len(ids)} vectors capped to "

@@ -516,6 +516,53 @@ def test_semdedup_exact_groups(ray_session):
     assert kept2.count() == 35
 
 
+def test_semdedup_deterministic_centroids(ray_session):
+    """centroids= skips the iterative fit (the ★semdedup_det exact-
+    oracle configuration): assignment + prune replayed against a
+    numpy oracle in float64."""
+    import ray.data
+
+    from grass_ray.stages.similarity import _normalize, semdedup
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(60, 16)).astype(np.float64)
+    cent = X[:4].copy()
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in X], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    eps = 0.3
+    _kept, drops = semdedup(ds, eps=eps, centroids=cent, dtype=np.float64)
+    ddf = drops.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    # numpy oracle: assign to nearest normalized centroid, per cluster
+    # order by (csim asc, id asc), drop i iff max_{j<i} cos(i,j) > eps
+    Xn = _normalize(X.copy())
+    cn = _normalize(cent.copy())
+    sims = Xn @ cn.T
+    a = np.argmax(sims, axis=1)
+    csim = sims[np.arange(len(a)), a]
+    want = {}
+    for c in range(4):
+        ids = np.flatnonzero(a == c)
+        order = ids[np.lexsort((ids, csim[ids]))]
+        sub = Xn[order] @ Xn[order].T
+        tri = np.tril(sub, k=-1)
+        mx = tri.max(axis=1) if len(order) else np.empty(0)
+        for pos in np.flatnonzero(mx > eps):
+            want[int(order[pos])] = (c, mx[pos])
+    assert ddf["vec_id"].tolist() == sorted(want)
+    for _, r in ddf.iterrows():
+        c, mxv = want[int(r["vec_id"])]
+        assert int(r["cluster"]) == c
+        assert r["max_cosine"] == pytest.approx(mxv, abs=1e-12)
+    assert len(want) > 0  # non-vacuous at this eps
+
+
 def test_ann_merge_tree_many_blocks(ray_session):
     """The coalesce-combine top-k merge must stay exact when the
     candidate stream spans more blocks than the fan-in (multi-level
