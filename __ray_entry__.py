@@ -2906,6 +2906,46 @@ def _q_semdedup_det(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_embedding_dedup_det(sf_dir: str) -> pa.Table:
+    """EXACT twin for embedding-cosine near-dup's pair detection:
+    within each centroid bucket, every unordered id pair with cosine ≥
+    threshold (1-hop, no transitive closure — the operator drops the
+    max id of each pair downstream).  Deterministic centroids (8
+    lowest-vec_id embeddings, no sampled fit), float64, threshold 0.4
+    (non-vacuous on the synthetic embeddings), round6 cosine.  The
+    fitted float32 production config stays rows-only as
+    `embedding_dedup`."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from grass_ray.stages.similarity import embedding_dedup
+
+    path = f"{sf_dir}/embeddings.parquet"
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.sort_by("vec_id").slice(0, 8)
+    cent = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            for v in head.column("embedding").to_pylist()
+        ]
+    )
+    ds = _read(path, columns=["vec_id", "embedding"])
+    _kept, pairs = embedding_dedup(
+        ds.materialize(), threshold=0.4, centroids=cent, dtype=np.float64
+    )
+    t = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+    cos = pc.divide(
+        pc.floor(pc.add(pc.multiply(t.column("cosine"), 1e6), 0.5)), 1e6
+    )
+    return pa.table(
+        {
+            "id_a": t.column("id_a").cast(pa.int64()),
+            "id_b": t.column("id_b").cast(pa.int64()),
+            "cosine": cos,
+        }
+    )
+
+
 def _q_freq_tokenize(sf_dir: str) -> pa.Table:
     """Frequency-rank vocabulary tokenization (word2vec-era count
     vocab): token id = corpus frequency rank (count desc, word asc).
@@ -3068,6 +3108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_full": _q_ivf_full,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_det": _q_semdedup_det,
+        "embedding_dedup_det": _q_embedding_dedup_det,
         "curate_v2": _q_curate_v2,
         "fingerprint_docs": _q_fingerprint,
         "algebra_calendar": _q_algebra_calendar,
@@ -4261,6 +4302,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
                    {_ROUND6_SQL.format('mx')} AS max_cosine
             FROM p WHERE mx > 0.4
+        """,
+        "embedding_dedup_det": f"""
+            WITH c AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            s AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       list_cosine_similarity(
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                           c.cv
+                       ) AS score
+                FROM embeddings e CROSS JOIN c
+            ),
+            a AS (
+                SELECT vec_id, embedding, cid, score,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY score DESC, cid
+                       ) AS rk
+                FROM s
+            ),
+            m AS (SELECT * FROM a WHERE rk = 1)
+            SELECT i.vec_id AS id_a, j.vec_id AS id_b,
+                   {_ROUND6_SQL.format(
+                       "list_cosine_similarity("
+                       "list_transform(i.embedding, x -> CAST(x AS DOUBLE)), "
+                       "list_transform(j.embedding, x -> CAST(x AS DOUBLE)))"
+                   )} AS cosine
+            FROM m i JOIN m j
+              ON i.cid = j.cid AND i.vec_id < j.vec_id
+            WHERE list_cosine_similarity(
+                      list_transform(i.embedding, x -> CAST(x AS DOUBLE)),
+                      list_transform(j.embedding, x -> CAST(x AS DOUBLE))
+                  ) >= 0.4
         """,
         "quality_features": _quality_features_sql(),
         "langid": _langid_sql(),

@@ -173,6 +173,7 @@ def run_bench() -> dict:
         "algebra_topo_during",
         "kmeans_assign",
         "semdedup_det",
+        "embedding_dedup_det",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction

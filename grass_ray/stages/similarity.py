@@ -384,6 +384,8 @@ def embedding_dedup(
     seed=42,
     target_bucket: int = 1024,
     hard_cap: int = 8192,
+    centroids=None,
+    dtype=np.float32,
 ):
     """Embedding-cosine near-dup with bounded buckets.
 
@@ -396,13 +398,22 @@ def embedding_dedup(
     w.h.p., so recall loss is small and bounded per bit.  A residual
     bucket above ``hard_cap`` (adversarial skew) is truncated with a
     log — never a silent cap.  The keep step is a distributed
-    anti-join, not a broadcast Python set."""
+    anti-join, not a broadcast Python set.
+
+    ``centroids`` (optional): pre-supplied centroid matrix — skips the
+    sampled k-means fit so the bucketing is deterministic in the input
+    alone (with ``dtype=np.float64``, the ★embedding_dedup_det exact
+    DuckDB twin's configuration)."""
     import ray
 
     from grass_ray.stages.join import anti_join, distinct_keys
 
     n_total = ds.count()
-    cent = _fit_centroids(ds, n_clusters, 2048, seed, vec_col)
+    if centroids is None:
+        cent = _fit_centroids(ds, n_clusters, 2048, seed, vec_col)
+    else:
+        cent = _normalize(np.asarray(centroids, dtype=dtype))
+        n_clusters = cent.shape[0]
     n_bits = 0
     if n_total and n_total > n_clusters * target_bucket:
         n_bits = int(
@@ -415,7 +426,7 @@ def embedding_dedup(
 
     def assign(batch: pa.Table) -> pa.Table:
         cent_, R_ = ray.get(cref)
-        m = _normalize(_to_matrix(batch.column(vec_col)))
+        m = _normalize(_to_matrix(batch.column(vec_col), dtype))
         a = np.argmax(m @ cent_.T, axis=1).astype(np.int64)
         if R_ is not None and len(m):
             signs = (m @ R_.T) > 0  # (n, bits)
@@ -430,7 +441,7 @@ def embedding_dedup(
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col).to_pylist())
-        m = _normalize(_to_matrix(batch.column(vec_col)))
+        m = _normalize(_to_matrix(batch.column(vec_col), dtype))
         if len(ids) > hard_cap:
             print(
                 f"embedding_dedup: bucket of {len(ids)} vectors capped to "

@@ -563,6 +563,53 @@ def test_semdedup_deterministic_centroids(ray_session):
     assert len(want) > 0  # non-vacuous at this eps
 
 
+def test_embedding_dedup_deterministic_centroids(ray_session):
+    """centroids= skips the sampled fit (the ★embedding_dedup_det
+    exact-oracle configuration): bucketing + pair detection replayed
+    against a numpy oracle in float64 (1-hop pairs, max-id drops)."""
+    import ray.data
+
+    from grass_ray.stages.similarity import _normalize, embedding_dedup
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(60, 16)).astype(np.float64)
+    cent = X[:4].copy()
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in X], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    thr = 0.3
+    kept, pairs = embedding_dedup(
+        ds, threshold=thr, centroids=cent, dtype=np.float64
+    )
+    pdf = pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    Xn = _normalize(X.copy())
+    a = np.argmax(Xn @ _normalize(cent.copy()).T, axis=1)
+    want = []
+    for c in range(4):
+        ids = np.flatnonzero(a == c)
+        sub = Xn[ids] @ Xn[ids].T
+        iu = np.triu_indices(len(ids), k=1)
+        for x, y in zip(*iu):
+            if sub[x, y] >= thr:
+                want.append((int(ids[x]), int(ids[y]), sub[x, y]))
+    want.sort()
+    assert len(want) > 0  # non-vacuous at this threshold
+    assert list(zip(pdf["id_a"], pdf["id_b"])) == [(x, y) for x, y, _ in want]
+    np.testing.assert_allclose(
+        pdf["cosine"].to_numpy(), [c for _, _, c in want], rtol=0, atol=1e-12
+    )
+    # drops = distinct max ids of the pairs
+    assert set(range(60)) - set(kept.to_pandas()["vec_id"]) == {
+        y for _, y, _ in want
+    }
+
+
 def test_ann_merge_tree_many_blocks(ray_session):
     """The coalesce-combine top-k merge must stay exact when the
     candidate stream spans more blocks than the fan-in (multi-level
