@@ -2958,43 +2958,176 @@ def _q_freq_tokenize(sf_dir: str) -> pa.Table:
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = tokenize_by_rank(ds)
+    res = out.map_batches(_token_stats_batch, batch_format="pyarrow")
+    return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
 
-    def stats(batch: pa.Table) -> pa.Table:
-        toks = batch.column("tokens")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        nw = batch.column("n_tok").to_numpy(zero_copy_only=False)
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        n = batch.num_rows
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(nw[:-1], out=starts[1:])
-        has = nw > 0
-        sum_id = np.zeros(n, dtype=np.int64)
-        min_id = np.zeros(n, dtype=np.int64)
-        max_id = np.zeros(n, dtype=np.int64)
-        first_id = np.zeros(n, dtype=np.int64)
-        last_id = np.zeros(n, dtype=np.int64)
-        if flat.size:
-            nz = np.flatnonzero(has)
-            sum_id[nz] = np.add.reduceat(flat, starts[nz])
-            min_id[nz] = np.minimum.reduceat(flat, starts[nz])
-            max_id[nz] = np.maximum.reduceat(flat, starts[nz])
-            first_id[nz] = flat[starts[nz]]
-            last_id[nz] = flat[starts[nz] + nw[nz] - 1]
-        mask = ~has
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_tok": pa.array(nw.astype(np.int64)),
-                "sum_id": pa.array(sum_id),
-                "min_id": pa.array(min_id, mask=mask),
-                "max_id": pa.array(max_id, mask=mask),
-                "first_id": pa.array(first_id, mask=mask),
-                "last_id": pa.array(last_id, mask=mask),
-            }
+
+def _token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(tokens list<int64>, n_tok) -> order-independent / order-pinned
+    scalar stats per doc (sum / min / max, first / last by position) —
+    the hashable reduction shared by ★freq_tokenize and
+    ★bpe_encode_fixed (list columns never cross the driver hash)."""
+    toks = batch.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    nw = batch.column("n_tok").to_numpy(zero_copy_only=False)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nw[:-1], out=starts[1:])
+    has = nw > 0
+    sum_id = np.zeros(n, dtype=np.int64)
+    min_id = np.zeros(n, dtype=np.int64)
+    max_id = np.zeros(n, dtype=np.int64)
+    first_id = np.zeros(n, dtype=np.int64)
+    last_id = np.zeros(n, dtype=np.int64)
+    if flat.size:
+        nz = np.flatnonzero(has)
+        sum_id[nz] = np.add.reduceat(flat, starts[nz])
+        min_id[nz] = np.minimum.reduceat(flat, starts[nz])
+        max_id[nz] = np.maximum.reduceat(flat, starts[nz])
+        first_id[nz] = flat[starts[nz]]
+        last_id[nz] = flat[starts[nz] + nw[nz] - 1]
+    mask = ~has
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tok": pa.array(nw.astype(np.int64)),
+            "sum_id": pa.array(sum_id),
+            "min_id": pa.array(min_id, mask=mask),
+            "max_id": pa.array(max_id, mask=mask),
+            "first_id": pa.array(first_id, mask=mask),
+            "last_id": pa.array(last_id, mask=mask),
+        }
+    )
+
+
+#: fixed merge table for the ★bpe_encode_fixed exact twin: realistic
+#: English-ish pairs INCLUDING multi-level chains (t+h → th+e → the+␣)
+#: and end-of-word merges, so the greedy lowest-rank loop is exercised
+#: beyond single steps.  Both the engine query and the DuckDB oracle
+#: are generated from THIS list (and the derived bpe_vocab), so the two
+#: sides cannot drift.  Training stays rows-only (iterative merges);
+#: this pins the ENCODE kernel — the per-record hot path — bit-for-bit.
+_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", " "), ("e", " "), ("s", " "),
+    ("d", " "), ("t", " "), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("o", "n"), ("r", "e"), ("o", "r"), ("in", "g"), ("ing", " "),
+    ("e", "d"), ("ed", " "), ("o", "u"), ("l", "l"), ("s", "t"),
+    ("a", "r"), ("o", "f"), ("of", " "), ("an", "d"), ("and", " "),
+    ("er", " "), ("a", " "), ("y", " "),
+]
+_BPE_FIXED_ALPHABET = sorted(" '0123456789_abcdefghijklmnopqrstuvwxyz")
+
+
+def _bpe_fixed_sql() -> str:
+    """DuckDB replay of the greedy lowest-rank BPE encode with the
+    fixed merge table: per DISTINCT word, a recursive CTE applies one
+    merge per step — the applicable pair with the lexicographically
+    least [rank, position] (list_min), exactly the engine's
+    leftmost-lowest-rank rule — until no pair applies; ids come from
+    the shared bpe_vocab map and reduce to the ★freq_tokenize stats
+    shape."""
+    from grass_ray.stages.bpe import bpe_vocab
+
+    vocab = bpe_vocab(_BPE_FIXED_MERGES, _BPE_FIXED_ALPHABET)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    mk = "[" + ",".join(q(a + "\x01" + b) for a, b in _BPE_FIXED_MERGES) + "]"
+    mr = "[" + ",".join(str(i) for i in range(len(_BPE_FIXED_MERGES))) + "]"
+    vk = "[" + ",".join(q(k) for k in vocab) + "]"
+    vi = "[" + ",".join(str(i) for i in vocab.values()) + "]"
+    return f"""
+        WITH RECURSIVE
+        rk AS (SELECT map({mk}, {mr}) AS m),
+        vc AS (SELECT map({vk}, {vi}) AS m),
+        w AS (
+            SELECT doc_id, unnest(ws) AS word,
+                   generate_subscripts(ws, 1) - 1 AS wi
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9_'']+') AS ws
+                  FROM documents)
+        ),
+        uw AS (SELECT DISTINCT word FROM w),
+        enc AS (
+            SELECT word,
+                   list_append(regexp_extract_all(word, '.'), ' ') AS syms
+            FROM uw
+            UNION ALL
+            SELECT word,
+                   list_concat(
+                       list_concat(
+                           list_slice(syms, 1, best[2] - 1),
+                           [syms[best[2]] || syms[best[2] + 1]]),
+                       list_slice(syms, best[2] + 2, len(syms))
+                   ) AS syms
+            FROM (
+                SELECT e.word, e.syms,
+                       list_min(list_filter(
+                           list_transform(range(1, len(e.syms)),
+                               i -> [map_extract(rk.m,
+                                         e.syms[i] || chr(1) || e.syms[i+1]
+                                     )[1], i]),
+                           x -> x[1] IS NOT NULL)) AS best
+                FROM enc e, rk
+            ) WHERE best IS NOT NULL
+        ),
+        fin AS (
+            SELECT e.word, e.syms
+            FROM enc e, rk
+            WHERE len(list_filter(
+                      list_transform(range(1, len(e.syms)),
+                          i -> map_extract(rk.m,
+                                   e.syms[i] || chr(1) || e.syms[i+1])[1]),
+                      x -> x IS NOT NULL)) = 0
+        ),
+        wtok AS (
+            SELECT word, generate_subscripts(syms, 1) AS si,
+                   unnest(syms) AS sym
+            FROM fin
+        ),
+        wids AS (
+            SELECT wt.word, wt.si,
+                   COALESCE(map_extract(vc.m, wt.sym)[1], -1) AS tid
+            FROM wtok wt, vc
+        ),
+        t AS (
+            SELECT w.doc_id, w.wi, wd.si, wd.tid
+            FROM w JOIN wids wd USING (word)
+        ),
+        s AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(tid) AS BIGINT) AS sum_id,
+                   CAST(min(tid) AS BIGINT) AS min_id,
+                   CAST(max(tid) AS BIGINT) AS max_id,
+                   CAST(min_by(tid, CAST(wi AS BIGINT) * 1000000 + si)
+                        AS BIGINT) AS first_id,
+                   CAST(max_by(tid, CAST(wi AS BIGINT) * 1000000 + si)
+                        AS BIGINT) AS last_id
+            FROM t GROUP BY 1
         )
+        SELECT d.doc_id, COALESCE(s.n_tok, 0) AS n_tok,
+               COALESCE(s.sum_id, 0) AS sum_id,
+               s.min_id, s.max_id, s.first_id, s.last_id
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """
 
-    res = out.map_batches(stats, batch_format="pyarrow")
+
+def _q_bpe_fixed(sf_dir: str) -> pa.Table:
+    """EXACT twin for the BPE ENCODE kernel (the per-record hot path:
+    memoized greedy lowest-rank merge loop, map-side, broadcast
+    tables): a fixed literal merge table (with multi-level chains and
+    end-of-word merges) replaces the iteratively-trained one, so
+    DuckDB can replay the encode per distinct word with a recursive
+    CTE.  Token lists reduce to the ★freq_tokenize stats shape.
+    Training (`bpe_train`) stays rows-only as `bpe_tokenize`."""
+    from grass_ray.stages.bpe import bpe_encode
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = bpe_encode(ds, _BPE_FIXED_MERGES, _BPE_FIXED_ALPHABET)
+    res = out.map_batches(_token_stats_batch, batch_format="pyarrow")
     return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
 
 
@@ -3109,6 +3242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_det": _q_semdedup_det,
         "embedding_dedup_det": _q_embedding_dedup_det,
+        "bpe_encode_fixed": _q_bpe_fixed,
         "curate_v2": _q_curate_v2,
         "fingerprint_docs": _q_fingerprint,
         "algebra_calendar": _q_algebra_calendar,
@@ -4732,6 +4866,7 @@ def oracle_sql() -> dict[str, str]:
                s.min_id, s.max_id, s.first_id, s.last_id
         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
     """
+    d["bpe_encode_fixed"] = _bpe_fixed_sql()
     # t.create + t.register + t.rast.list end-to-end: the listed series
     # catalog (per-series window extent + point count after the build)
     # must equal the rollup derivation straight from the corpus

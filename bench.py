@@ -174,6 +174,7 @@ def run_bench() -> dict:
         "kmeans_assign",
         "semdedup_det",
         "embedding_dedup_det",
+        "bpe_encode_fixed",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction

@@ -168,3 +168,29 @@ def test_bpe_train_property_matches_bruteforce(ray_session):
         assert merges == want
 
     check()
+
+
+def test_bpe_fixed_merge_chain_goldens(ray_session):
+    """The ★bpe_encode_fixed merge table applies multi-level chains
+    (t+h → th+e → the+␣) via the greedy lowest-rank loop — goldens
+    pin the encode against hand-derived merge sequences."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __ray_entry__ import _BPE_FIXED_ALPHABET, _BPE_FIXED_MERGES
+    from grass_ray.stages.bpe import _encode_word, bpe_vocab
+
+    ranks = {p: i for i, p in enumerate(_BPE_FIXED_MERGES)}
+    vocab = bpe_vocab(_BPE_FIXED_MERGES, _BPE_FIXED_ALPHABET)
+    # 'the' chains t+h -> th+e -> the+EOW into ONE token
+    assert _encode_word("the", ranks) == ("the ",)
+    # 'other': o+u no, t+h wins first (rank 0) -> o,th,e,r,EOW; then
+    # th+e (rank 1) -> o,the,r,EOW; e+' ' gone (consumed), e+r gone;
+    # no pair of (o,the) (the,r) (r,EOW) in table -> 3 symbols + r EOW
+    assert _encode_word("other", ranks) == ("o", "the", "r", " ")
+    # standalone suffix merges: 'ring' -> r,in,g,EOW? i+n rank 7 wins
+    # over in+g? in+g rank 13 needs 'in' first; then ing+EOW rank 14
+    assert _encode_word("ring", ranks) == ("r", "ing ")
+    # every golden symbol is in the shared vocab (no OOV possible)
+    for w in ("the", "other", "ring", "sand", "order"):
+        assert all(s in vocab for s in _encode_word(w, ranks))
