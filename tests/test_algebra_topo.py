@@ -621,6 +621,69 @@ def test_all_ragged_extent_alignment(ref_maps):
     assert out.count() == 0
 
 
+def test_all_ragged_extent_alignment_multikey_random(ray_session):
+    """Extent-keyed alignment across MANY keys and buckets: two
+    randomly-generated ragged tiers (random off-grid extents, partial
+    overlap in the coincident set) summed via tier_expr, checked
+    against a per-key numpy reference that matches extents by
+    equality."""
+    from grass_ray.stages.algebra import tier_expr
+
+    rng = np.random.default_rng(21)
+    keys = [("s%d" % (i % 3), "d%d" % i) for i in range(12)]
+
+    def mk_ragged(seed_off):
+        rows = {"source": [], "doc_id": [], "gran": [], "windows": [],
+                "wstarts": [], "wends": [], "average": []}
+        truth = {}
+        for src, doc in keys:
+            n = int(rng.integers(1, 7))
+            starts = np.sort(
+                rng.choice(np.arange(0, 500, 7) + seed_off, n, replace=False)
+            ).astype(np.int64)
+            ends = starts + rng.integers(1, 9, n)
+            vals = rng.integers(-5, 20, n).astype(float)
+            rows["source"].append(src)
+            rows["doc_id"].append(doc)
+            rows["gran"].append(3)
+            rows["windows"].append(list(range(n)))
+            rows["wstarts"].append(starts.tolist())
+            rows["wends"].append(ends.tolist())
+            rows["average"].append(vals.tolist())
+            truth[(src, doc)] = {
+                (int(s), int(e)): v for s, e, v in zip(starts, ends, vals)
+            }
+        t = pa.table(
+            {
+                "source": pa.array(rows["source"]),
+                "doc_id": pa.array(rows["doc_id"]),
+                "gran": pa.array(rows["gran"], type=pa.int64()),
+                "windows": pa.array(rows["windows"], type=pa.list_(pa.int64())),
+                "wstarts": pa.array(rows["wstarts"], type=pa.list_(pa.int64())),
+                "wends": pa.array(rows["wends"], type=pa.list_(pa.int64())),
+                "average": pa.array(rows["average"], type=pa.list_(pa.float64())),
+            }
+        )
+        return ray.data.from_arrow(t).repartition(4).materialize(), truth
+
+    # seed_off=0 for both -> the extent grids intersect; a nonzero
+    # value count difference guarantees partial (not total) overlap
+    a, ta = mk_ragged(0)
+    b, tb = mk_ragged(0)
+    out = tier_expr("A + B", {"A": a, "B": b}, buckets=8)
+    got = {}
+    for _, r in out.to_pandas().iterrows():
+        for s, e, v in zip(r["wstarts"], r["wends"], r["average"]):
+            got[(r["source"], r["doc_id"], int(s), int(e))] = v
+    want = {}
+    for k in keys:
+        for ext, v in ta[k].items():
+            if ext in tb.get(k, {}):
+                want[(k[0], k[1], ext[0], ext[1])] = v + tb[k][ext]
+    assert len(want) > 0  # the random draw must produce coincidences
+    assert got == want
+
+
 def test_match_aggregator_with_side(ref_maps):
     """{&&,rel,|,r} — match aggregator + extent side modifier
     (round-4): the matched rights pre-fold with the aggregator
