@@ -17,7 +17,18 @@ Float-compare contract (value hashes must match bit-for-bit):
 * event values are exact 2-decimal floats → aggregated as integer
   cents and divided back identically on both sides;
 * only quantile interpolation and order-identical cumulative sums use
-  the shared rounding formula ``floor(x*1e6 + 0.5)/1e6`` (both sides).
+  the shared rounding formula ``floor(x*1e6 + 0.5)/1e6`` (both sides);
+* the cosine-similarity family (★ann_topk / ★ivf_topk_full /
+  ★kmeans_assign / ★semdedup_det / ★embedding_dedup_det) is the ONE
+  sanctioned exception to the no-order-dependent-float rule: both
+  sides compute float64 cosines whose summation orders differ by
+  ~1e-15, the EMITTED score column is round6 on both sides, and every
+  UNROUNDED decision (argmax winner, rank membership, threshold
+  filters, prune order) is guarded by a runtime margin assertion in
+  the query (`_assert_margin`) — the synthetic embeddings keep
+  decision margins ≥1e-9, nine orders above the noise floor, and a
+  future testdata change that erodes them fails LOUDLY instead of
+  hash-flipping.
 """
 
 from __future__ import annotations
@@ -1896,6 +1907,14 @@ def _q_ann(sf_dir: str) -> pa.Table:
     q = np.stack(
         [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()]
     )
+    if pq.read_metadata(path).num_rows <= _MARGIN_GUARD_MAX_ROWS:
+        _ids, Xn = _load_embeddings_f64(path)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        for qi in range(qn.shape[0]):
+            gaps = np.diff(np.sort(Xn @ qn[qi]))
+            # rank ORDER and top-k membership decide on unrounded
+            # scores; exact-zero gaps tie-break by vec_id identically
+            _assert_margin(gaps[gaps > 0], "ann_topk rank order")
     ds = _read(path)
     out = ann_topk(ds, q, k=10, dtype=np.float64)
     score = pc.divide(
@@ -1938,6 +1957,12 @@ def _q_ivf_full(sf_dir: str) -> pa.Table:
     q = np.stack(
         [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()]
     )
+    if pq.read_metadata(path).num_rows <= _MARGIN_GUARD_MAX_ROWS:
+        _ids, Xn = _load_embeddings_f64(path)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        for qi in range(qn.shape[0]):
+            gaps = np.diff(np.sort(Xn @ qn[qi]))
+            _assert_margin(gaps[gaps > 0], "ivf_topk_full rank order")
     ds = _read(path)
     out = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=16, dtype=np.float64)
     score = pc.divide(
@@ -2821,6 +2846,42 @@ def _q_kmeans(sf_dir: str) -> pa.Table:
     return t.select(["vec_id", "cluster"])
 
 
+def _assert_margin(arr, what: str, min_gap: float = 1e-9) -> None:
+    """Runtime guard for the cosine-twin contract (module docstring):
+    every UNROUNDED decision the twins make (argmax winner, prune
+    order, threshold filters, rank boundaries) must sit ≥ ``min_gap``
+    from its flip point — nine orders of magnitude above the ~1e-15
+    summation-order noise between numpy and DuckDB float64 cosines.
+    Fails LOUDLY if the testdata ever erodes the margins instead of
+    letting a hash flip look like an engine bug."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.size and float(arr.min()) < min_gap:
+        raise AssertionError(
+            f"cosine-twin margin guard: {what} margin {float(arr.min()):.3e}"
+            f" < {min_gap:.0e} — the synthetic embeddings no longer keep"
+            " unrounded decisions away from the float noise floor;"
+            " re-derive thresholds before trusting the exact oracles"
+        )
+
+
+#: skip the margin guards above this row count — they are driver-scale
+#: verification artifacts (the guard matmuls are O(n·k) / O(bucket²))
+_MARGIN_GUARD_MAX_ROWS = 200_000
+
+
+def _load_embeddings_f64(path: str):
+    """(vec_ids, L2-normalized float64 matrix) for the margin guards."""
+    import pyarrow.parquet as pq
+
+    from grass_ray.stages.similarity import _normalize
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    return t.column("vec_id").to_numpy(zero_copy_only=False), _normalize(X)
+
+
 def _q_kmeans_assign(sf_dir: str) -> pa.Table:
     """EXACT twin for the nearest-centroid assignment kernel — the
     per-batch broadcast-matmul stage every clustering/IVF path shares
@@ -2848,6 +2909,10 @@ def _q_kmeans_assign(sf_dir: str) -> pa.Table:
             ]
         )
     )
+    if pq.read_metadata(path).num_rows <= _MARGIN_GUARD_MAX_ROWS:
+        _ids, Xn = _load_embeddings_f64(path)
+        S = np.sort(Xn @ cent.T, axis=1)
+        _assert_margin(S[:, -1] - S[:, -2], "kmeans_assign argmax")
     ds = _read(path, columns=["vec_id", "embedding"])
     out = _assign_stage(
         ds, cent, "embedding", dtype=np.float64, with_score=True
@@ -2889,9 +2954,35 @@ def _q_semdedup_det(sf_dir: str) -> pa.Table:
             for v in head.column("embedding").to_pylist()
         ]
     )
+    if pq.read_metadata(path).num_rows <= _MARGIN_GUARD_MAX_ROWS:
+        from grass_ray.stages.similarity import _normalize as _nrm
+
+        ids, Xn = _load_embeddings_f64(path)
+        cn = _nrm(cent.copy())
+        S = Xn @ cn.T
+        Ss = np.sort(S, axis=1)
+        _assert_margin(Ss[:, -1] - Ss[:, -2], "semdedup_det argmax")
+        a = np.argmax(S, axis=1)
+        csim = S[np.arange(len(a)), a]
+        for c in range(cn.shape[0]):
+            sub = np.flatnonzero(a == c)
+            if len(sub) < 2:
+                continue
+            # prune ORDER is (csim asc, id asc): adjacent csims must
+            # be well separated (equal csims tie-break identically)
+            gaps = np.diff(np.sort(csim[sub]))
+            _assert_margin(gaps[gaps > 0], "semdedup_det prune order")
+            order = sub[np.lexsort((ids[sub], csim[sub]))]
+            mo = Xn[order]
+            mx = np.tril(mo @ mo.T, k=-1).max(axis=1)[1:]
+            _assert_margin(np.abs(mx - 0.4), "semdedup_det eps threshold")
     ds = _read(path, columns=["vec_id", "embedding"])
+    # target_bucket/hard_cap pinned huge: the exact twin REQUIRES the
+    # no-projection-bit, uncapped regime (the oracle groups by centroid
+    # only) — the production defaults re-bucket above 8 k rows
     _kept, drops = semdedup(
-        ds.materialize(), eps=0.4, centroids=cent, dtype=np.float64
+        ds.materialize(), eps=0.4, centroids=cent, dtype=np.float64,
+        target_bucket=1 << 40, hard_cap=1 << 40,
     )
     t = pa.Table.from_pandas(drops.to_pandas(), preserve_index=False)
     mx = pc.divide(
@@ -2929,9 +3020,31 @@ def _q_embedding_dedup_det(sf_dir: str) -> pa.Table:
             for v in head.column("embedding").to_pylist()
         ]
     )
+    if pq.read_metadata(path).num_rows <= _MARGIN_GUARD_MAX_ROWS:
+        from grass_ray.stages.similarity import _normalize as _nrm
+
+        _ids, Xn = _load_embeddings_f64(path)
+        cn = _nrm(cent.copy())
+        S = Xn @ cn.T
+        Ss = np.sort(S, axis=1)
+        _assert_margin(Ss[:, -1] - Ss[:, -2], "embedding_dedup_det argmax")
+        a = np.argmax(S, axis=1)
+        for c in range(cn.shape[0]):
+            sub = np.flatnonzero(a == c)
+            if len(sub) < 2:
+                continue
+            P = Xn[sub] @ Xn[sub].T
+            cos = P[np.triu_indices(len(sub), 1)]
+            _assert_margin(
+                np.abs(cos - 0.4), "embedding_dedup_det threshold"
+            )
     ds = _read(path, columns=["vec_id", "embedding"])
+    # target_bucket/hard_cap pinned huge: the exact twin REQUIRES the
+    # no-projection-bit, uncapped regime (the oracle joins on centroid
+    # only) — the production defaults re-bucket above 8 k rows
     _kept, pairs = embedding_dedup(
-        ds.materialize(), threshold=0.4, centroids=cent, dtype=np.float64
+        ds.materialize(), threshold=0.4, centroids=cent, dtype=np.float64,
+        target_bucket=1 << 40, hard_cap=1 << 40,
     )
     t = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
     cos = pc.divide(

@@ -861,9 +861,11 @@ class _NestedOut:
 def _schema_ragged(ds) -> bool:
     """No-execution schema probe for a RAGGED tier (explicit
     ``wstarts``/``wends`` extents).  A LAZY operand with unknown schema
-    is treated as a grid tier — ragged tiers only come out of
-    tier_topo's ragged mode, whose callers always materialize them (so
-    their schema is known without running anything)."""
+    is treated as a grid tier — sound because every engine PRODUCER of
+    a ragged dataset materializes it before returning (tier_topo's
+    ragged_out, tier_expr's extent mode, _rewrite_topo's synthetic
+    tiers), so an engine-produced ragged tier always has a known
+    schema; parquet reads carry schema in file metadata."""
     try:
         sch = ds.schema(fetch_if_missing=False)
     except TypeError:  # older Ray without the kwarg
@@ -1125,7 +1127,15 @@ def tier_expr(
             out.emit(int(rows[0]), env["_gran"], env["_worigin"], res.w, res.v)
         return out.table(out_col, with_extents=extent_mode)
 
-    return u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    res = u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    if extent_mode:
+        # RAGGED output must carry a known schema: the engine's
+        # raggedness probes (_schema_ragged) deliberately never execute
+        # a lazy pipeline, so a lazy ragged dataset would be silently
+        # consumed as a grid tier downstream (extents dropped).  Every
+        # ragged producer materializes.
+        res = res.materialize()
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -2022,19 +2032,8 @@ def tier_topo(
         side = "l"
     flat = side in ("u", "d", "i") and emit_mode == "flat"
 
-    def _is_ragged(ds) -> bool:
-        # no-execution schema probe: a LAZY operand with unknown schema
-        # is treated as a grid tier — ragged tiers only come out of
-        # tier_topo's ragged mode, whose callers always materialize
-        # them (so their schema is known without running anything)
-        try:
-            sch = ds.schema(fetch_if_missing=False)
-        except TypeError:  # older Ray without the kwarg
-            sch = ds.schema()
-        return sch is not None and "wstarts" in sch.names
-
-    a_ragged = _is_ragged(ds_a)
-    b_ragged = _is_ragged(ds_b)
+    a_ragged = _schema_ragged(ds_a)
+    b_ragged = _schema_ragged(ds_b)
     ragged_out = (
         (side == "l" and a_ragged)
         or (side == "r" and b_ragged)
@@ -2215,7 +2214,12 @@ def tier_topo(
             return pa.table(cols)
         return out.table(res_col, value_int=hash_mode, with_extents=ragged_out)
 
-    return u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    res = u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    if ragged_out:
+        # ragged producers materialize (see _schema_ragged): a lazy
+        # ragged dataset would be consumed as a grid tier downstream
+        res = res.materialize()
+    return res
 
 
 def tier_hash(ds_a, ds_b, *, key_cols=_DEFAULT_KEYS, buckets: int = 64):

@@ -621,6 +621,48 @@ def test_all_ragged_extent_alignment(ref_maps):
     assert out.count() == 0
 
 
+def test_lazy_ragged_chaining_single_statement(ref_maps):
+    """Regression (r4 review finding): ragged PRODUCERS must
+    materialize, or the no-execution raggedness probes classify a lazy
+    ragged dataset as a grid tier and silently drop/relocate extents.
+    The one-statement form routes the ragged arithmetic sub-expression
+    straight into a further topology qualifier with no explicit
+    materialization anywhere."""
+    from grass_ray.stages.algebra import tier_expr
+
+    # S = [0,3)=24 (ragged); S {+,contains} A folds A granules
+    # [0,1),[1,2),[2,3) (started/contains/finished) -> 24+1+2+3 = 30
+    # on S's OWN ragged extent [0,3)
+    _n, out = algebra(
+        "R = ((B {+,overlaps,u} C) + (B {+,overlaps,u} C)) {+,contains} A",
+        dict(ref_maps),
+    )
+    t = out.to_pandas()
+    assert "wstarts" in t.columns  # the extent survived the chain
+    assert list(zip(t["wstarts"][0], t["wends"][0], t["average"][0])) == [
+        (0, 3, 30.0)
+    ]
+    # the explicit two-statement program form must agree
+    prog = (
+        "S = (B {+,overlaps,u} C) + (B {+,overlaps,u} C)\n"
+        "R = S {+,contains} A"
+    )
+    _env, out2 = algebra_program(prog, dict(ref_maps))
+    t2 = out2.to_pandas()
+    assert list(zip(t2["wstarts"][0], t2["wends"][0], t2["average"][0])) == [
+        (0, 3, 30.0)
+    ]
+    # direct API: a tier_expr extent-mode result feeds another
+    # tier_expr without the caller materializing
+    tiers = dict(ref_maps)
+    _n, s = algebra("S = (B {+,overlaps,u} C) + (B {+,overlaps,u} C)", tiers)
+    out3 = tier_expr("S + S", {"S": s})
+    t3 = out3.to_pandas()
+    assert list(zip(t3["wstarts"][0], t3["wends"][0], t3["average"][0])) == [
+        (0, 3, 48.0)
+    ]
+
+
 def test_all_ragged_extent_alignment_multikey_random(ray_session):
     """Extent-keyed alignment across MANY keys and buckets: two
     randomly-generated ragged tiers (random off-grid extents, partial
