@@ -1447,16 +1447,33 @@ def _rewrite_if_topo(expr: str, tiers: dict, value_col: str) -> str:
 
 def _merge_nested(ds_then, ds_else, value_col: str, *, keys=_DEFAULT_KEYS, buckets: int = 64):
     """Merge two nested tiers' windows per key (then-side wins a
-    duplicate window) — one key-bucket exchange, no driver data."""
+    duplicate window) — one key-bucket exchange, no driver data.
+
+    When BOTH sides are ragged (explicit ``wstarts``/``wends``), the
+    merge keys on the extents instead: the then-side wins a COINCIDENT
+    extent (the equal-extent rule), all other extents of both sides
+    pass through, and the output stays ragged.  A ragged/grid MIX
+    still raises — a grid window and an off-grid extent can never be
+    the same granule, so the merge would just interleave two
+    incompatible labelings."""
+    then_ragged = _schema_ragged(ds_then)
+    else_ragged = _schema_ragged(ds_else)
+    if then_ragged != else_ragged:
+        raise NotImplementedError(
+            "if-else merge over a RAGGED and a grid tier is not "
+            "supported — project the ragged side to a grid first"
+        )
+    ragged = then_ragged
 
     def tag(prio):
         def kernel(batch: pa.Table) -> pa.Table:
             from grass_ray.stages.join import _bucket_ids
 
-            if "wstarts" in batch.column_names:
+            if ("wstarts" in batch.column_names) != ragged:
                 raise NotImplementedError(
-                    "if-else merge over a RAGGED tier (u/d/i extents) "
-                    "is not supported — project to a grid first"
+                    "if-else merge over a RAGGED and a grid tier is "
+                    "not supported — project the ragged side to a "
+                    "grid first"
                 )
             t = batch.append_column(
                 "_prio", pa.array([prio] * batch.num_rows, type=pa.int8())
@@ -1475,6 +1492,9 @@ def _merge_nested(ds_then, ds_else, value_col: str, *, keys=_DEFAULT_KEYS, bucke
         order, gstarts, gends = _key_groups(batch, keys)
         wo, wflat = _list_views(batch.column("windows"), floats=False)
         vo, vflat = _list_views(batch.column(value_col), floats=True)
+        if ragged:
+            so, sflat = _list_views(batch.column("wstarts"), floats=False)
+            eo, eflat = _list_views(batch.column("wends"), floats=False)
         prio = batch.column("_prio").to_numpy(zero_copy_only=False)
         grid = {
             gcol: _scalar_i64(batch, gcol)
@@ -1484,9 +1504,28 @@ def _merge_nested(ds_then, ds_else, value_col: str, *, keys=_DEFAULT_KEYS, bucke
         reps: list[int] = []
         w_parts: list[np.ndarray] = []
         v_parts: list[np.ndarray] = []
+        s_parts: list[np.ndarray] = []
+        e_parts: list[np.ndarray] = []
         for g in range(len(gstarts)):
             rows = order[gstarts[g] : gends[g]]
             rows = rows[np.argsort(prio[rows], kind="stable")]
+            if ragged:
+                # extent-keyed merge: first occurrence per DISTINCT
+                # (start, end) wins, and then-side rows sort first
+                ss = np.concatenate([sflat[so[r] : so[r + 1]] for r in rows])
+                if len(ss) == 0:
+                    continue
+                ee = np.concatenate([eflat[eo[r] : eo[r + 1]] for r in rows])
+                vs = np.concatenate([vflat[vo[r] : vo[r + 1]] for r in rows])
+                uq_s, uq_e, inv = _uniq_extents(ss, ee)
+                first = np.full(len(uq_s), len(ss), dtype=np.int64)
+                np.minimum.at(first, inv, np.arange(len(ss), dtype=np.int64))
+                reps.append(int(rows[0]))
+                w_parts.append(np.arange(len(uq_s), dtype=np.int64))
+                v_parts.append(vs[first])
+                s_parts.append(uq_s)
+                e_parts.append(uq_e)
+                continue
             # then/else must live on the SAME window grid — merging
             # rows with different gran/worigin under one label would
             # silently relocate the else granules in time
@@ -1516,6 +1555,10 @@ def _merge_nested(ds_then, ds_else, value_col: str, *, keys=_DEFAULT_KEYS, bucke
                 continue
             if k == "windows":
                 cols[k] = _list_of(w_parts, ints=True)
+            elif k == "wstarts":
+                cols[k] = _list_of(s_parts, ints=True)
+            elif k == "wends":
+                cols[k] = _list_of(e_parts, ints=True)
             elif k == value_col:
                 cols[k] = _list_of(v_parts, ints=False)
             else:
@@ -1525,7 +1568,11 @@ def _merge_nested(ds_then, ds_else, value_col: str, *, keys=_DEFAULT_KEYS, bucke
                 cols[k] = c.take(idx)
         return pa.table(cols)
 
-    return u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    res = u.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    if ragged:
+        # ragged producers materialize (see _schema_ragged)
+        res = res.materialize()
+    return res
 
 
 def _rewrite_topo(expr: str, tiers: dict, value_col: str) -> str:

@@ -663,6 +663,54 @@ def test_lazy_ragged_chaining_single_statement(ref_maps):
     ]
 
 
+def test_if_else_merge_ragged(ref_maps):
+    """Relation-qualified if-ELSE over two RAGGED sides (the last
+    _merge_nested guard, removed r4): the merge keys on extents —
+    then-side wins a COINCIDENT extent, non-coincident extents of both
+    sides pass through, output stays ragged.  Ragged/grid mixes still
+    raise."""
+
+    def rag(out):
+        t = out.to_pandas()
+        got = []
+        for _, r in t.iterrows():
+            got += list(zip(r["wstarts"], r["wends"], r["average"]))
+        return sorted(got)
+
+    # T = [0,3)=12; E = [0,3)=24.  cond A>2 true on [2,3),[3,4).
+    # user {during} inverts to the contains selection: [0,3)
+    # contains-list-relates to BOTH a true ([2,3) finished) and a
+    # false ([1,2) strict contains) granule -> lands in res AND esel;
+    # the reference rule keeps the THEN value
+    # top-level u/d/i statements emit FLAT interval rows, so the
+    # ragged bindings go through a scalar-arithmetic identity (extent
+    # mode preserves the ragged extents)
+    prog = (
+        "T = (B {+,overlaps,u} C) + 0\n"
+        "E = (B {+,overlaps,u} C) + (B {+,overlaps,u} C)\n"
+        "R = if({during}, A > 2, T, E)"
+    )
+    _env, out = algebra_program(prog, dict(ref_maps))
+    assert rag(out) == [(0, 3, 12.0)]
+    # disjoint extents: then [2,4)=12 (relates to true), else [0,3)=24
+    # (relates to false) -> both pass through
+    prog2 = (
+        "T = (B {+,equal,u} B) + 0\n"
+        "E = (B {+,overlaps,u} C) + (B {+,overlaps,u} C)\n"
+        "R = if({during}, A > 2, T, E)"
+    )
+    _env, out2 = algebra_program(prog2, dict(ref_maps))
+    assert rag(out2) == [(0, 3, 24.0), (2, 4, 12.0)]
+    # ragged/grid mix still raises loudly
+    prog3 = (
+        "T = (B {+,overlaps,u} C) + 0\n"
+        "R = if({during}, A > 2, T, B)"
+    )
+    with pytest.raises(Exception, match="RAGGED|ragged"):
+        _env, bad = algebra_program(prog3, dict(ref_maps))
+        bad.materialize()
+
+
 def test_all_ragged_extent_alignment_multikey_random(ray_session):
     """Extent-keyed alignment across MANY keys and buckets: two
     randomly-generated ragged tiers (random off-grid extents, partial
