@@ -290,51 +290,160 @@ def tier_arith(ds_a, ds_b, op: str = "+", value_col: str = "average", key_cols=(
     return ds_a.map_batches(kernel, batch_format="pyarrow", batch_size=256)
 
 
-def tier_select(ds_a, ds_b, *, invert: bool = False, key_cols=("source", "doc_id")):
-    """Temporal selection — `A : B` / `A !: B` of t.rast.algebra
-    (``python/grass/temporal/temporal_algebra.py`` selection operators):
-    keep A's windows where B has (or, inverted, lacks) the same window
-    for the same key.  B's (key -> window set) is broadcast (small side).
-    """
-    import ray
+_SE_DTYPE = np.dtype([("s", "<i8"), ("e", "<i8")])
 
-    b_rows: dict = {}
-    for batch in ds_b.iter_batches(batch_format="pyarrow"):
-        d = batch.to_pydict()
-        for i in range(len(d[key_cols[0]])):
-            key = tuple(d[k][i] for k in key_cols)
-            b_rows.setdefault(key, set()).update(d["windows"][i])
-    ref = ray.put(b_rows)
+
+def _pack_se(s: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """(start, end) pairs as a sortable/searchable structured array."""
+    a = np.empty(len(s), dtype=_SE_DTYPE)
+    a["s"] = s
+    a["e"] = e
+    return a
+
+
+def _row_extents(batch: pa.Table):
+    """(offsets, starts, ends) flat views of each row's window EXTENTS:
+    explicit ``wstarts``/``wends`` when present (ragged tier), else the
+    grid formula worigin + w·gran."""
+
+    def combine(c):
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    wcol = combine(batch.column("windows"))
+    lens = wcol.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    if "wstarts" in batch.column_names:
+        s = combine(batch.column("wstarts")).flatten()
+        e = combine(batch.column("wends")).flatten()
+        return (
+            offs,
+            s.to_numpy(zero_copy_only=False).astype(np.int64),
+            e.to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    wflat = wcol.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    gran = batch.column("gran").to_numpy(zero_copy_only=False).astype(np.int64)
+    if "worigin" in batch.column_names:
+        import pyarrow.compute as pc
+
+        orig = (
+            pc.fill_null(batch.column("worigin"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    else:
+        orig = np.zeros(batch.num_rows, dtype=np.int64)
+    g_el = np.repeat(gran, lens)
+    s = np.repeat(orig, lens) + wflat * g_el
+    return offs, s, s + g_el
+
+
+def tier_select(
+    ds_a,
+    ds_b,
+    *,
+    invert: bool = False,
+    key_cols=("source", "doc_id"),
+    buckets: int = 64,
+):
+    """Temporal selection — `A : B` / `A !: B` of t.rast.algebra
+    (``python/grass/temporal/temporal_algebra.py`` selection operators,
+    default ``{:,equal,l}``): keep A's windows whose EXTENT coincides
+    with (or, inverted, differs from every) B extent for the same key.
+    Matching on extents rather than window ids makes cross-grid and
+    RAGGED operands exact — a gran-60 window 1 never equals a gran-180
+    window 1, and u/d/i extents match only when coincident.
+
+    Distributed shape: B explodes to flat (key, start, end) rows, one
+    ``bucket_agg`` collects them per key, and a ``bucket_join`` (which
+    broadcasts small sides and bucket-exchanges large ones) lands each
+    key's extent list next to its A rows; the filter itself is one
+    vectorized searchsorted per row.  Nothing is collected driver-side.
+    """
+    from grass_ray.stages.join import bucket_agg, bucket_join
+
+    keys = list(key_cols)
+    a_names = list(ds_a.schema().names)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        offs, s, e = _row_extents(batch)
+        rep = pa.array(
+            np.repeat(np.arange(batch.num_rows), np.diff(offs)),
+            type=pa.int64(),
+        )
+        cols = {}
+        for k in keys:
+            c = batch.column(k)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            cols[k] = c.take(rep)
+        cols["_bs"] = pa.array(s, type=pa.int64())
+        cols["_be"] = pa.array(e, type=pa.int64())
+        return pa.table(cols)
+
+    b_lists = bucket_agg(
+        ds_b.map_batches(explode, batch_format="pyarrow"),
+        keys,
+        [("_bs", "list", "_bs"), ("_be", "list", "_be")],
+        buckets=buckets,
+    )
+    joined = bucket_join(
+        ds_a, b_lists, key_cols=keys, buckets=buckets, how="left"
+    )
 
     def kernel(batch: pa.Table) -> pa.Table:
-        side = ray.get(ref)
-        d = batch.to_pydict()
-        list_cols = [
-            k
-            for k in batch.column_names
-            if isinstance(batch.column(k).type, pa.ListType)
-        ]
-        out = {k: [] for k in batch.column_names}
-        for i in range(batch.num_rows):
-            key = tuple(d[k][i] for k in key_cols)
-            bw = side.get(key, set())
-            ws = d["windows"][i]
-            keep = [
-                j
-                for j, w in enumerate(ws)
-                if (w in bw) != invert
-            ]
-            for k in batch.column_names:
-                if k in list_cols:
-                    out[k].append([d[k][i][j] for j in keep])
-                else:
-                    out[k].append(d[k][i])
-        arrays = {}
-        for k in batch.column_names:
-            if k in list_cols:
-                arrays[k] = pa.array(out[k], type=batch.column(k).type)
-            else:
-                arrays[k] = pa.array(out[k], type=batch.schema.field(k).type)
-        return pa.table(arrays)
+        import pyarrow.compute as pc
 
-    return ds_a.map_batches(kernel, batch_format="pyarrow", batch_size=256)
+        offs, s, e = _row_extents(batch)
+
+        def combine(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        bs = combine(batch.column("_bs"))
+        be = combine(batch.column("_be"))
+        blens = (
+            pc.fill_null(pc.list_value_length(bs), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        boffs = np.concatenate([[0], np.cumsum(blens)]).astype(np.int64)
+        bs_flat = bs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        be_flat = be.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(offs[-1], dtype=bool)
+        for i in range(batch.num_rows):
+            seg = slice(offs[i], offs[i + 1])
+            nb = blens[i]
+            if nb == 0:
+                hit = np.zeros(offs[i + 1] - offs[i], dtype=bool)
+            else:
+                arr = np.sort(
+                    _pack_se(
+                        bs_flat[boffs[i] : boffs[i] + nb],
+                        be_flat[boffs[i] : boffs[i] + nb],
+                    )
+                )
+                needles = _pack_se(s[seg], e[seg])
+                idx = np.searchsorted(arr, needles)
+                idxc = np.minimum(idx, nb - 1)
+                hit = (idx < nb) & (arr[idxc] == needles)
+            keep[seg] = hit != invert  # XOR with the !: inversion
+        kept_lens = np.zeros(batch.num_rows, dtype=np.int64)
+        row_of = np.repeat(np.arange(batch.num_rows), np.diff(offs))
+        if keep.any():
+            np.add.at(kept_lens, row_of[keep], 1)
+        new_offs = pa.array(
+            np.concatenate([[0], np.cumsum(kept_lens)]).astype(np.int32),
+            type=pa.int32(),
+        )
+        sel = pa.array(np.flatnonzero(keep), type=pa.int64())
+        cols = {}
+        for k in a_names:
+            c = combine(batch.column(k))
+            if isinstance(c.type, pa.ListType):
+                cols[k] = pa.ListArray.from_arrays(
+                    new_offs, c.flatten().take(sel)
+                )
+            else:
+                cols[k] = c
+        return pa.table(cols)
+
+    return joined.map_batches(kernel, batch_format="pyarrow")

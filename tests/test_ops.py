@@ -334,3 +334,98 @@ def test_what_col_max_keys_guard(ray_session):
         what_col(
             ray.data.from_arrow(t), positions=[0], max_keys=2
         ).to_pandas()
+
+
+def test_tier_select_cross_grid_extent_exact(ray_session):
+    """Selection matches on EXTENTS (the reference's {:,equal,l}
+    default), not window ids: a gran-60 window 1 never equals a
+    gran-180 window 1, and a worigin shift relocates the grid."""
+    import ray.data
+
+    from grass_ray.stages.extract import tier_select
+
+    def nested(rows, gran, worigin=None):
+        cols = {
+            "source": pa.array([r[0] for r in rows]),
+            "doc_id": pa.array([r[1] for r in rows]),
+            "gran": pa.array([gran] * len(rows), type=pa.int64()),
+            "windows": pa.array([r[2] for r in rows], type=pa.list_(pa.int64())),
+            "average": pa.array([r[3] for r in rows], type=pa.list_(pa.float64())),
+        }
+        if worigin is not None:
+            cols["worigin"] = pa.array([worigin] * len(rows), type=pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
+
+    a = nested([("s", "d1", [0, 1, 2, 3, 4, 5], [1.0] * 6)], 60)
+    b180 = nested([("s", "d1", [0, 1], [0.0, 0.0])], 180)
+    # id-matching would wrongly keep windows 0 and 1; no gran-60 cell
+    # ever EQUALS a gran-180 cell
+    assert sum(len(w) for w in tier_select(a, b180).to_pandas()["windows"]) == 0
+    inv = tier_select(a, b180, invert=True).to_pandas()
+    assert list(inv["windows"][0]) == [0, 1, 2, 3, 4, 5]
+    # a worigin-shifted same-gran grid: A w1 [60,120) == B w0 [60,120)
+    bsh = nested([("s", "d1", [0], [0.0])], 60, worigin=60)
+    sel = tier_select(a, bsh).to_pandas()
+    assert list(sel["windows"][0]) == [1]
+
+
+def test_tier_select_ragged_extents(ray_session):
+    """Ragged operands (explicit wstarts/wends) select by coincident
+    extent on either side."""
+    import ray.data
+
+    from grass_ray.stages.extract import tier_select
+
+    def ragged(extents, vals):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(["s"]),
+                    "doc_id": pa.array(["d1"]),
+                    "gran": pa.array([1], type=pa.int64()),
+                    "windows": pa.array(
+                        [list(range(len(extents)))], type=pa.list_(pa.int64())
+                    ),
+                    "wstarts": pa.array(
+                        [[s for s, _ in extents]], type=pa.list_(pa.int64())
+                    ),
+                    "wends": pa.array(
+                        [[e for _, e in extents]], type=pa.list_(pa.int64())
+                    ),
+                    "average": pa.array([vals], type=pa.list_(pa.float64())),
+                }
+            )
+        )
+
+    t = ragged([(0, 3), (5, 9)], [12.0, 7.0])
+    u = ragged([(5, 9), (10, 11)], [1.0, 1.0])
+    sel = tier_select(t, u).to_pandas()
+    assert list(zip(sel["wstarts"][0], sel["wends"][0], sel["average"][0])) == [
+        (5, 9, 7.0)
+    ]
+    inv = tier_select(t, u, invert=True).to_pandas()
+    assert list(zip(inv["wstarts"][0], inv["wends"][0], inv["average"][0])) == [
+        (0, 3, 12.0)
+    ]
+    # ragged vs grid: [0,3) is off every gran-1 cell... but [5,6) etc.
+    # ARE gran-1 cells only when width 1 — [5,9) is not, so nothing
+    # coincides with a gran-1 grid B
+    def grid(windows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(["s"]),
+                    "doc_id": pa.array(["d1"]),
+                    "gran": pa.array([1], type=pa.int64()),
+                    "windows": pa.array([windows], type=pa.list_(pa.int64())),
+                    "average": pa.array(
+                        [[0.0] * len(windows)], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    assert (
+        sum(len(w) for w in tier_select(t, grid([0, 5])).to_pandas()["windows"])
+        == 0
+    )

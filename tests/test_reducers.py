@@ -62,14 +62,30 @@ def assert_matches_oracle(values, methods=ALL, weights=None, **kw):
         else:
             # ratio-of-residual statistics (t = slope/SE, R² =
             # ssreg/sstot, standardized moments) are ill-conditioned
-            # near constant series: the cancellation amplifies last-bit
-            # differences between formula orders, so parity there is
-            # 1e-8; exact-ish everywhere else
-            rel = (
-                1e-8
-                if m in ("tvalue", "detcoeff", "skewness", "kurtosis")
-                else 1e-12
-            )
+            # near constant series: the two cancellations (Σy² −
+            # (Σy)²/n, then sstot − ssreg) amplify last-bit
+            # formula-order differences by ~Σy²/ss_residual, which is
+            # unbounded as hypothesis shrinks toward large
+            # nearly-collinear values (3 points at ~6e5 with 0.2%
+            # spread reach ~2e-6).  Scale the tolerance by the
+            # MEASURED conditioning, floored at 1e-8 and capped at
+            # 1e-3 — a genuine formula error diverges by far more
+            # than any conditioning bound on this data range.
+            if m in ("tvalue", "detcoeff", "skewness", "kurtosis"):
+                y = np.asarray(finite, dtype=np.float64)
+                mu = y.mean()
+                sstot = float(((y - mu) ** 2).sum())
+                ssy = float((y**2).sum())
+                cond = ssy / sstot if sstot > 0 else float("inf")
+                r2 = want.get("detcoeff", 0.0)
+                resfrac = (
+                    max(1.0 - r2, 1e-12)
+                    if isinstance(r2, float) and math.isfinite(r2)
+                    else 1.0
+                )
+                rel = min(1e-3, max(1e-8, 1e-14 * cond / resfrac))
+            else:
+                rel = 1e-12
             assert g == pytest.approx(w, rel=rel, abs=1e-12), (
                 f"{m}: got {g}, want {w} ({values})"
             )
