@@ -229,7 +229,11 @@ def tier_arith(ds_a, ds_b, op: str = "+", value_col: str = "average", key_cols=(
     (source, doc_id) — the engine's standing partition contract.  The
     small-side is realized as a broadcast dict {key: (windows, values)}
     via ``ray.put`` (B is typically a coarser/derived tier), read once
-    per task — no shuffle join.
+    per task — no shuffle join.  Both sides must share a window GRID
+    (same gran and worigin per key) — window-id matching across grids
+    would silently relocate granules, so a mismatch raises; the
+    general cross-grain form is ``stages/algebra.tier_expr`` /
+    ``tier_topo``.
     """
     import ray
 
@@ -244,6 +248,8 @@ def tier_arith(ds_a, ds_b, op: str = "+", value_col: str = "average", key_cols=(
                     [np.nan if v is None else v for v in d[value_col][i]],
                     dtype=np.float64,
                 ),
+                int(d.get("gran", [0] * batch.num_rows)[i] or 0),
+                int((d.get("worigin") or [0] * batch.num_rows)[i] or 0),
             )
     ref = ray.put(b_rows)
     ops = {
@@ -267,7 +273,16 @@ def tier_arith(ds_a, ds_b, op: str = "+", value_col: str = "average", key_cols=(
                 [np.nan if v is None else v for v in d[value_col][i]],
                 dtype=np.float64,
             )
-            wb, vb = side[key]
+            wb, vb, gb, ob = side[key]
+            ga = int(d.get("gran", [0] * batch.num_rows)[i] or 0)
+            oa = int((d.get("worigin") or [0] * batch.num_rows)[i] or 0)
+            if (ga, oa) != (gb, ob):
+                raise ValueError(
+                    f"tier_arith across different window grids "
+                    f"(gran/worigin {ga}/{oa} vs {gb}/{ob} for key "
+                    f"{key}) — window ids are not comparable; use "
+                    "tier_expr/tier_topo or cascade to a common grid"
+                )
             common, ia, ib = np.intersect1d(wa, wb, return_indices=True)
             with np.errstate(all="ignore"):
                 res = fn(va[ia], vb[ib])

@@ -429,3 +429,35 @@ def test_tier_select_ragged_extents(ray_session):
         sum(len(w) for w in tier_select(t, grid([0, 5])).to_pandas()["windows"])
         == 0
     )
+
+
+def test_tier_arith_cross_grid_raises(ray_session):
+    """tier_arith is the SAME-GRID legacy fast path: window-id
+    matching across grids would silently relocate granules, so a
+    gran/worigin mismatch raises (tier_expr/tier_topo are the
+    cross-grain forms)."""
+    import ray.data
+
+    from grass_ray.stages.extract import tier_arith
+
+    def nested(gran, windows, vals):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(["s"]),
+                    "doc_id": pa.array(["d1"]),
+                    "gran": pa.array([gran], type=pa.int64()),
+                    "windows": pa.array([windows], type=pa.list_(pa.int64())),
+                    "average": pa.array([vals], type=pa.list_(pa.float64())),
+                }
+            )
+        )
+
+    a = nested(60, [0, 1], [1.0, 2.0])
+    b = nested(180, [0, 1], [10.0, 20.0])
+    with pytest.raises(Exception, match="grid"):
+        tier_arith(a, b).materialize()
+    # same grid still works
+    sel = tier_arith(a, nested(60, [1], [5.0])).to_pandas()
+    assert list(sel["windows"][0]) == [1]
+    assert list(sel["average"][0]) == [7.0]
