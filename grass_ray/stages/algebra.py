@@ -1510,6 +1510,21 @@ def _merge_nested(ds_then, ds_else, value_col: str, *, keys=_DEFAULT_KEYS, bucke
             rows = order[gstarts[g] : gends[g]]
             rows = rows[np.argsort(prio[rows], kind="stable")]
             if ragged:
+                # the OUTPUT row carries ONE gran/worigin label (from
+                # the then-side rep row) and mixed-arithmetic grid
+                # projection reads it downstream — merging ragged
+                # sides with DIFFERENT grid metadata would mislabel
+                # the else-side extents, so the same consistency rule
+                # applies as on the grid path
+                for gcol, vals in grid.items():
+                    gv = np.unique(vals[rows])
+                    if len(gv) > 1:
+                        raise ValueError(
+                            f"if-else merge across different {gcol} "
+                            f"values {gv.tolist()} for this key — the "
+                            "then and else tiers must share grid "
+                            "metadata (cascade/tshift first)"
+                        )
                 # extent-keyed merge: first occurrence per DISTINCT
                 # (start, end) wins, and then-side rows sort first
                 ss = np.concatenate([sflat[so[r] : so[r + 1]] for r in rows])

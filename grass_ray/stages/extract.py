@@ -239,6 +239,11 @@ def tier_arith(ds_a, ds_b, op: str = "+", value_col: str = "average", key_cols=(
 
     b_rows: dict = {}
     for batch in ds_b.iter_batches(batch_format="pyarrow"):
+        if "wstarts" in batch.column_names:
+            raise NotImplementedError(
+                "tier_arith over a RAGGED tier — positional window ids "
+                "are not comparable even on equal grids; use tier_expr"
+            )
         d = batch.to_pydict()
         for i in range(len(d[key_cols[0]])):
             key = tuple(d[k][i] for k in key_cols)
@@ -261,6 +266,11 @@ def tier_arith(ds_a, ds_b, op: str = "+", value_col: str = "average", key_cols=(
     fn = ops[op]
 
     def kernel(batch: pa.Table) -> pa.Table:
+        if "wstarts" in batch.column_names:
+            raise NotImplementedError(
+                "tier_arith over a RAGGED tier — positional window ids "
+                "are not comparable even on equal grids; use tier_expr"
+            )
         side = ray.get(ref)
         d = batch.to_pydict()
         out = {k: [] for k in (*key_cols, "gran", "windows", value_col)}
@@ -368,73 +378,181 @@ def tier_select(
     RAGGED operands exact — a gran-60 window 1 never equals a gran-180
     window 1, and u/d/i extents match only when coincident.
 
-    Distributed shape: B explodes to flat (key, start, end) rows, one
-    ``bucket_agg`` collects them per key, and a ``bucket_join`` (which
-    broadcasts small sides and bucket-exchanges large ones) lands each
-    key's extent list next to its A rows; the filter itself is one
-    vectorized searchsorted per row.  Nothing is collected driver-side.
+    Distributed shape: B explodes to per-key extent lists WITHIN each
+    block (one Acero group-by per batch — the combiner, honoring the
+    bucket-exchange pre-combined-rows contract), one bucket exchange
+    concatenates them per key, and an Arrow-native ``attach_column``
+    index join (broadcast small / exchange large; list payloads ride
+    zero-copy, no pandas round trip) lands each key's packed extent
+    list next to its A rows; the filter itself is one vectorized
+    searchsorted per row.  Nothing is collected driver-side.  The
+    payload packs starts+ends as ONE list (first half starts) so a
+    single attach suffices; keys pack into one composite string.
+    Ragged A output is materialized (the ragged-producer invariant,
+    see ``algebra._schema_ragged``).
     """
-    from grass_ray.stages.join import bucket_agg, bucket_join
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.join import _bucket_ids, attach_column
 
     keys = list(key_cols)
-    a_names = list(ds_a.schema().names)
+    a_sch = ds_a.schema()
+    if a_sch is None:
+        return ds_a  # empty A: nothing to select either way
+    a_names = list(a_sch.names)
+    a_ragged = "wstarts" in a_names
+    SEP = "\x1f"
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def composite(batch: pa.Table) -> pa.Array:
+        parts: list = []
+        for k in keys:
+            c = batch.column(k)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            parts.append(c.cast(pa.string()))
+            parts.append(SEP)
+        return pc.binary_join_element_wise(*parts[:-1], "")
+
+    def explode_combine(batch: pa.Table) -> pa.Table:
+        # flat (key, s, e) rows, block-locally combined to one row per
+        # key with list columns (C++ hash group-by — the combiner)
         offs, s, e = _row_extents(batch)
         rep = pa.array(
             np.repeat(np.arange(batch.num_rows), np.diff(offs)),
             type=pa.int64(),
         )
-        cols = {}
-        for k in keys:
-            c = batch.column(k)
+        t = pa.table(
+            {
+                "_k": composite(batch).take(rep),
+                "_bs": pa.array(s, type=pa.int64()),
+                "_be": pa.array(e, type=pa.int64()),
+            }
+        )
+        m = t.group_by(["_k"], use_threads=False).aggregate(
+            [("_bs", "list"), ("_be", "list")]
+        )
+        m = m.rename_columns(["_k", "_bs", "_be"])
+        return m.append_column(
+            "_bucket", pa.array(_bucket_ids(m, ["_k"], buckets))
+        )
+
+    def merge_bucket(batch: pa.Table) -> pa.Table:
+        # concatenate each key's per-block extent lists into ONE packed
+        # list [s..., e...] (equal halves)
+        kcol = batch.column("_k")
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        order = (
+            pc.sort_indices(kcol)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        codes = (
+            kcol.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]
+        )
+        n = len(order)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]
+        ).astype(np.int64)
+        ends = np.append(starts[1:], n)
+
+        def views(name):
+            c = batch.column(name)
             if isinstance(c, pa.ChunkedArray):
                 c = c.combine_chunks()
-            cols[k] = c.take(rep)
-        cols["_bs"] = pa.array(s, type=pa.int64())
-        cols["_be"] = pa.array(e, type=pa.int64())
-        return pa.table(cols)
+            lens = c.value_lengths().to_numpy(zero_copy_only=False)
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            return offs, flat
 
-    b_lists = bucket_agg(
-        ds_b.map_batches(explode, batch_format="pyarrow"),
-        keys,
-        [("_bs", "list", "_bs"), ("_be", "list", "_be")],
-        buckets=buckets,
+        so, sf = views("_bs")
+        eo, ef = views("_be")
+        reps: list[int] = []
+        parts: list[np.ndarray] = []
+        for g in range(len(starts)):
+            rows = order[starts[g] : ends[g]]
+            s_cat = np.concatenate([sf[so[r] : so[r + 1]] for r in rows])
+            e_cat = np.concatenate([ef[eo[r] : eo[r + 1]] for r in rows])
+            reps.append(int(rows[0]))
+            parts.append(np.concatenate([s_cat, e_cat]))
+        lens = np.fromiter(
+            (len(p) for p in parts), dtype=np.int64, count=len(parts)
+        )
+        offs = pa.array(
+            np.concatenate([[0], np.cumsum(lens)]).astype(np.int32),
+            type=pa.int32(),
+        )
+        flat = (
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "_k": kcol.take(pa.array(np.asarray(reps, dtype=np.int64))),
+                "_bse": pa.ListArray.from_arrays(
+                    offs, pa.array(flat, type=pa.int64())
+                ),
+            }
+        )
+
+    lookup = (
+        ds_b.map_batches(explode_combine, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+        .materialize()
     )
-    joined = bucket_join(
-        ds_a, b_lists, key_cols=keys, buckets=buckets, how="left"
-    )
+    if lookup.schema() is None or lookup.count() == 0:
+        # windowless B: `:` keeps no windows, `!:` keeps everything
+        if invert:
+            return ds_a
+        lookup = None  # keyed kernel below sees empty sets everywhere
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_sel_key", composite(batch))
+
+    if lookup is None:
+        joined = ds_a.map_batches(
+            lambda b: b.append_column(
+                "_bse", pa.nulls(b.num_rows, type=pa.list_(pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = attach_column(
+            ds_a.map_batches(add_key, batch_format="pyarrow"),
+            lookup,
+            key_col="_sel_key",
+            lookup_key="_k",
+            value_col="_bse",
+            out_col="_bse",
+            how="left",
+        )
 
     def kernel(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         offs, s, e = _row_extents(batch)
 
         def combine(c):
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
-        bs = combine(batch.column("_bs"))
-        be = combine(batch.column("_be"))
+        bse = combine(batch.column("_bse"))
         blens = (
-            pc.fill_null(pc.list_value_length(bs), 0)
+            pc.fill_null(pc.list_value_length(bse), 0)
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
         boffs = np.concatenate([[0], np.cumsum(blens)]).astype(np.int64)
-        bs_flat = bs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        be_flat = be.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        b_flat = bse.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         keep = np.zeros(offs[-1], dtype=bool)
         for i in range(batch.num_rows):
             seg = slice(offs[i], offs[i + 1])
-            nb = blens[i]
+            nb = blens[i] // 2  # packed [s..., e...] halves
             if nb == 0:
                 hit = np.zeros(offs[i + 1] - offs[i], dtype=bool)
             else:
+                lo = boffs[i]
                 arr = np.sort(
-                    _pack_se(
-                        bs_flat[boffs[i] : boffs[i] + nb],
-                        be_flat[boffs[i] : boffs[i] + nb],
-                    )
+                    _pack_se(b_flat[lo : lo + nb], b_flat[lo + nb : lo + 2 * nb])
                 )
                 needles = _pack_se(s[seg], e[seg])
                 idx = np.searchsorted(arr, needles)
@@ -461,4 +579,8 @@ def tier_select(
                 cols[k] = c
         return pa.table(cols)
 
-    return joined.map_batches(kernel, batch_format="pyarrow")
+    out = joined.map_batches(kernel, batch_format="pyarrow")
+    if a_ragged:
+        # ragged producers materialize (see algebra._schema_ragged)
+        out = out.materialize()
+    return out

@@ -461,3 +461,66 @@ def test_tier_arith_cross_grid_raises(ray_session):
     sel = tier_arith(a, nested(60, [1], [5.0])).to_pandas()
     assert list(sel["windows"][0]) == [1]
     assert list(sel["average"][0]) == [7.0]
+
+
+def test_tier_select_empty_operands(ray_session):
+    """Regression (r4 review): empty/windowless operands must not
+    crash — empty B keeps nothing for `:`, everything for `!:`; empty
+    A stays empty; and a ragged A result upholds the ragged-producer
+    invariant (known schema without execution)."""
+    import ray.data
+
+    from grass_ray.stages.algebra import _schema_ragged
+    from grass_ray.stages.extract import tier_select
+
+    def nested(rows, gran=1):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([r[0] for r in rows], type=pa.string()),
+                    "doc_id": pa.array([r[1] for r in rows], type=pa.string()),
+                    "gran": pa.array([gran] * len(rows), type=pa.int64()),
+                    "windows": pa.array(
+                        [r[2] for r in rows], type=pa.list_(pa.int64())
+                    ),
+                    "average": pa.array(
+                        [r[3] for r in rows], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    a = nested([("s", "d1", [0, 1], [1.0, 2.0])])
+    empty = nested([]).limit(0)
+    # empty B
+    sel = tier_select(a, empty).to_pandas()
+    assert sum(len(w) for w in sel["windows"]) == 0
+    inv = tier_select(a, empty, invert=True).to_pandas()
+    assert list(inv["windows"][0]) == [0, 1]
+    # empty A
+    assert tier_select(empty, a).count() == 0
+    # windowless B (rows exist, no windows)
+    bw = nested([("s", "d1", [], [])])
+    assert sum(
+        len(w) for w in tier_select(a, bw).to_pandas()["windows"]
+    ) == 0
+    inv2 = tier_select(a, bw, invert=True).to_pandas()
+    assert list(inv2["windows"][0]) == [0, 1]
+    # ragged A output carries a known schema WITHOUT execution (the
+    # ragged-producer invariant algebra's probes rely on)
+    t = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["s"]),
+                "doc_id": pa.array(["d1"]),
+                "gran": pa.array([1], type=pa.int64()),
+                "windows": pa.array([[0, 1]], type=pa.list_(pa.int64())),
+                "wstarts": pa.array([[0, 5]], type=pa.list_(pa.int64())),
+                "wends": pa.array([[3, 9]], type=pa.list_(pa.int64())),
+                "average": pa.array([[1.0, 2.0]], type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = tier_select(t, t)
+    assert _schema_ragged(out)
+    assert list(out.to_pandas()["wstarts"][0]) == [0, 5]

@@ -77,13 +77,22 @@ def assert_matches_oracle(values, methods=ALL, weights=None, **kw):
                 sstot = float(((y - mu) ** 2).sum())
                 ssy = float((y**2).sum())
                 cond = ssy / sstot if sstot > 0 else float("inf")
-                r2 = want.get("detcoeff", 0.0)
-                resfrac = (
-                    max(1.0 - r2, 1e-12)
-                    if isinstance(r2, float) and math.isfinite(r2)
-                    else 1.0
-                )
-                rel = min(1e-3, max(1e-8, 1e-14 * cond / resfrac))
+                if m in ("tvalue", "detcoeff"):
+                    # the regression pair cancels TWICE: Σy²−(Σy)²/n,
+                    # then sstot−ssreg — the residual fraction only
+                    # enters here, not the standardized moments
+                    r2 = want.get("detcoeff", 0.0)
+                    resfrac = (
+                        max(1.0 - r2, 1e-12)
+                        if isinstance(r2, float) and math.isfinite(r2)
+                        else 1.0
+                    )
+                    amp = cond / resfrac
+                else:
+                    # central moments m3/σ³, m4/σ⁴ cancel by powers of
+                    # the same mean-offset ratio
+                    amp = cond**2
+                rel = min(1e-3, max(1e-8, 1e-14 * amp))
             else:
                 rel = 1e-12
             assert g == pytest.approx(w, rel=rel, abs=1e-12), (
