@@ -401,17 +401,20 @@ def tier_select(
         return ds_a  # empty A: nothing to select either way
     a_names = list(a_sch.names)
     a_ragged = "wstarts" in a_names
-    SEP = "\x1f"
 
     def composite(batch: pa.Table) -> pa.Array:
+        # length-prefixed parts ("3:foo7:bar\x1fbaz...") — immune to
+        # separator characters inside key values (no tuple collision)
         parts: list = []
         for k in keys:
             c = batch.column(k)
             if isinstance(c, pa.ChunkedArray):
                 c = c.combine_chunks()
-            parts.append(c.cast(pa.string()))
-            parts.append(SEP)
-        return pc.binary_join_element_wise(*parts[:-1], "")
+            c = c.cast(pa.string())
+            parts.append(pc.binary_length(c).cast(pa.string()))
+            parts.append(":")
+            parts.append(c)
+        return pc.binary_join_element_wise(*parts, "")
 
     def explode_combine(batch: pa.Table) -> pa.Table:
         # flat (key, s, e) rows, block-locally combined to one row per
@@ -438,37 +441,17 @@ def tier_select(
 
     def merge_bucket(batch: pa.Table) -> pa.Table:
         # concatenate each key's per-block extent lists into ONE packed
-        # list [s..., e...] (equal halves)
+        # list [s..., e...] (equal halves); grouping/views via the
+        # shared algebra helpers (runtime import — algebra imports
+        # this module at load time, the reverse edge must be lazy)
+        from grass_ray.stages.algebra import _key_groups, _list_views
+
         kcol = batch.column("_k")
         if isinstance(kcol, pa.ChunkedArray):
             kcol = kcol.combine_chunks()
-        order = (
-            pc.sort_indices(kcol)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        codes = (
-            kcol.dictionary_encode()
-            .indices.to_numpy(zero_copy_only=False)
-            .astype(np.int64)[order]
-        )
-        n = len(order)
-        starts = np.concatenate(
-            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]
-        ).astype(np.int64)
-        ends = np.append(starts[1:], n)
-
-        def views(name):
-            c = batch.column(name)
-            if isinstance(c, pa.ChunkedArray):
-                c = c.combine_chunks()
-            lens = c.value_lengths().to_numpy(zero_copy_only=False)
-            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-            flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-            return offs, flat
-
-        so, sf = views("_bs")
-        eo, ef = views("_be")
+        order, starts, ends = _key_groups(batch, ["_k"])
+        so, sf = _list_views(batch.column("_bs"), floats=False)
+        eo, ef = _list_views(batch.column("_be"), floats=False)
         reps: list[int] = []
         parts: list[np.ndarray] = []
         for g in range(len(starts)):
@@ -527,6 +510,7 @@ def tier_select(
             value_col="_bse",
             out_col="_bse",
             how="left",
+            buckets=buckets,
         )
 
     def kernel(batch: pa.Table) -> pa.Table:

@@ -524,3 +524,38 @@ def test_tier_select_empty_operands(ray_session):
     out = tier_select(t, t)
     assert _schema_ragged(out)
     assert list(out.to_pandas()["wstarts"][0]) == [0, 5]
+
+
+def test_tier_select_key_values_with_separator_bytes(ray_session):
+    """Regression (r4 review): the composite join key is
+    length-prefixed, so distinct key TUPLES whose values contain
+    separator-ish bytes never collide."""
+    import ray.data
+
+    from grass_ray.stages.extract import tier_select
+
+    def nested(src, doc, windows, vals):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([src]),
+                    "doc_id": pa.array([doc]),
+                    "gran": pa.array([1], type=pa.int64()),
+                    "windows": pa.array([windows], type=pa.list_(pa.int64())),
+                    "average": pa.array([vals], type=pa.list_(pa.float64())),
+                }
+            )
+        )
+
+    for (s1, d1), (s2, d2) in [
+        (("a\x1fb", "c"), ("a", "b\x1fc")),
+        (("3:x", "y"), ("3", ":xy")),
+        (("", "ab"), ("ab", "")),
+    ]:
+        a = nested(s1, d1, [0], [1.0])
+        b = nested(s2, d2, [0], [9.0])
+        kept = sum(len(w) for w in tier_select(a, b).to_pandas()["windows"])
+        assert kept == 0, (s1, d1, s2, d2)
+        # and a true match still matches
+        m = tier_select(a, nested(s1, d1, [0], [5.0])).to_pandas()
+        assert sum(len(w) for w in m["windows"]) == 1
