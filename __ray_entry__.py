@@ -2868,6 +2868,13 @@ def _assert_margin(arr, what: str, min_gap: float = 1e-9) -> None:
 #: verification artifacts (the guard matmuls are O(n·k) / O(bucket²))
 _MARGIN_GUARD_MAX_ROWS = 200_000
 
+#: separately bound the O(bucket²) PAIRWISE guards: near the row cap a
+#: single cluster's Xn[sub] @ Xn[sub].T is a multi-GB driver allocation
+#: that could OOM before the guard fails loudly (r4 ADVICE).  Clusters
+#: past this size skip only the pairwise check; the O(n·k) argmax
+#: guards still run.
+_MARGIN_GUARD_MAX_PAIRWISE = 20_000
+
 
 def _load_embeddings_f64(path: str):
     """(vec_ids, L2-normalized float64 matrix) for the margin guards."""
@@ -2912,7 +2919,11 @@ def _q_kmeans_assign(sf_dir: str) -> pa.Table:
     if pq.read_metadata(path).num_rows <= _MARGIN_GUARD_MAX_ROWS:
         _ids, Xn = _load_embeddings_f64(path)
         S = np.sort(Xn @ cent.T, axis=1)
-        _assert_margin(S[:, -1] - S[:, -2], "kmeans_assign argmax")
+        # exact-zero gaps tie-break by lowest centroid id identically
+        # on both sides (duplicate vectors score bit-identically) — the
+        # ★ann_topk guard's rule (r4 ADVICE)
+        g = S[:, -1] - S[:, -2]
+        _assert_margin(g[g > 0], "kmeans_assign argmax")
     ds = _read(path, columns=["vec_id", "embedding"])
     out = _assign_stage(
         ds, cent, "embedding", dtype=np.float64, with_score=True
@@ -2961,12 +2972,15 @@ def _q_semdedup_det(sf_dir: str) -> pa.Table:
         cn = _nrm(cent.copy())
         S = Xn @ cn.T
         Ss = np.sort(S, axis=1)
-        _assert_margin(Ss[:, -1] - Ss[:, -2], "semdedup_det argmax")
+        # exact-zero argmax gaps tie-break by lowest centroid id
+        # identically on both sides (the ★ann_topk guard's rule)
+        g = Ss[:, -1] - Ss[:, -2]
+        _assert_margin(g[g > 0], "semdedup_det argmax")
         a = np.argmax(S, axis=1)
         csim = S[np.arange(len(a)), a]
         for c in range(cn.shape[0]):
             sub = np.flatnonzero(a == c)
-            if len(sub) < 2:
+            if len(sub) < 2 or len(sub) > _MARGIN_GUARD_MAX_PAIRWISE:
                 continue
             # prune ORDER is (csim asc, id asc): adjacent csims must
             # be well separated (equal csims tie-break identically)
@@ -3027,11 +3041,14 @@ def _q_embedding_dedup_det(sf_dir: str) -> pa.Table:
         cn = _nrm(cent.copy())
         S = Xn @ cn.T
         Ss = np.sort(S, axis=1)
-        _assert_margin(Ss[:, -1] - Ss[:, -2], "embedding_dedup_det argmax")
+        # exact-zero argmax gaps tie-break by lowest centroid id
+        # identically on both sides (the ★ann_topk guard's rule)
+        g = Ss[:, -1] - Ss[:, -2]
+        _assert_margin(g[g > 0], "embedding_dedup_det argmax")
         a = np.argmax(S, axis=1)
         for c in range(cn.shape[0]):
             sub = np.flatnonzero(a == c)
-            if len(sub) < 2:
+            if len(sub) < 2 or len(sub) > _MARGIN_GUARD_MAX_PAIRWISE:
                 continue
             P = Xn[sub] @ Xn[sub].T
             cos = P[np.triu_indices(len(sub), 1)]

@@ -1070,6 +1070,20 @@ def tier_expr(
                      vflat[vo[r] : vo[r + 1]])
                     for r in rows
                 ]
+                # the OUTPUT row carries ONE gran/worigin label (from
+                # the first operand's rep row) and a later MIXED
+                # ragged+grid consumption grid-projects on it — the
+                # same cross-operand consistency rule as
+                # _merge_nested's ragged path applies (r4 ADVICE)
+                for lbl, arr in (("gran", gran_arr), ("worigin", orig_arr)):
+                    gv = np.unique(arr[rows])
+                    if len(gv) > 1:
+                        raise ValueError(
+                            f"extent-aligned algebra across different "
+                            f"{lbl} values {gv.tolist()} for this key "
+                            "— ragged operands must share grid "
+                            "metadata (cascade/tshift first)"
+                        )
                 all_s = np.concatenate([s for _, s, _, _ in segs])
                 all_e = np.concatenate([e for _, _, e, _ in segs])
                 uq_s, uq_e, inv = _uniq_extents(all_s, all_e)

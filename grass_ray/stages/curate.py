@@ -27,21 +27,60 @@ def sample_stratified(ds, rates: dict, *, default_rate: float = 0.0, key_col: st
     ref = ray.put((pct, int(round(default_rate * 100))))
 
     def kernel(batch: pa.Table) -> pa.Table:
-        import zlib
+        import pyarrow.compute as pc
 
         p, dflt = ray.get(ref)
-        srcs = batch.column(key_col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
+        if batch.num_rows == 0:
+            return batch
 
-        def idx(i):
-            if isinstance(i, str):
-                tail = i[1:]
-                return int(tail) if tail.isdigit() else zlib.crc32(i.encode())
-            return int(i)
-
-        keep = pa.array(
-            [idx(i) % 100 < p.get(s, dflt) for s, i in zip(srcs, ids)]
+        # per-row rate: dictionary-encode the (few) sources, map the
+        # uniques once, gather — no per-row dict lookups
+        src = batch.column(key_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        rate_of = np.array(
+            [p.get(s, dflt) for s in enc.dictionary.to_pylist()],
+            dtype=np.int64,
         )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rates = (
+            rate_of[codes]
+            if len(rate_of)
+            else np.empty(0, dtype=np.int64)
+        )
+
+        # per-row index: numeric-tail fast path via Arrow slice+cast;
+        # crc32 only over the (rare) non-numeric remainder
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if pa.types.is_integer(ids.type):
+            idxv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            tail = pc.utf8_slice_codeunits(ids, 1)
+            isnum = pc.match_substring_regex(tail, r"^[0-9]{1,18}$")
+            numeric = np.asarray(
+                isnum.fill_null(False).to_numpy(zero_copy_only=False)
+            )
+            safe = pc.if_else(isnum, tail, pa.scalar("0", pa.string()))
+            idxv = (
+                pc.cast(safe, pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .copy()
+            )
+            if not numeric.all():
+                import zlib
+
+                bad = np.flatnonzero(~numeric)
+                subs = ids.take(pa.array(bad)).to_pylist()
+                idxv[bad] = np.fromiter(
+                    (zlib.crc32(str(s).encode()) for s in subs),
+                    dtype=np.int64,
+                    count=len(bad),
+                )
+        keep = pa.array(idxv % 100 < rates)
         return batch.filter(keep)
 
     return ds.map_batches(kernel, batch_format="pyarrow")

@@ -752,12 +752,17 @@ def interval_join(
 
     ``bucket_span=None`` (default) auto-derives the span from the data:
     the p90 interval length of both sides (one narrow KLL-sketch pass),
-    so ≥90% of intervals replicate to at most 2 buckets.  Pass an int
-    to pin it (results are identical for any span — it only moves the
-    partitioning).
+    so ≥90% of intervals replicate to at most 2 buckets.  Both inputs
+    are **materialized first** so their upstream pipelines execute
+    exactly once — the sketch pass and the join itself then read the
+    same cached blocks (object-store resident, spillable).  Pass an
+    int to pin the span and keep the inputs fully streaming (results
+    are identical for any span — it only moves the partitioning).
     """
     keys = list(key_cols)
     if bucket_span is None:
+        ds_left = ds_left.materialize()
+        ds_right = ds_right.materialize()
         bucket_span = _derive_bucket_span(
             ds_left, ds_right, start_col, end_col
         )

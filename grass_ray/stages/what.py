@@ -142,22 +142,42 @@ def what_col(
     keys = list(key_cols)
 
     def transpose(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(keys, kind="mergesort")
-        if len(df) > max_keys:
-            raise ValueError(
-                f"position {df['pos'].iloc[0]} samples {len(df)} keys, "
-                f"past max_keys={max_keys}; restrict doc_ids or raise "
-                "max_keys explicitly"
+        import pyarrow.compute as pc
+
+        t = batch.take(
+            pc.sort_indices(
+                batch, sort_keys=[(k, "ascending") for k in keys]
             )
-        kjoin = df[keys].astype(str).agg("|".join, axis=1).tolist()
+        )
+        if t.num_rows > max_keys:
+            raise ValueError(
+                f"position {t.column('pos')[0].as_py()} samples "
+                f"{t.num_rows} keys, past max_keys={max_keys}; restrict "
+                "doc_ids or raise max_keys explicitly"
+            )
+        parts = [pc.cast(t.column(k), pa.string()) for k in keys]
+        kjoin = (
+            parts[0]
+            if len(parts) == 1
+            else pc.binary_join_element_wise(*parts, "|")
+        )
+        if isinstance(kjoin, pa.ChunkedArray):
+            kjoin = kjoin.combine_chunks()
+        vals = (
+            pc.cast(t.column("token"), pa.float64())
+            .to_numpy(zero_copy_only=False)
+            .tolist()
+        )
         return pa.table(
             {
-                "pos": pa.array([int(df["pos"].iloc[0])], type=pa.int64()),
-                "n_points": pa.array([len(df)], type=pa.int64()),
-                "keys": pa.array([kjoin], type=pa.list_(pa.string())),
-                "values": pa.array(
-                    [df["token"].tolist()], type=pa.list_(pa.float64())
+                "pos": pa.array(
+                    [int(t.column("pos")[0].as_py())], type=pa.int64()
                 ),
+                "n_points": pa.array([t.num_rows], type=pa.int64()),
+                "keys": pa.array(
+                    [kjoin.to_pylist()], type=pa.list_(pa.string())
+                ),
+                "values": pa.array([vals], type=pa.list_(pa.float64())),
             }
         )
 

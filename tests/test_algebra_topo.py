@@ -818,3 +818,35 @@ def test_match_aggregator_with_side(ref_maps):
     t = out.to_pandas()
     got = dict(zip(t["windows"].tolist()[0], t["average"].tolist()[0]))
     assert got == {0: 7.0}
+
+
+def test_extent_mode_grid_metadata_mismatch_raises(ray_session):
+    """r4 ADVICE: tier_expr's extent mode labels its output with the
+    first operand's gran/worigin, and a later MIXED ragged+grid
+    consumption grid-projects on that label — ragged operands carrying
+    DIFFERENT grid metadata must raise (the _merge_nested ragged-path
+    rule), not silently mislabel the result."""
+    from grass_ray.stages.algebra import tier_expr
+
+    def mk(gran):
+        t = pa.table(
+            {
+                "source": pa.array(["s"]),
+                "doc_id": pa.array(["d"]),
+                "gran": pa.array([gran], type=pa.int64()),
+                "windows": pa.array([[0]], type=pa.list_(pa.int64())),
+                "wstarts": pa.array([[0]], type=pa.list_(pa.int64())),
+                "wends": pa.array([[3]], type=pa.list_(pa.int64())),
+                "average": pa.array([[1.0]], type=pa.list_(pa.float64())),
+            }
+        )
+        return ray.data.from_arrow(t).materialize()
+
+    with pytest.raises(Exception, match="gran"):
+        tier_expr("A + B", {"A": mk(3), "B": mk(5)}).materialize()
+    # identical metadata still aligns the coincident extent
+    out = tier_expr("A + B", {"A": mk(3), "B": mk(3)})
+    t = out.to_pandas()
+    assert list(
+        zip(t["wstarts"][0], t["wends"][0], t["average"][0])
+    ) == [(0, 3, 2.0)]

@@ -297,3 +297,50 @@ def test_gapfill_matches_bruteforce(ray_session, rows):
                     frac = (w - left) / (right - left)
                     expect = lv + (rv - lv) * frac
                     assert v == pytest.approx(expect, rel=1e-12), (r, w)
+
+
+def test_interval_join_autospan_single_execution(ray_session):
+    """bucket_span=None now materializes both inputs before the KLL
+    span derivation (r4 VERDICT wrong #3): the upstream kernel must
+    run exactly once per input row — not once for the sketch pass plus
+    once for the join."""
+    import ray
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    c = Counter.remote()
+    n = 100
+    base = pa.table(
+        {
+            "lid": np.arange(n, dtype=np.int64),
+            "start": np.arange(n, dtype=np.int64) * 10,
+            "end": np.arange(n, dtype=np.int64) * 10 + 5,
+        }
+    )
+
+    def bump(b: pa.Table) -> pa.Table:
+        ray.get(c.add.remote(b.num_rows))
+        return b
+
+    a = ray.data.from_arrow(base).map_batches(bump, batch_format="pyarrow")
+    right = pa.table(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "start": np.arange(n, dtype=np.int64) * 10 + 2,
+            "end": np.arange(n, dtype=np.int64) * 10 + 4,
+        }
+    )
+    out = interval_join(
+        a, ray.data.from_arrow(right), start_col="start", end_col="end"
+    ).to_pandas()
+    assert sorted(zip(out["lid"], out["rid"])) == [(i, i) for i in range(n)]
+    assert ray.get(c.get.remote()) == n  # every input row processed ONCE
