@@ -3316,18 +3316,76 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering contract: the driver only records CORRECTNESS rows for
-    the FIRST 50 entries.  Round-4 makes every one of the first 50
-    EXACT-oracled (rows+schema+value-hash): the r3 window's 8
-    `no_oracle` rows either gained exact twins this round
-    (pack_sequences_global/pack_spans_global, curate_pipeline_md5,
-    ivf_topk_full) or moved past position 50 (the inherently
-    non-SQL-expressible iterative/approximate ops, which the harness
-    still rows-only checks).  tools/check_oracle.py sweeps all entries
-    regardless of order.
+    the FIRST 50 entries.  Round-5 rotates the window for freshness
+    (r4 VERDICT next #2): the core rollup/cascade/gapfill/univar/
+    algebra flagships — last driver-checked in r2, rewritten since
+    (tier_select, algebra evaluators, interval_join) — return to the
+    window alongside the r4 deterministic twins and every query whose
+    kernel changed this round.  Entries rotated past 50 keep their
+    driver-green evidence in CORRECTNESS_r0{2,3,4}.json and stay in
+    the full `tools/check_oracle.py` sweep, which checks ALL entries
+    regardless of order.  Every entry in positions 1-50 has an exact
+    DuckDB oracle (rows+schema+value-hash).
     """
     return {
-        # --- 1-33: the r3-verified exact block (unchanged) ---
+        # --- 1-21: the core TGRASS flagship block (driver-r2 green,
+        # --- code churned in r3/r4 — fresh hard signal wanted) ---
+        "rollup_1m": lambda sf: _q_rollup(sf, 60),
+        "rollup_1h": lambda sf: _q_rollup(sf, 3600),
+        "cascade_1h": _q_cascade_1h,
+        "series_stats": _q_series,
+        "series_holistic": _q_series_holistic,
+        "univar": _q_univar,
+        "events_1h": _q_events_1h,
+        "gapfill_linear": _q_gapfill,
+        "accumulate_running": _q_accum,
+        "dedup_exact": _q_dedup_exact,
+        "algebra_if": _q_algebra_if,
+        "algebra_topo": _q_algebra_topo,
+        "window_holistic": _q_window_holistic,
+        "rollup_regression": _q_rollup_regression,
+        "rollup_moments": _q_rollup_moments,
+        "rollup_weighted": _q_rollup_weighted,
+        "rollup_argminmax": _q_rollup_argminmax,
+        "events_monthly": _q_events_monthly,
+        "events_sessions": _q_sessions,
+        "events_salted": _q_events_salted,
+        "interval_sessions": _q_interval_sessions,
+        # --- 22-29: kernels rewritten in round 5 (Arrow trims,
+        # --- vectorized sample_stratified, autospan materialize) ---
+        "vocab_top100": _q_vocab_top100,
+        "tfidf_top": _q_tfidf,
+        "pmi_collocations": _q_pmi,
+        "sample_stratified": _q_sample_stratified,
+        "what_col": _q_what_col,
+        "kmeans_assign": _q_kmeans_assign,
+        "semdedup_det": _q_semdedup_det,
+        "embedding_dedup_det": _q_embedding_dedup_det,
+        # --- 30-50: the r4 exact twins + catalog round trips ---
+        "bpe_encode_fixed": _q_bpe_fixed,
+        "curate_pipeline_md5": _q_curate_md5,
+        "minhash_dedup_md5": _q_minhash_md5,
+        "minhash_components_md5": _q_minhash_components_md5,
+        "simhash_candidates_md5": _q_simhash_md5,
+        "ann_topk": _q_ann,
+        "ivf_topk_full": _q_ivf_full,
+        "pack_sequences_global": _q_pack_global,
+        "pack_spans_global": _q_pack_spans_global,
+        "curate_v2": _q_curate_v2,
+        "hll_registers": _q_hll_registers,
+        "algebra_calendar": _q_algebra_calendar,
+        "algebra_topo_during": _q_algebra_topo_during,
+        "refine_explode": _q_refine_explode,
+        "segment_dedup": _q_segment_dedup,
+        "register_resume": _q_register_resume,
+        "catalog_list": _q_catalog_list,
+        "export_import_roundtrip": _q_export_import,
+        "compact_roundtrip": _q_compact_roundtrip,
         "freq_tokenize": _q_freq_tokenize,
+        "fingerprint_docs": _q_fingerprint,
+        # ---------------- past the 50-row driver window ----------------
+        # exact-oracled, driver-green in r2/r3/r4 (evidence kept in
+        # CORRECTNESS_r0{2,3,4}.json; still in the full sweep)
         "normalize_text": _q_normalize,
         "split_assign": _q_split,
         "series_delta": _q_series_delta,
@@ -3336,9 +3394,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_rank_rollup": _q_csv_rank_rollup,
         "quantile_filter": _q_quantile_filter,
         "approx_distinct": _q_approx_distinct,
-        "tfidf_top": _q_tfidf,
-        "pmi_collocations": _q_pmi,
-        "sample_stratified": _q_sample_stratified,
         "langid_quality": _q_langid_quality,
         "quality_features": _q_quality_features,
         "langid": _q_langid,
@@ -3352,37 +3407,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_adjacent": _q_jaccard_adjacent,
         "components_chain": _q_components_chain,
         "retention_trim": _q_retention_trim,
-        "register_resume": _q_register_resume,
-        "catalog_list": _q_catalog_list,
-        "export_import_roundtrip": _q_export_import,
         "codec_roundtrip": _q_codec_roundtrip,
-        "compact_roundtrip": _q_compact_roundtrip,
-        "algebra_topo_during": _q_algebra_topo_during,
-        "what_col": _q_what_col,
         "events_time_report": _q_time_report,
-        # --- 34-50: exact-oracled round-4 additions + flagships ---
-        "pack_sequences_global": _q_pack_global,
-        "pack_spans_global": _q_pack_spans_global,
-        "curate_pipeline_md5": _q_curate_md5,
-        "minhash_dedup_md5": _q_minhash_md5,
-        "minhash_components_md5": _q_minhash_components_md5,
-        "simhash_candidates_md5": _q_simhash_md5,
-        "ann_topk": _q_ann,
-        "ivf_topk_full": _q_ivf_full,
-        "kmeans_assign": _q_kmeans_assign,
-        "semdedup_det": _q_semdedup_det,
-        "embedding_dedup_det": _q_embedding_dedup_det,
-        "bpe_encode_fixed": _q_bpe_fixed,
-        "curate_v2": _q_curate_v2,
-        "fingerprint_docs": _q_fingerprint,
-        "algebra_calendar": _q_algebra_calendar,
-        "refine_explode": _q_refine_explode,
-        "hll_registers": _q_hll_registers,
-        "segment_dedup": _q_segment_dedup,
         "lm_score": _q_lm_score,
         "mix_sources": _q_mix_sources,
         "det_shuffle": _q_det_shuffle,
-        # ---------------- past the 50-row driver window ----------------
+        "rollup_propagate_nulls": _q_rollup_propagate,
+        "rollup_range_filter": _q_rollup_range,
+        "rollup_mode": _q_rollup_mode,
+        "rollup_extras": _q_rollup_extras,
+        "series_enriched": _q_series_enriched,
+        "join_documents": _q_join_documents,
+        "univar_zones": _q_univar_zones,
+        "events_asof": _q_events_asof,
+        "events_median": _q_events_median,
+        "events_weighted": _q_events_weighted,
+        "events_topk": _q_events_topk,
+        "events_hopping": _q_events_hopping,
+        "decontaminate": _q_decontaminate,
+        "vocab_heavy": _q_vocab_heavy,
+        "allen_relations": _q_allen_relations,
+        "neighbors_avg3": _q_neighbors,
+        "interp_positions": _q_interp,
+        "what_lookup": _q_what,
+        "extract_mapcalc": _q_extract_mapcalc,
+        "gap_list": _q_gaps,
+        "accdetect_ranges": _q_accdetect,
+        "algebra_shift": _q_algebra_shift,
+        "token_counts": _q_token_counts,
+        "curate_v3": _q_curate_v3,
         # rows-only / non-SQL-expressible (iterative fits, approximate
         # recall, per-Ray-block layouts, hash-seeded blake2b twins)
         "pack_sequences": _q_pack_sequences,
@@ -3394,55 +3447,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "bpe_tokenize": _q_bpe_tokenize,
         "decontaminate_bloom": _q_decontaminate_bloom,
-        # --- already driver-green in r2 (past the 50-row window) ---
-        "rollup_1h": lambda sf: _q_rollup(sf, 3600),
-        "rollup_propagate_nulls": _q_rollup_propagate,
-        "rollup_range_filter": _q_rollup_range,
-        "rollup_weighted": _q_rollup_weighted,
-        "rollup_argminmax": _q_rollup_argminmax,
-        "rollup_regression": _q_rollup_regression,
-        "rollup_moments": _q_rollup_moments,
-        "rollup_mode": _q_rollup_mode,
-        "window_holistic": _q_window_holistic,
-        "rollup_extras": _q_rollup_extras,
-        "algebra_if": _q_algebra_if,
-        "algebra_topo": _q_algebra_topo,
-        "series_stats": _q_series,
-        "series_enriched": _q_series_enriched,
-        "join_documents": _q_join_documents,
-        "series_holistic": _q_series_holistic,
-        "univar": _q_univar,
-        "univar_zones": _q_univar_zones,
-        "events_salted": _q_events_salted,
-        "events_monthly": _q_events_monthly,
-        "events_sessions": _q_sessions,
-        "events_asof": _q_events_asof,
-        "events_median": _q_events_median,
-        "events_weighted": _q_events_weighted,
-        "events_topk": _q_events_topk,
-        "events_hopping": _q_events_hopping,
-        "vocab_top100": _q_vocab_top100,
-        "decontaminate": _q_decontaminate,
-        "vocab_heavy": _q_vocab_heavy,
-        "interval_sessions": _q_interval_sessions,
-        "allen_relations": _q_allen_relations,
-        "neighbors_avg3": _q_neighbors,
-        "interp_positions": _q_interp,
-        "what_lookup": _q_what,
-        "extract_mapcalc": _q_extract_mapcalc,
-        "gapfill_linear": _q_gapfill,
-        "gap_list": _q_gaps,
-        "accumulate_running": _q_accum,
-        "accdetect_ranges": _q_accdetect,
-        "algebra_shift": _q_algebra_shift,
-        "token_counts": _q_token_counts,
-        "rollup_1m": lambda sf: _q_rollup(sf, 60),
-        "cascade_1h": _q_cascade_1h,
-        "events_1h": _q_events_1h,
-        "dedup_exact": _q_dedup_exact,
-        "curate_v3": _q_curate_v3,
-        # blake2b paths (rows-only; their md5 twins inside the driver
-        # window exact-oracle the identical kernels)
         "tokenize_rollup": _q_tokenize_rollup,
         "simhash_candidates": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
