@@ -3298,6 +3298,145 @@ def _q_det_shuffle(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def _q_events_monthly_tier(sf_dir: str) -> pa.Table:
+    """★ Calendar-granularity TIER BUILD (r4 VERDICT next #8): the
+    committed-tier machinery run with a "1 months" granularity over
+    wall-clock events (reference: ``temporal/t.rast.aggregate/
+    testsuite/test_aggregation_absolute.py`` "1 months" cases) —
+    calendar windowing map → partial-combined rollup exchange →
+    per-key nesting exchange → Gorilla encode → partitioned write +
+    atomic manifest commits, then read back DECODED through the
+    committed-partition list and exploded flat.  Cents contract as
+    events_monthly; the Gorilla float64 XOR round trip is lossless so
+    the committed tier replays bit-exactly."""
+    import shutil
+
+    from grass_ray.pipelines.tiers import (
+        TierStore,
+        build_calendar_tier,
+        read_tier,
+    )
+
+    import os
+
+    root = (
+        f"/tmp/grassray_cal_tier_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    methods = ("count", "sum", "minimum", "maximum", "average")
+    build_calendar_tier(
+        _events_cents(sf_dir),
+        root,
+        unit="months",
+        methods=methods,
+        key_cols=("event_type",),
+        num_partitions=8,
+    )
+    ds = read_tier(TierStore(root), "1months", encoded=True, value_cols=methods)
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    wcol = t.column("windows")
+    if isinstance(wcol, pa.ChunkedArray):
+        wcol = wcol.combine_chunks()
+    lens = np.asarray(
+        wcol.value_lengths().to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+
+    def flat(col, typ):
+        c = t.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return c.flatten().cast(typ)
+
+    cnt = flat("count", pa.int64())
+    s = flat("sum", pa.float64()).to_numpy(zero_copy_only=False)
+    mn = flat("minimum", pa.float64()).to_numpy(zero_copy_only=False)
+    mx = flat("maximum", pa.float64()).to_numpy(zero_copy_only=False)
+    n = cnt.to_numpy(zero_copy_only=False).astype(np.float64)
+    sum_v = s / 100.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg_v = sum_v / n
+
+    def f64(x):
+        return pa.array(x, type=pa.float64(), mask=np.isnan(x))
+
+    return pa.table(
+        {
+            "event_type": t.column("event_type").take(pa.array(rep)),
+            "window": flat("windows", pa.int64()),
+            "cnt": cnt,
+            "sum_v": f64(sum_v),
+            "min_v": f64(mn / 100.0),
+            "max_v": f64(mx / 100.0),
+            "avg_v": f64(avg_v),
+        }
+    )
+
+
+def _q_audio_features(sf_dir: str) -> pa.Table:
+    """★ EXACT twin for the multimodal audio path (r4 VERDICT next #7):
+    REAL stdlib-wave PCM16 encode → header-parse decode
+    (`multimodal.DecodeMedia(fake=False)`) → vectorized duration / RMS
+    / zero-crossing features (`multimodal.audio_features`).  The
+    signal is a pure-INTEGER LCG derived from the documents table
+    (`synth_wav_lcg`), so DuckDB replays it via generate_series with
+    BIGINT arithmetic: sums of squares are exact integers and IEEE
+    division/sqrt are correctly rounded — features bit-equal with NO
+    rounding.  Multimodal is no longer the only operator family
+    without an exact driver row; mp3/video still raise loudly."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from grass_ray.stages.multimodal import (
+        DecodeMedia,
+        audio_features,
+        synth_wav_lcg,
+    )
+
+    head = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).sort_by("doc_id").slice(0, 32)
+    ids = [int(i) for i in head.column("doc_id").to_pylist()]
+    nch = [int(c) for c in head.column("n_chars").to_pylist()]
+    rows = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(
+                [
+                    synth_wav_lcg(200 + c % 800, i)
+                    for i, c in zip(ids, nch)
+                ],
+                type=pa.binary(),
+            ),
+            "media_type": pa.array(["audio"] * len(ids)),
+            "width": pa.array([0] * len(ids), type=pa.int32()),
+            "height": pa.array([0] * len(ids), type=pa.int32()),
+            "sample_rate": pa.array([0] * len(ids), type=pa.int32()),
+            "n_frames": pa.array([0] * len(ids), type=pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(rows).map_batches(
+        DecodeMedia,
+        fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+    )
+    out = pa.Table.from_pandas(
+        audio_features(ds).to_pandas(), preserve_index=False
+    )
+    return pa.table(
+        {
+            "doc_id": out.column("media_id").cast(pa.int64()),
+            "n_frames": out.column("n_frames").cast(pa.int64()),
+            "duration_s": out.column("duration_s"),
+            "rms": out.column("rms"),
+            "zcr": out.column("zcr"),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship: resumable 1m→1h→1d tier cascade with Gorilla codec on
     sf0.001; returns the decoded 1d tier as points."""
@@ -3381,11 +3520,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_list": _q_catalog_list,
         "export_import_roundtrip": _q_export_import,
         "compact_roundtrip": _q_compact_roundtrip,
-        "freq_tokenize": _q_freq_tokenize,
-        "fingerprint_docs": _q_fingerprint,
+        # --- 49-50: NEW round-5 exact twins (calendar tier build,
+        # --- multimodal audio decode) ---
+        "events_monthly_tier": _q_events_monthly_tier,
+        "audio_features": _q_audio_features,
         # ---------------- past the 50-row driver window ----------------
         # exact-oracled, driver-green in r2/r3/r4 (evidence kept in
         # CORRECTNESS_r0{2,3,4}.json; still in the full sweep)
+        "freq_tokenize": _q_freq_tokenize,
+        "fingerprint_docs": _q_fingerprint,
         "normalize_text": _q_normalize,
         "split_assign": _q_split,
         "series_delta": _q_series_delta,
@@ -3907,6 +4050,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(cents) AS BIGINT) AS cnt,
                    CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_v
             FROM c GROUP BY 1, 2
+        """,
+        # the calendar TIER BUILD replays as the same month-index
+        # rollup events_monthly uses, plus min/max — the engine side
+        # additionally round-trips the committed Gorilla-encoded tier
+        # store (lossless float64 XOR), so the hashes must still match
+        "events_monthly_tier": """
+            WITH c AS (
+                SELECT event_type, ts,
+                       CAST(round(value * 100.0) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_type,
+                   (year(ts) - 1970) * 12 + month(ts) - 1 AS "window",
+                   CAST(count(cents) AS BIGINT) AS cnt,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_v,
+                   CAST(min(cents) AS DOUBLE) / 100.0 AS min_v,
+                   CAST(max(cents) AS DOUBLE) / 100.0 AS max_v,
+                   (CAST(sum(cents) AS DOUBLE) / 100.0)
+                       / CAST(count(cents) AS DOUBLE) AS avg_v
+            FROM c GROUP BY 1, 2
+        """,
+        # the LCG signal (synth_wav_lcg) replayed with BIGINT
+        # arithmetic; sum(x*x) is an exact integer and IEEE
+        # division/sqrt are correctly rounded, so duration/rms/zcr are
+        # bit-equal with the WAV-decoded engine values — no rounding
+        "audio_features": """
+            WITH d AS (
+                SELECT doc_id, 200 + (n_chars % 800) AS n
+                FROM (
+                    SELECT doc_id, n_chars FROM documents
+                    ORDER BY doc_id LIMIT 32
+                )
+            ),
+            s AS (
+                SELECT doc_id, n,
+                       unnest(generate_series(0, CAST(n AS BIGINT) - 1)) AS k
+                FROM d
+            ),
+            x AS (
+                SELECT doc_id, n, k,
+                       ((1103515245 * (k + 7919 * doc_id) + 12345) % 65536)
+                           - 32768 AS v
+                FROM s
+            ),
+            p AS (
+                SELECT doc_id, n, k, v,
+                       lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+                FROM x
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(n AS DOUBLE) / 8000.0 AS duration_s,
+                   sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS rms,
+                   CAST(count(CASE WHEN pv IS NOT NULL AND v * pv < 0
+                                   THEN 1 END) AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS zcr
+            FROM p GROUP BY doc_id, n
         """,
         "events_monthly": """
             WITH c AS (

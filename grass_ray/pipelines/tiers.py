@@ -53,11 +53,23 @@ TIER_METHODS = ("count", "sum", "minimum", "maximum", "average")
 
 
 def _hash_partition(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
-    """Deterministic, process-stable partition id per doc_id (crc32)."""
-    ids = doc_ids.to_pylist()
-    return np.array(
-        [zlib.crc32(s.encode()) % num_partitions for s in ids], dtype=np.int32
+    """Deterministic, process-stable partition id per doc_id (crc32) —
+    hashed once per DISTINCT id via dictionary encoding, then gathered
+    (key columns repeat heavily on the events path)."""
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    enc = doc_ids.dictionary_encode()
+    uniq = np.array(
+        [
+            zlib.crc32(str(s).encode()) % num_partitions
+            for s in enc.dictionary.to_pylist()
+        ],
+        dtype=np.int32,
     )
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(uniq) == 0:
+        return np.empty(0, dtype=np.int32)
+    return uniq[codes]
 
 
 def assign_partition(ds, num_partitions: int, key_col: str = "doc_id"):
@@ -637,3 +649,134 @@ def build_tiers_waves(
                 results[name].extend(parts)
         wave_start = wave_end
     return results
+
+
+def nest_windows(
+    flat_ds,
+    *,
+    key_cols,
+    value_cols=TIER_METHODS,
+    window_col: str = "window",
+    gran: int = 1,
+    buckets: int = 64,
+):
+    """Flat per-(key, window) rollup rows -> the nested tier layout
+    (one row per key: ``windows`` + parallel value lists, sorted by
+    window) that :func:`with_row_stats` / the codec / ``cascade``
+    consume.  One fixed-bucket exchange co-locates a key's windows;
+    the per-bucket kernel sorts once and packs EVERY key via offset
+    slicing — no per-key Python dispatch."""
+    from grass_ray.stages.join import _bucket_ids
+
+    keys = list(key_cols)
+    vcols = list(value_cols)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_ids(batch, keys, buckets))
+        )
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from grass_ray.stages.grouped import _key_group_slices
+
+        t = batch.take(
+            pc.sort_indices(
+                batch,
+                sort_keys=[(k, "ascending") for k in keys]
+                + [(window_col, "ascending")],
+            )
+        )
+        # stable re-sort by keys only: window order inside each key is
+        # retained, groups come back contiguous
+        order, starts, ends = _key_group_slices(t, keys)
+        t = t.take(pa.array(order))
+        n = t.num_rows
+        offsets = pa.array(
+            np.append(starts, n).astype(np.int32)
+        )
+        cols = {k: t.column(k).take(pa.array(starts)) for k in keys}
+        cols["gran"] = pa.array(np.full(len(starts), gran, dtype=np.int64))
+        wvals = t.column(window_col)
+        if isinstance(wvals, pa.ChunkedArray):
+            wvals = wvals.combine_chunks()
+        cols["windows"] = pa.ListArray.from_arrays(
+            offsets, wvals.cast(pa.int64())
+        )
+        for vc in vcols:
+            v = t.column(vc)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            cols[vc] = pa.ListArray.from_arrays(offsets, v)
+        return pa.table(cols)
+
+    return (
+        flat_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def build_calendar_tier(
+    events_ds,
+    out_root: str,
+    *,
+    tier_name: str | None = None,
+    unit: str = "months",
+    mult: int = 1,
+    methods=TIER_METHODS,
+    key_cols=("event_type",),
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int = 8,
+    encode: bool = True,
+    resume: bool = True,
+):
+    """Calendar-granularity tier build — ``t.rast.aggregate`` with a
+    ``"1 months"``-style granularity over wall-clock events
+    (``temporal/t.rast.aggregate/testsuite/test_aggregation_absolute.py``),
+    threaded through the SAME committed-tier machinery as the integer
+    flagship: windows are calendar granule indices
+    (:func:`grass_ray.functions.calendar.window_id` — months roll on
+    real month boundaries, weeks start Monday), rows nest per key, the
+    codec + footer stats + atomic partition commits and resume all
+    apply unchanged.  Returns {tier_name: committed partitions}.
+
+    Plan shape: one windowing map (no shuffle) -> partial-combined
+    rollup exchange -> one nesting exchange keyed on the (few) keys ->
+    partitioned write.  The ``windows`` column stores granule indices;
+    ``lineage`` records the calendar granularity so
+    :func:`grass_ray.functions.calendar.window_start` can recover
+    wall-clock extents.
+    """
+    from grass_ray.stages.grouped import rollup_events
+
+    store = TierStore(out_root)
+    name = tier_name or f"{mult}{unit}"
+    done = store.committed_partitions(name) if resume else set()
+    ds = assign_partition(events_ds, num_partitions, key_col=key_cols[0])
+    ds = filter_partitions(ds, done)
+    flat = rollup_events(
+        ds,
+        calendar_unit=unit,
+        calendar_mult=mult,
+        methods=methods,
+        key_cols=list(key_cols) + ["part"],
+        ts_col=ts_col,
+        val_col=val_col,
+    )
+    nested = nest_windows(
+        flat, key_cols=list(key_cols) + ["part"], value_cols=methods
+    )
+    committed = _write_and_commit(
+        nested,
+        store,
+        name,
+        agg_type=",".join(methods),
+        lineage={"inputs": "events", "granularity": f"{mult} {unit}"},
+        encode=encode,
+        value_cols=methods,
+        skip_partitions=done,
+    )
+    return {name: committed}

@@ -72,6 +72,28 @@ def synth_wav(
     return buf.getvalue()
 
 
+def synth_wav_lcg(n_samples: int, seed: int, rate: int = 8000) -> bytes:
+    """PCM16 WAV whose samples are a pure-INTEGER LCG sequence,
+    ``x_k = ((1103515245·(k + 7919·seed) + 12345) mod 65536) − 32768``
+    — no transcendentals, so a SQL oracle replays the signal exactly
+    with BIGINT arithmetic (generate_series) and the decoded features
+    (duration / RMS / zero-crossings) are bit-equal: sums of squares
+    stay exact integers and IEEE division/sqrt are correctly rounded.
+    The exact-twin fixture generator for the audio path."""
+    import io
+    import wave
+
+    k = np.arange(n_samples, dtype=np.int64)
+    x = ((1103515245 * (k + 7919 * int(seed)) + 12345) % 65536) - 32768
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def audio_features(ds):
     """Decoded audio (``samples`` list<int32> + ``sample_rate``) →
     per-clip duration_s / RMS / zero-crossing rate, one vectorized
@@ -336,13 +358,57 @@ def decode_pipeline(ds, *, fake: bool = True, feature_dim: int = 64):
 
 
 class ResizeImages:
-    """pixels (H×W flat) -> resized pixels (stub: exact nearest-neighbor
-    subsampling on the fake-decoded byte grid — a real PIL/cv2 resize
-    drops in with the same actor signature and output layout)."""
+    """pixels (H×W flat) -> resized pixels.
 
-    def __init__(self, out_w: int = 32, out_h: int = 32):
+    ``method="nearest"`` (default, always available): exact
+    nearest-neighbor index subsampling on the byte grid — deterministic
+    and library-free.  ``method="pil"``: a REAL resampled resize via
+    PIL (bilinear by default), loaded ONCE per actor in ``__init__``
+    like DecodeMedia's soft dependency; raises ImportError with an
+    actionable message when PIL is absent from the environment.  Both
+    paths share the actor signature and output layout."""
+
+    def __init__(
+        self,
+        out_w: int = 32,
+        out_h: int = 32,
+        method: str = "nearest",
+        resample: str = "bilinear",
+    ):
         self.out_w = out_w
         self.out_h = out_h
+        self.method = method
+        self._pil = None
+        self._resample = None
+        if method == "pil":
+            try:
+                from PIL import Image  # soft dep: not in every container
+            except ImportError as e:
+                raise ImportError(
+                    "ResizeImages(method='pil') needs Pillow; install it "
+                    "or use method='nearest' (exact subsampling, no deps)"
+                ) from e
+            self._pil = Image
+            self._resample = {
+                "nearest": Image.Resampling.NEAREST,
+                "bilinear": Image.Resampling.BILINEAR,
+                "bicubic": Image.Resampling.BICUBIC,
+                "lanczos": Image.Resampling.LANCZOS,
+            }[resample]
+        elif method != "nearest":
+            raise ValueError(f"unknown resize method {method!r}")
+
+    def _one(self, grid: np.ndarray) -> np.ndarray:
+        if self.method == "pil":
+            img = self._pil.fromarray(grid, mode="L")
+            out = img.resize(
+                (self.out_w, self.out_h), resample=self._resample
+            )
+            return np.asarray(out, dtype=np.uint8).ravel()
+        hi, wi = grid.shape
+        ys = (np.arange(self.out_h) * hi // self.out_h).astype(np.int64)
+        xs = (np.arange(self.out_w) * wi // self.out_w).astype(np.int64)
+        return grid[np.ix_(ys, xs)].ravel()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column("pixels")
@@ -360,10 +426,7 @@ class ResizeImages:
             if ln != wi * hi:
                 out.append(np.zeros(self.out_w * self.out_h, dtype=np.uint8))
                 continue
-            grid = img.reshape(int(hi), int(wi))
-            ys = (np.arange(self.out_h) * hi // self.out_h).astype(np.int64)
-            xs = (np.arange(self.out_w) * wi // self.out_w).astype(np.int64)
-            out.append(grid[np.ix_(ys, xs)].ravel())
+            out.append(self._one(img.reshape(int(hi), int(wi))))
         flat_out = np.concatenate(out) if out else np.empty(0, dtype=np.uint8)
         offsets = pa.array(
             (np.arange(len(out) + 1) * self.out_w * self.out_h).astype(np.int32)
@@ -378,10 +441,21 @@ class ResizeImages:
         )
 
 
-def resize_images(ds, out_w: int = 32, out_h: int = 32):
+def resize_images(
+    ds,
+    out_w: int = 32,
+    out_h: int = 32,
+    method: str = "nearest",
+    resample: str = "bilinear",
+):
     return ds.map_batches(
         ResizeImages,
-        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        fn_constructor_kwargs={
+            "out_w": out_w,
+            "out_h": out_h,
+            "method": method,
+            "resample": resample,
+        },
         batch_format="pyarrow",
         batch_size=32,
         concurrency=(1, 4),

@@ -629,3 +629,128 @@ def test_partition_swap_recovery(ray_session, tier_root):
     shutil.copytree(final, old)
     store.recover_swaps("1m")
     assert os.path.isdir(final) and not os.path.isdir(old)
+
+
+def test_build_calendar_tier_roundtrip_resume(ray_session, tier_root):
+    """Calendar-granularity tier build (round 5): month windows over
+    multi-month wall-clock events thread through the SAME committed
+    store — nest, encode, footer stats, atomic commits, resume.  The
+    decoded read-back must match a numpy month rollup exactly, and a
+    re-run must commit nothing new."""
+    import ray.data
+
+    from grass_ray.pipelines.tiers import build_calendar_tier
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    # five months spanning a year boundary: 2023-11 .. 2024-03
+    ts = np.datetime64("2023-11-03", "us") + (
+        rng.integers(0, 150 * 24 * 3600, n) * 1_000_000
+    ).astype("timedelta64[us]")
+    vals = rng.integers(-50, 500, n).astype(np.int64)
+    et = rng.choice(["a", "b", "c"], n)
+    t = pa.table(
+        {"event_type": pa.array(et), "ts": pa.array(ts), "value": pa.array(vals)}
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    res = build_calendar_tier(
+        ds, tier_root, unit="months", methods=METHODS, num_partitions=4
+    )
+    assert sum(len(v) for v in res.values()) > 0
+    store = TierStore(tier_root)
+    back = read_tier(
+        store, "1months", encoded=True, value_cols=METHODS
+    ).to_pandas()
+    got = {}
+    for _, r in back.iterrows():
+        for w, c, s, mn, mx in zip(
+            r["windows"], r["count"], r["sum"], r["minimum"], r["maximum"]
+        ):
+            got[(r["event_type"], int(w))] = (
+                int(c), float(s), float(mn), float(mx)
+            )
+    # numpy reference: months-since-epoch index
+    mon = ts.astype("datetime64[M]").astype(np.int64)
+    want = {}
+    for k in np.unique(et):
+        for m in np.unique(mon):
+            sel = (et == k) & (mon == m)
+            if sel.any():
+                v = vals[sel]
+                want[(k, int(m))] = (
+                    len(v), float(v.sum()), float(v.min()), float(v.max())
+                )
+    assert got == want
+    assert len({w for _, w in got}) >= 5  # really multi-month
+    # resume: nothing left to commit
+    res2 = build_calendar_tier(
+        ds, tier_root, unit="months", methods=METHODS, num_partitions=4
+    )
+    assert res2 == {"1months": []}
+
+
+def test_synth_wav_lcg_decode_exact(ray_session):
+    """The LCG WAV fixture (round 5 audio exact twin): the stdlib-wave
+    decode must hand back exactly the integer LCG sequence, and
+    audio_features' rms/zcr/duration must equal the brute-force
+    formulas the SQL oracle replays."""
+    import ray.data
+
+    from grass_ray.stages.multimodal import (
+        DecodeMedia,
+        audio_features,
+        synth_wav_lcg,
+    )
+
+    n, seed = 777, 5
+    k = np.arange(n, dtype=np.int64)
+    x = ((1103515245 * (k + 7919 * seed) + 12345) % 65536) - 32768
+    rows = pa.table(
+        {
+            "media_id": pa.array([seed], type=pa.int64()),
+            "payload": pa.array([synth_wav_lcg(n, seed)], type=pa.binary()),
+            "media_type": pa.array(["audio"]),
+            "width": pa.array([0], type=pa.int32()),
+            "height": pa.array([0], type=pa.int32()),
+            "sample_rate": pa.array([0], type=pa.int32()),
+            "n_frames": pa.array([0], type=pa.int32()),
+        }
+    )
+    dec = DecodeMedia(fake=False)(rows)
+    got = np.asarray(dec.column("samples")[0].as_py(), dtype=np.int64)
+    assert np.array_equal(got, x)
+    out = audio_features(
+        ray.data.from_arrow(rows).map_batches(
+            DecodeMedia,
+            fn_constructor_kwargs={"fake": False},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+    ).to_pandas()
+    assert out["n_frames"][0] == n
+    assert out["duration_s"][0] == n / 8000.0
+    xf = x.astype(np.float64)
+    assert out["rms"][0] == np.sqrt(np.add.reduce(xf * xf) / n)
+    assert out["zcr"][0] == float((xf[1:] * xf[:-1] < 0).sum()) / n
+
+
+def test_resize_images_pil_path():
+    """method='pil' is a real resampled resize when Pillow is present,
+    and a LOUD ImportError (not a silent fallback) when it is not."""
+    from grass_ray.stages.multimodal import DecodeMedia, ResizeImages, synth_media
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(ImportError, match="Pillow"):
+            ResizeImages(method="pil")
+        return
+    t = synth_media(4, payload_bytes=4096)
+    dec = DecodeMedia(fake=True)(t)
+    out = ResizeImages(out_w=16, out_h=16, method="pil")(dec)
+    assert out.column("resized_w")[0].as_py() == 16
+    assert all(len(p) == 256 for p in out.column("pixels_resized").to_pylist())
