@@ -271,44 +271,14 @@ def _row_stats_kernel():
     return holder["fn"]
 
 
-def build_tiers_onepass(
-    corpus_ds,
-    out_root: str,
-    *,
-    tier_specs=(("1m", 60), ("1h", 60), ("1d", 24)),
-    methods=TIER_METHODS,
-    num_partitions: int = 32,
-    resume: bool = True,
-    lineage_inputs: str = "corpus",
-    partitioning: str = "range",
-    docs_per_partition: int = 2000,
-):
-    """Single-pass cascade: every corpus batch emits ALL tiers' encoded
-    rows (rollup → cascade → cascade, all row-local) tagged with a
-    ``tier`` column; one partitioned write, per-(tier, partition)
-    manifest commits.  The raw data is read exactly once and no tier is
-    ever re-read during the build — the narrowest possible plan for the
-    full rebuild case (the chained :func:`build_tiers` path remains for
-    incremental re-cascades of an existing tier).
-    """
+def onepass_kernel(tier_specs, methods):
+    """The fused rollup → cascade → encode batch kernel of the one-pass
+    build, exposed so tooling (stage isolation) can time the compute
+    slice without the parquet sink."""
+    from grass_ray.stages.codec_stage import EncodeTier
     from grass_ray.stages.rollup import rollup_batch
 
-    store = TierStore(out_root)
-    tier_names = [name for name, _ in tier_specs]
-    done_by_tier = {
-        name: (store.committed_partitions(name) if resume else set())
-        for name in tier_names
-    }
-    # a partition is done iff committed in every tier
-    done = set.intersection(*done_by_tier.values()) if done_by_tier else set()
-    if partitioning == "range":
-        ds = assign_partition_range(corpus_ds, docs_per_partition)
-    else:
-        ds = assign_partition(corpus_ds, num_partitions)
-    ds = filter_partitions(ds, done)
     stats_kernel = _row_stats_kernel()
-    from grass_ray.stages.codec_stage import EncodeTier
-
     first_gran = tier_specs[0][1]
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -342,7 +312,47 @@ def build_tiers_onepass(
             outs.append(t.append_column("tier", pa.array([name] * t.num_rows)))
         return pa.concat_tables(outs, promote_options="default")
 
-    out = ds.map_batches(kernel, batch_format="pyarrow", batch_size=512)
+    return kernel
+
+
+def build_tiers_onepass(
+    corpus_ds,
+    out_root: str,
+    *,
+    tier_specs=(("1m", 60), ("1h", 60), ("1d", 24)),
+    methods=TIER_METHODS,
+    num_partitions: int = 32,
+    resume: bool = True,
+    lineage_inputs: str = "corpus",
+    partitioning: str = "range",
+    docs_per_partition: int = 2000,
+):
+    """Single-pass cascade: every corpus batch emits ALL tiers' encoded
+    rows (rollup → cascade → cascade, all row-local) tagged with a
+    ``tier`` column; one partitioned write, per-(tier, partition)
+    manifest commits.  The raw data is read exactly once and no tier is
+    ever re-read during the build — the narrowest possible plan for the
+    full rebuild case (the chained :func:`build_tiers` path remains for
+    incremental re-cascades of an existing tier).
+    """
+    store = TierStore(out_root)
+    tier_names = [name for name, _ in tier_specs]
+    done_by_tier = {
+        name: (store.committed_partitions(name) if resume else set())
+        for name in tier_names
+    }
+    # a partition is done iff committed in every tier
+    done = set.intersection(*done_by_tier.values()) if done_by_tier else set()
+    if partitioning == "range":
+        ds = assign_partition_range(corpus_ds, docs_per_partition)
+    else:
+        ds = assign_partition(corpus_ds, num_partitions)
+    ds = filter_partitions(ds, done)
+    out = ds.map_batches(
+        onepass_kernel(tier_specs, methods),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
     if partitioning != "range":
         # hash partitioning scatters every batch over all P partitions:
         # without co-location each block writes one tiny file per value

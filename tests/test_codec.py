@@ -211,3 +211,168 @@ def test_assemble_bits_matches_per_bit_reference():
         assert _assemble_bits(lengths, payloads) == per_bit(lengths, payloads)
 
     check()
+
+
+def test_batched_decoders_match_single():
+    """decode_*_batched ≡ per-blob decode_* — including empty rows,
+    single-value rows, NaN patterns and every dod bucket."""
+    from grass_ray.functions.codec import (
+        decode_floats_batched,
+        decode_windows_batched,
+        encode_floats_batched,
+        encode_windows_batched,
+    )
+
+    rng = np.random.default_rng(11)
+    rows_f = [
+        rng.integers(0, 1000, size=n).astype(np.float64)
+        for n in (1, 0, 24, 3, 100, 0, 2)
+    ]
+    rows_f[2][5] = np.nan
+    rows_f[4][::7] = np.inf
+    flat = np.concatenate([r for r in rows_f if len(r)])
+    lens = np.array([len(r) for r in rows_f])
+    blobs = encode_floats_batched(flat, lens)
+    got_flat, got_lens = decode_floats_batched(blobs)
+    ref = np.concatenate([decode_floats(b) for b in blobs])
+    assert np.array_equal(got_lens, lens)
+    assert np.array_equal(got_flat.view(np.uint64), ref.view(np.uint64))
+
+    # windows: exercise all four dod buckets + the raw-64 escape
+    rows_w = [
+        np.array([0], dtype=np.int64),
+        np.cumsum(rng.integers(1, 60, size=24)).astype(np.int64),
+        np.array([5, 10, 15, 80, 81, 400, 3000, 3001], dtype=np.int64),
+        np.array([0, 1, 2**40, 2**40 + 7], dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.array([7, 8], dtype=np.int64),
+    ]
+    flatw = np.concatenate([r for r in rows_w if len(r)])
+    lensw = np.array([len(r) for r in rows_w])
+    wblobs = encode_windows_batched(flatw, lensw)
+    got_w, got_wlens = decode_windows_batched(wblobs)
+    ref_w = np.concatenate([decode_windows(b) for b in wblobs])
+    assert np.array_equal(got_wlens, lensw)
+    assert np.array_equal(got_w, ref_w)
+    assert np.array_equal(got_w, flatw)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.one_of(
+                    st.floats(allow_nan=True, allow_infinity=True, width=64),
+                    st.integers(-(2**40), 2**40).map(float),
+                ),
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_batched_float_decode_property(rows):
+        from grass_ray.functions.codec import (
+            decode_floats_batched,
+            encode_floats_batched,
+        )
+
+        arrs = [np.asarray(r, dtype=np.float64) for r in rows]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        flat = (
+            np.concatenate([a for a in arrs if len(a)])
+            if lens.sum()
+            else np.empty(0)
+        )
+        blobs = encode_floats_batched(flat, lens)
+        got, glens = decode_floats_batched(blobs)
+        assert np.array_equal(glens, lens)
+        assert np.array_equal(got.view(np.uint64), flat.view(np.uint64))
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(-(2**55), 2**55), min_size=0, max_size=40
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_batched_window_decode_property(rows):
+        from grass_ray.functions.codec import (
+            decode_windows_batched,
+            encode_windows_batched,
+        )
+
+        arrs = [np.asarray(r, dtype=np.int64) for r in rows]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        flat = (
+            np.concatenate([a for a in arrs if len(a)])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        blobs = encode_windows_batched(flat, lens)
+        got, glens = decode_windows_batched(blobs)
+        assert np.array_equal(glens, lens)
+        assert np.array_equal(got, flat)
+
+except ImportError:  # pragma: no cover
+    pass
+
+
+def test_decode_tier_derived_and_null_blobs():
+    """DecodeTier over a derive=True tier equals the derive=False
+    decode bit-for-bit, and NULL value blobs decode to all-NULL."""
+    import pyarrow as pa
+
+    from grass_ray.stages.codec_stage import DecodeTier, EncodeTier
+
+    methods = ("count", "sum", "minimum", "maximum", "average")
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(20):
+        nw = int(rng.integers(1, 30))
+        w = np.cumsum(rng.integers(1, 5, size=nw)).astype(np.int64)
+        cnt = rng.integers(1, 60, size=nw).astype(np.float64)
+        s = rng.integers(0, 5000, size=nw).astype(np.float64)
+        mn = rng.integers(0, 100, size=nw).astype(np.float64)
+        mx = mn + rng.integers(0, 100, size=nw)
+        with np.errstate(invalid="ignore"):
+            avg = s / cnt
+        rows.append((f"k{i}", w, cnt, s, mn, mx, avg))
+    nested = pa.table(
+        {
+            "key": pa.array([r[0] for r in rows]),
+            "windows": pa.array([r[1].tolist() for r in rows], type=pa.list_(pa.int64())),
+            "count": pa.array([r[2].tolist() for r in rows], type=pa.list_(pa.float64())),
+            "sum": pa.array([r[3].tolist() for r in rows], type=pa.list_(pa.float64())),
+            "minimum": pa.array([r[4].tolist() for r in rows], type=pa.list_(pa.float64())),
+            "maximum": pa.array([r[5].tolist() for r in rows], type=pa.list_(pa.float64())),
+            "average": pa.array([r[6].tolist() for r in rows], type=pa.list_(pa.float64())),
+        }
+    )
+    enc_d = EncodeTier(methods)(nested)
+    enc_f = EncodeTier(methods, derive=False)(nested)
+    assert "average_enc" not in enc_d.column_names
+    assert "average_enc" in enc_f.column_names
+    dec_d = DecodeTier(methods)(enc_d)
+    dec_f = DecodeTier(methods)(enc_f)
+    assert dec_d.equals(dec_f)
+
+    # NULL blob on a value column -> all-NULL decoded values
+    idx = enc_f.column_names.index("sum_enc")
+    blobs = enc_f.column("sum_enc").to_pylist()
+    blobs[3] = None
+    blobs[7] = None
+    enc_null = enc_f.set_column(
+        idx, "sum_enc", pa.array(blobs, type=pa.binary())
+    )
+    dec_n = DecodeTier(methods)(enc_null)
+    sums = dec_n.column("sum").to_pylist()
+    assert all(v is None for v in sums[3]) and all(v is None for v in sums[7])
+    assert sums[2] == dec_f.column("sum").to_pylist()[2]

@@ -53,18 +53,48 @@ def run_level(ncpu: int) -> dict:
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
 
-    def read_only():
-        ds = read_parquet_sized(CORPUS)
+    def consume(ds):
+        """Near-zero sink that keeps the plan shape of the real build:
+        a 1-row-per-batch map FUSES into the upstream chain (unlike an
+        Aggregate tail, whose all-to-all barrier was measured to add
+        MORE wall time than actually writing the output), and the
+        parquet write of ~one row per block costs nothing."""
+        import shutil
+
+        sink = f"/tmp/grassray_iso_sink_{ncpu}"
+        shutil.rmtree(sink, ignore_errors=True)
         ds.map_batches(
-            lambda b: pa.table({"n": [b.num_rows]}), batch_format="pyarrow"
-        ).sum("n")
+            lambda b: pa.table({"n": [b.num_rows]}),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).write_parquet(sink)
+        shutil.rmtree(sink, ignore_errors=True)
+
+    def read_only():
+        consume(read_parquet_sized(CORPUS))
 
     def rollup_only():
-        ds = read_parquet_sized(CORPUS)
-        rollup(ds, 60, ("count", "sum", "minimum", "maximum", "average"),
-               nested=True).map_batches(
-            lambda b: pa.table({"n": [b.num_rows]}), batch_format="pyarrow"
-        ).sum("n")
+        consume(
+            rollup(
+                ds := read_parquet_sized(CORPUS),
+                60,
+                ("count", "sum", "minimum", "maximum", "average"),
+                nested=True,
+            )
+        )
+
+    def encode_only():
+        from grass_ray.pipelines.tiers import (
+            assign_partition_range,
+            onepass_kernel,
+        )
+
+        ds = assign_partition_range(read_parquet_sized(CORPUS), 2500)
+        kern = onepass_kernel(
+            (("1m", 60), ("1h", 60), ("1d", 24)),
+            ("count", "sum", "minimum", "maximum", "average"),
+        )
+        consume(ds.map_batches(kern, batch_format="pyarrow", batch_size=512))
 
     def full_build():
         import shutil
@@ -79,6 +109,7 @@ def run_level(ncpu: int) -> dict:
 
     timed("read", read_only)
     timed("rollup", rollup_only)
+    timed("encode", encode_only)
     timed("build", full_build)
     ray.shutdown()
     return out
@@ -104,7 +135,11 @@ def main():
     summary = {
         "read_speedup_8_32": round(res[8]["read"] / res[32]["read"], 2),
         "rollup_speedup_8_32": round(res[8]["rollup"] / res[32]["rollup"], 2),
+        "encode_speedup_8_32": round(res[8]["encode"] / res[32]["encode"], 2),
         "build_speedup_8_32": round(res[8]["build"] / res[32]["build"], 2),
+        # the write tail = full build minus the fused compute slice
+        "write_tail_8": round(res[8]["build"] - res[8]["encode"], 3),
+        "write_tail_32": round(res[32]["build"] - res[32]["encode"], 3),
         "levels": res,
     }
     print(json.dumps(summary))
