@@ -37,6 +37,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _ids_np(col) -> np.ndarray:
+    """Id column -> numpy; zero-copy for numeric ids, Python-list
+    fallback for strings."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+        return col.to_numpy(zero_copy_only=False)
+    return np.asarray(col.to_pylist())
+
+
 def _merge_topk(cand_ds, k: int, id_col: str, fan_in: int = 16) -> pa.Table:
     """DISTRIBUTED merge of per-batch local top-k candidates.
 
@@ -145,7 +155,7 @@ def ann_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
-        ids = np.asarray(batch.column(id_col).to_pylist())
+        ids = _ids_np(batch.column(id_col))
         m = _normalize(_to_matrix(batch.column(vec_col), dtype=qm.dtype))
         scores = qm @ m.T  # (nq, nb)
         kk = min(k, m.shape[0])
@@ -298,24 +308,34 @@ def ivf_search(
 
         q_, probe_ = ray.get(qref)
         paths = batch.column("path").to_pylist()
-        cents = np.array(
-            [int(re.search(r"centroid=(\d+)", p).group(1)) for p in paths],
+        # one regex per UNIQUE path (a block is usually one hive file),
+        # and one MATMUL per (centroid, probing-query group) instead of
+        # one matvec per query — the per-query isin+gather loop made a
+        # 100-query search cost like unbatched brute force
+        upaths, inv = np.unique(np.asarray(paths, dtype=object), return_inverse=True)
+        ucents = np.array(
+            [int(re.search(r"centroid=(\d+)", p).group(1)) for p in upaths],
             dtype=np.int64,
         )
-        ids = np.asarray(batch.column(id_col).to_pylist())
+        cents = ucents[inv]
+        ids = _ids_np(batch.column(id_col))
         m = _normalize(_to_matrix(batch.column(vec_col), dtype=q_.dtype))
         out_q, out_v, out_s = [], [], []
-        for qi in range(q_.shape[0]):
-            mask = np.isin(cents, probe_[qi])
-            if not mask.any():
+        for c in np.unique(cents):
+            rmask = cents == c
+            qs = np.flatnonzero((probe_ == c).any(axis=1))
+            if len(qs) == 0 or not rmask.any():
                 continue
-            sub = m[mask]
-            scores = sub @ q_[qi]
-            kk = min(k, len(scores))
-            sel = np.argpartition(-scores, kk - 1)[:kk]
-            out_q.extend([qi] * kk)
-            out_v.extend(ids[mask][sel].tolist())
-            out_s.extend(scores[sel].tolist())
+            sub = m[rmask]
+            subids = ids[rmask]
+            scores = q_[qs] @ sub.T  # (nqs, nr)
+            kk = min(k, sub.shape[0])
+            idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qs)), kk)
+            sel = idx.reshape(-1)
+            out_q.extend(np.repeat(qs, kk).tolist())
+            out_v.extend(subids[sel].tolist())
+            out_s.extend(scores[rows, sel].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
@@ -440,7 +460,7 @@ def embedding_dedup(
         return batch.append_column("cluster", pa.array(a.astype(np.int64)))
 
     def pairs(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col).to_pylist())
+        ids = _ids_np(batch.column(id_col))
         m = _normalize(_to_matrix(batch.column(vec_col), dtype))
         if len(ids) > hard_cap:
             print(
@@ -708,7 +728,7 @@ def semdedup(
         ).append_column("_csim", pa.array(csim, type=pa.float64()))
 
     def prune(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col).to_pylist())
+        ids = _ids_np(batch.column(id_col))
         csim = batch.column("_csim").to_numpy(zero_copy_only=False)
         m = _normalize(_to_matrix(batch.column(vec_col), dtype))
         if len(ids) > hard_cap:

