@@ -237,8 +237,15 @@ def curate(
             m = pc.and_(m, pc.equal(batch.column("lang_pred"), lang))
         return batch.filter(m)
 
-    filtered = analyzed.map_batches(keep, batch_format="pyarrow")
-    deduped = exact_dedup(filtered, col=text_col, id_col=id_col)
+    # materialize the two fan-out points: exact_dedup and minhash_dedup
+    # each consume their input TWICE (candidate/winner derivation + the
+    # final semi/anti-join pass), so leaving these lazy re-executes the
+    # analyze actor pool up to 4x.  Both sit post-filter (smaller than
+    # the input), and Ray's object store spills to disk beyond memory —
+    # recompute-vs-cache goes to cache here, same call as curate_v2's
+    # mid-chain materialize.
+    filtered = analyzed.map_batches(keep, batch_format="pyarrow").materialize()
+    deduped = exact_dedup(filtered, col=text_col, id_col=id_col).materialize()
     kept, pairs = minhash_dedup(
         deduped, threshold=dedup_threshold, id_col=id_col, text_col=text_col,
         hash_fn=hash_fn,
