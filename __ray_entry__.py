@@ -2159,6 +2159,118 @@ def _quality_features_sql() -> str:
     """
 
 
+def _repetition_sql() -> str:
+    """DuckDB derivation of repetition_features (Gopher repetition
+    signals): same lowered word stream, top-word fraction and duplicate
+    2-/3-gram fractions as exact integer-ratio doubles."""
+    return """
+            WITH w AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(text, '[\\w'']+'),
+                           x -> lower(x)
+                       ) AS words
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id, unnest(words) AS word FROM w
+            ),
+            c AS (
+                SELECT doc_id, word, count(*) AS cnt FROM u GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT doc_id, max(cnt) AS mx, CAST(sum(cnt) AS BIGINT) AS n
+                FROM c GROUP BY 1
+            ),
+            g2 AS (
+                SELECT w.doc_id,
+                       count(DISTINCT array_to_string(words[i:i+1], ' ')) AS d,
+                       count(*) AS t
+                FROM w CROSS JOIN UNNEST(range(1, len(words))) AS s(i)
+                GROUP BY 1
+            ),
+            g3 AS (
+                SELECT w.doc_id,
+                       count(DISTINCT array_to_string(words[i:i+2], ' ')) AS d,
+                       count(*) AS t
+                FROM w CROSS JOIN UNNEST(range(1, len(words) - 1)) AS s(i)
+                GROUP BY 1
+            )
+            SELECT d0.doc_id,
+                   COALESCE(CAST(m.mx AS DOUBLE) / m.n, 0.0) AS top_word_frac,
+                   COALESCE(1 - CAST(g2.d AS DOUBLE) / g2.t, 0.0) AS dup_bigram_frac,
+                   COALESCE(1 - CAST(g3.d AS DOUBLE) / g3.t, 0.0) AS dup_trigram_frac
+            FROM documents d0
+            LEFT JOIN m ON d0.doc_id = m.doc_id
+            LEFT JOIN g2 ON d0.doc_id = g2.doc_id
+            LEFT JOIN g3 ON d0.doc_id = g3.doc_id
+    """
+
+
+def _gopher_filter_sql() -> str:
+    """DuckDB replay of curate.gopher_filter: the quality and
+    repetition feature CTEs (both already bit-exact vs the engine) plus
+    the identical rule comparisons against the function's own default
+    thresholds — pulled from the signature so the two sides cannot
+    drift."""
+    import inspect
+
+    from grass_ray.stages.curate import gopher_filter
+
+    p = {
+        k: v.default
+        for k, v in inspect.signature(gopher_filter).parameters.items()
+    }
+    return f"""
+        WITH Q AS ({_quality_features_sql()}),
+             R AS ({_repetition_sql()}),
+             M AS (
+                SELECT Q.doc_id,
+                       CAST(
+                         (CASE WHEN Q.n_words < {p['min_words']} THEN 1 ELSE 0 END)
+                       + (CASE WHEN Q.n_words > {p['max_words']} THEN 2 ELSE 0 END)
+                       + (CASE WHEN Q.mean_word_len < {p['min_mean_word_len']!r}
+                                 OR Q.mean_word_len > {p['max_mean_word_len']!r}
+                          THEN 4 ELSE 0 END)
+                       + (CASE WHEN Q.alpha_ratio < {p['min_alpha_ratio']!r} THEN 8 ELSE 0 END)
+                       + (CASE WHEN Q.stopword_ratio < {p['min_stopword_ratio']!r} THEN 16 ELSE 0 END)
+                       + (CASE WHEN R.top_word_frac > {p['max_top_word_frac']!r} THEN 32 ELSE 0 END)
+                       + (CASE WHEN R.dup_bigram_frac > {p['max_dup_bigram_frac']!r} THEN 64 ELSE 0 END)
+                       + (CASE WHEN R.dup_trigram_frac > {p['max_dup_trigram_frac']!r} THEN 128 ELSE 0 END)
+                       AS BIGINT) AS fail_mask
+                FROM Q JOIN R ON Q.doc_id = R.doc_id
+             )
+        SELECT doc_id, fail_mask, fail_mask = 0 AS keep FROM M
+    """
+
+
+def _vocab_coverage_sql(k: int = 256) -> str:
+    """DuckDB replay of vocab.vocab_coverage: the same lowered
+    ``[a-z0-9_']`` word stream, the same (count desc, word asc) top-k
+    vocabulary, per-source occurrence totals via a LEFT JOIN against
+    the vocab, and the identical single-division coverage/oov floats."""
+    return f"""
+        WITH u AS (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS word
+            FROM documents
+        ),
+        c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+        v AS (SELECT word FROM c ORDER BY cnt DESC, word LIMIT {k}),
+        s AS (
+            SELECT u.source,
+                   CAST(count(*) AS BIGINT) AS total_words,
+                   CAST(count(v.word) AS BIGINT) AS covered_words
+            FROM u LEFT JOIN v ON u.word = v.word
+            GROUP BY 1
+        )
+        SELECT source, total_words, covered_words,
+               CAST(covered_words AS DOUBLE) / total_words AS coverage,
+               1.0 - CAST(covered_words AS DOUBLE) / total_words AS oov_rate
+        FROM s
+    """
+
+
 def _langid_sql() -> str:
     """DuckDB derivation of detect_language: frequency-weighted stopword
     hit ratio per profile, winner = first profile (in engine dict order)
@@ -2254,6 +2366,37 @@ def _q_repetition(sf_dir: str) -> pa.Table:
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.select(
         ["doc_id", "top_word_frac", "dup_bigram_frac", "dup_trigram_frac"]
+    )
+
+
+def _q_gopher_filter(sf_dir: str) -> pa.Table:
+    """Gopher-rules composite document filter with an exact DuckDB
+    oracle: per-doc rule bitmask + keep flag, every comparison made on
+    exact integer-ratio floats vs literal thresholds (identical IEEE
+    comparisons both sides; thresholds interpolated into the SQL from
+    the function signature itself)."""
+    from grass_ray.stages.curate import gopher_filter
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = gopher_filter(ds)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "fail_mask", "keep"])
+
+
+def _q_vocab_coverage(sf_dir: str) -> pa.Table:
+    """Tokenizer vocab coverage / OOV-rate report with an exact DuckDB
+    oracle: per-source share of word occurrences covered by the global
+    top-256 vocabulary (the rank_vocab tie rule), coverage/oov as a
+    single IEEE division of exact int64 sums."""
+    from grass_ray.stages.vocab import vocab_coverage
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    out = vocab_coverage(ds, 256)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(
+        ["source", "total_words", "covered_words", "coverage", "oov_rate"]
     )
 
 
@@ -3541,6 +3684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_features": _q_quality_features,
         "langid": _q_langid,
         "repetition": _q_repetition,
+        "gopher_filter": _q_gopher_filter,
+        "vocab_coverage": _q_vocab_coverage,
         "scrub": _q_scrub,
         "chunk_pack": _q_chunk_pack,
         "attr_univar": _q_attr_univar,
@@ -4835,48 +4980,9 @@ def oracle_sql() -> dict[str, str]:
                    ) AS n_redactions
             FROM documents
         """,
-        "repetition": """
-            WITH w AS (
-                SELECT doc_id,
-                       list_transform(
-                           regexp_extract_all(text, '[\\w'']+'),
-                           x -> lower(x)
-                       ) AS words
-                FROM documents
-            ),
-            u AS (
-                SELECT doc_id, unnest(words) AS word FROM w
-            ),
-            c AS (
-                SELECT doc_id, word, count(*) AS cnt FROM u GROUP BY 1, 2
-            ),
-            m AS (
-                SELECT doc_id, max(cnt) AS mx, CAST(sum(cnt) AS BIGINT) AS n
-                FROM c GROUP BY 1
-            ),
-            g2 AS (
-                SELECT w.doc_id,
-                       count(DISTINCT array_to_string(words[i:i+1], ' ')) AS d,
-                       count(*) AS t
-                FROM w CROSS JOIN UNNEST(range(1, len(words))) AS s(i)
-                GROUP BY 1
-            ),
-            g3 AS (
-                SELECT w.doc_id,
-                       count(DISTINCT array_to_string(words[i:i+2], ' ')) AS d,
-                       count(*) AS t
-                FROM w CROSS JOIN UNNEST(range(1, len(words) - 1)) AS s(i)
-                GROUP BY 1
-            )
-            SELECT d0.doc_id,
-                   COALESCE(CAST(m.mx AS DOUBLE) / m.n, 0.0) AS top_word_frac,
-                   COALESCE(1 - CAST(g2.d AS DOUBLE) / g2.t, 0.0) AS dup_bigram_frac,
-                   COALESCE(1 - CAST(g3.d AS DOUBLE) / g3.t, 0.0) AS dup_trigram_frac
-            FROM documents d0
-            LEFT JOIN m ON d0.doc_id = m.doc_id
-            LEFT JOIN g2 ON d0.doc_id = g2.doc_id
-            LEFT JOIN g3 ON d0.doc_id = g3.doc_id
-        """,
+        "repetition": _repetition_sql(),
+        "gopher_filter": _gopher_filter_sql(),
+        "vocab_coverage": _vocab_coverage_sql(256),
         "token_counts": """
             SELECT doc_id,
                    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)

@@ -175,6 +175,11 @@ def run_bench() -> dict:
         "semdedup_det",
         "embedding_dedup_det",
         "bpe_encode_fixed",
+        # round-5 additions
+        "events_monthly_tier",
+        "audio_features",
+        "gopher_filter",
+        "vocab_coverage",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction

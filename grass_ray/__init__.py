@@ -60,7 +60,7 @@ from grass_ray.stages.join import (
     semi_join,
 )
 from grass_ray.stages.chunk import chunk_stats, chunk_tokens, doc_offsets
-from grass_ray.stages.curate import curate, curate_v2, pack_sequences, quantile_filter, sample_stratified
+from grass_ray.stages.curate import curate, curate_v2, gopher_filter, pack_sequences, quantile_filter, sample_stratified
 from grass_ray.functions.sketch import HyperLogLog, KLLSketch, SpaceSaving
 from grass_ray.functions.topology import (
     compute_datetime_delta,
@@ -89,6 +89,7 @@ from grass_ray.stages.vocab import (
     pmi_collocations,
     tfidf_top,
     tokenize_by_rank,
+    vocab_coverage,
     vocab_heavy_hitters,
     vocab_topn,
     word_counts,
@@ -146,6 +147,7 @@ __all__ = [
     "tier_hash",
     "topk_per_group",
     "verify_pairs_jaccard",
+    "vocab_coverage",
     "vocab_topn",
     "word_counts",
     "KLLSketch",
@@ -170,6 +172,7 @@ __all__ = [
     "delta_rollup",
     "ffill_rollup",
     "curate_v2",
+    "gopher_filter",
     "quantile_filter",
     "HyperLogLog",
     "approx_distinct",

@@ -346,6 +346,71 @@ def curate_v2(
     )
 
 
+def gopher_filter(
+    ds,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.6,
+    min_stopword_ratio: float = 0.02,
+    max_top_word_frac: float = 0.3,
+    max_dup_bigram_frac: float = 0.2,
+    max_dup_trigram_frac: float = 0.18,
+    keep_only: bool = False,
+):
+    """Gopher-rules composite quality filter (Rae et al. 2021 §A1.1,
+    the C4/MassiveText document-filter family): every document gets an
+    int64 ``fail_mask`` bitmask of the rules it violates and a ``keep``
+    flag (``fail_mask == 0``); ``keep_only=True`` drops failing rows
+    instead of reporting them.
+
+    Bits: 1 too few words, 2 too many words, 4 mean word length outside
+    [min, max], 8 alphabetic-character ratio below, 16 stopword ratio
+    below, 32 top-word fraction above, 64 duplicate-bigram fraction
+    above, 128 duplicate-trigram fraction above.
+
+    Zero-shuffle: one vectorized ``analyze_text`` map (quality +
+    repetition features — exact integer-ratio floats) and one numpy
+    rule map.  Thresholds are plain literals compared against exact
+    ratios, so the whole filter replays bit-for-bit in SQL.
+    """
+    from grass_ray.stages.text_stage import analyze_text
+
+    feats = analyze_text(ds, features=("quality", "repetition"))
+    rules = (
+        ("n_words", "lt", float(min_words)),
+        ("n_words", "gt", float(max_words)),
+        ("mean_word_len", "out", (min_mean_word_len, max_mean_word_len)),
+        ("alpha_ratio", "lt", min_alpha_ratio),
+        ("stopword_ratio", "lt", min_stopword_ratio),
+        ("top_word_frac", "gt", max_top_word_frac),
+        ("dup_bigram_frac", "gt", max_dup_bigram_frac),
+        ("dup_trigram_frac", "gt", max_dup_trigram_frac),
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        mask = np.zeros(batch.num_rows, dtype=np.int64)
+        for bit, (col, op, t) in enumerate(rules):
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            if op == "lt":
+                bad = v < t
+            elif op == "gt":
+                bad = v > t
+            else:
+                bad = (v < t[0]) | (v > t[1])
+            mask |= bad.astype(np.int64) << bit
+        out = batch.append_column(
+            "fail_mask", pa.array(mask, type=pa.int64())
+        ).append_column("keep", pa.array(mask == 0))
+        if keep_only:
+            out = out.filter(pa.array(mask == 0))
+        return out
+
+    return feats.map_batches(kernel, batch_format="pyarrow")
+
+
 def quantile_filter(
     ds,
     *,

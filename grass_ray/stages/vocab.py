@@ -108,6 +108,96 @@ def vocab_topn(ds, n: int = 100, *, text_col: str = "text", pattern: str = ASCII
     return partials.groupby("_g").map_groups(final, batch_format="pyarrow")
 
 
+def vocab_coverage(
+    ds,
+    k: int = 256,
+    *,
+    by: str = "source",
+    text_col: str = "text",
+):
+    """Tokenizer vocabulary coverage / OOV-rate report: the share of
+    word OCCURRENCES covered by the corpus' own global top-``k``
+    vocabulary (count desc, word asc — the ``rank_vocab`` tie rule),
+    one row per ``by`` group.  The tokenizer-design question this
+    answers — "how much of each source does a k-entry vocab actually
+    cover?" — is the unigram analog of the reference's per-map
+    univariate coverage reports (``r.univar``/``t.rast.list`` stats).
+
+    Two streaming passes, no driver loops: pass 1 ranks the vocabulary
+    (distributed top-k trim — the driver holds exactly ``k`` words,
+    shipped once via ``ray.put``); pass 2 folds per-group
+    ``(total, covered)`` int64 partials per batch with the shared
+    word-span kernel and merges them through one narrow ``bucket_agg``
+    (output = one row per group regardless of corpus size).  The input
+    is consumed once per pass — hand it a re-readable source (a parquet
+    read) or a materialized dataset, as ``curate`` does.
+
+    ``coverage = covered/total`` and ``oov_rate = 1.0 − covered/total``
+    are single IEEE operations on exact int64 sums (the oracle float
+    contract); groups whose texts contain no words are dropped (no
+    occurrences to measure — matches the SQL unnest derivation).
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    from grass_ray.functions.textstats import word_count_batch
+    from grass_ray.stages.join import bucket_agg
+
+    top = vocab_topn(ds, k, text_col=text_col)
+    vocab = frozenset(r["word"] for r in top.take_all())
+    ref = ray.put(vocab)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        key = batch.column(by)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = pc.dictionary_encode(key)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        groups, totals, covered = [], [], []
+        for code, g in enumerate(enc.dictionary.to_pylist()):
+            idxs = np.nonzero(codes == code)[0]
+            words, cnts = word_count_batch([texts[i] for i in idxs])
+            if len(words) == 0:
+                continue
+            m = np.fromiter(
+                (w in v for w in words), dtype=bool, count=len(words)
+            )
+            groups.append(g)
+            totals.append(int(cnts.sum()))
+            covered.append(int(cnts[m].sum()))
+        return pa.table(
+            {
+                by: pa.array(groups, type=batch.schema.field(by).type),
+                "total_words": pa.array(totals, type=pa.int64()),
+                "covered_words": pa.array(covered, type=pa.int64()),
+            }
+        )
+
+    agg = bucket_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [by],
+        [
+            ("total_words", "sum", "total_words"),
+            ("covered_words", "sum", "covered_words"),
+        ],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tot = batch.column("total_words").to_numpy(zero_copy_only=False)
+        cov = batch.column("covered_words").to_numpy(zero_copy_only=False)
+        keep = tot > 0
+        batch = batch.filter(pa.array(keep))
+        ratio = cov[keep].astype(np.float64) / tot[keep].astype(np.float64)
+        return batch.append_column(
+            "coverage", pa.array(ratio, type=pa.float64())
+        ).append_column("oov_rate", pa.array(1.0 - ratio, type=pa.float64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def vocab_heavy_hitters(
     ds,
     n: int = 100,

@@ -160,3 +160,70 @@ def test_sample_stratified_nonnumeric_ids(ray_session):
         ray.data.from_arrow(t2), {"src1": 0.5}
     ).to_pandas()
     assert sorted(out2["doc_id"]) == [5, 105]
+
+
+def test_gopher_filter_rule_mask_vs_reference(ray_session):
+    """Rule wiring vs the per-row reference feature functions: the
+    bitmask must equal the same comparisons applied to
+    quality_features()/repetition_features() outputs row by row."""
+    import ray.data
+
+    from grass_ray.functions.textstats import (
+        quality_features,
+        repetition_features,
+    )
+    from grass_ray.stages.curate import gopher_filter
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "through the quiet forest while morning light falls between "
+        "tall trees onto soft ground where small animals move about "
+        "looking for food and water near the old stone bridge which "
+        "has stood there for many long years without any repair at all"
+    )
+    docs = {
+        "good": good,
+        "short": "tiny doc",
+        "spam": ("spam " * 80).strip(),
+        "punct": "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!! ???",
+        "longwords": " ".join(["pneumonoultramicroscopic"] * 60),
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs)),
+            "text": pa.array(list(docs.values())),
+        }
+    )
+    out = (
+        gopher_filter(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+
+    for did, text in docs.items():
+        q = quality_features(text)
+        r = repetition_features(text)
+        want = 0
+        want |= (q["n_words"] < 50) << 0
+        want |= (q["n_words"] > 100_000) << 1
+        want |= (
+            q["mean_word_len"] < 3.0 or q["mean_word_len"] > 10.0
+        ) << 2
+        want |= (q["alpha_ratio"] < 0.6) << 3
+        want |= (q["stopword_ratio"] < 0.02) << 4
+        want |= (r["top_word_frac"] > 0.3) << 5
+        want |= (r["dup_bigram_frac"] > 0.2) << 6
+        want |= (r["dup_trigram_frac"] > 0.18) << 7
+        assert out.loc[did, "fail_mask"] == want, did
+        assert out.loc[did, "keep"] == (want == 0), did
+    # the crafted docs exercise the interesting corners
+    assert out.loc["good", "fail_mask"] == 0
+    assert out.loc["short", "fail_mask"] & 1
+    assert out.loc["spam", "fail_mask"] & (32 | 64 | 128)
+    assert out.loc["punct", "fail_mask"] & 8
+    assert out.loc["longwords", "fail_mask"] & 4
+
+    kept = gopher_filter(
+        ray.data.from_arrow(t), keep_only=True
+    ).to_pandas()
+    assert list(kept["doc_id"]) == ["good"]

@@ -141,3 +141,58 @@ def test_decontaminate_no_overlap(ray_session):
     )
     assert sorted(kept.to_pandas()["doc_id"]) == [1]
     assert bad.count() == 0
+
+
+def test_vocab_coverage_vs_counter(ray_session):
+    """vocab_coverage vs a brute-force Counter reference, including a
+    count tie at the k boundary (word-asc wins) and a group whose texts
+    contain no words (dropped)."""
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from grass_ray.stages.vocab import vocab_coverage
+
+    texts = [
+        ("a", "alpha beta beta gamma gamma delta"),
+        ("a", "alpha alpha zeta"),
+        ("b", "beta gamma epsilon epsilon"),
+        ("b", "alpha iota"),
+        ("c", "!!! ??? ..."),  # no words at all
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+            "source": pa.array([s for s, _ in texts]),
+            "text": pa.array([x for _, x in texts]),
+        }
+    )
+    k = 3
+    out = (
+        vocab_coverage(ray.data.from_arrow(t), k)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+
+    rx = re.compile(r"[a-z0-9_']+")
+    words = Counter()
+    per_src: dict[str, Counter] = {}
+    for s, x in texts:
+        ws = rx.findall(x.lower())
+        words.update(ws)
+        per_src.setdefault(s, Counter()).update(ws)
+    vocab = {
+        w for w, _ in sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    }
+    assert "c" not in out.index  # wordless group dropped
+    for s, c in per_src.items():
+        if not c:
+            continue
+        total = sum(c.values())
+        covered = sum(n for w, n in c.items() if w in vocab)
+        assert out.loc[s, "total_words"] == total
+        assert out.loc[s, "covered_words"] == covered
+        assert out.loc[s, "coverage"] == covered / total
+        assert out.loc[s, "oov_rate"] == 1.0 - covered / total
