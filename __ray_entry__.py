@@ -1400,6 +1400,29 @@ def _q_decontaminate(sf_dir: str) -> pa.Table:
     return t.select(["doc_id", "source"])
 
 
+def _q_decontaminate_report(sf_dir: str) -> pa.Table:
+    """Per-training-doc contamination audit (n distinct word 3-grams,
+    n of them occurring in the benchmark set) with an exact DuckDB
+    oracle — the counts behind decontaminate's keep/drop decision, as
+    pure int64s."""
+    import pyarrow.dataset as pads
+
+    from grass_ray.stages.vocab import decontaminate_report
+
+    cols = ["doc_id", "source", "text"]
+    bench = _read(
+        f"{sf_dir}/documents.parquet", columns=cols,
+        filter=pads.field("source") == "src0",
+    )
+    train = _read(
+        f"{sf_dir}/documents.parquet", columns=cols,
+        filter=pads.field("source") != "src0",
+    )
+    out = decontaminate_report(train, bench, k=3)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "n_grams", "n_contaminated"])
+
+
 def _q_decontaminate_bloom(sf_dir: str) -> pa.Table:
     """Bloom-regime decontamination (fixed-size broadcast bitmap, no
     gram exchange).  Oracled against the SAME SQL as the exact regime:
@@ -3686,6 +3709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "gopher_filter": _q_gopher_filter,
         "vocab_coverage": _q_vocab_coverage,
+        "decontaminate_report": _q_decontaminate_report,
         "scrub": _q_scrub,
         "chunk_pack": _q_chunk_pack,
         "attr_univar": _q_attr_univar,
@@ -4983,6 +5007,36 @@ def oracle_sql() -> dict[str, str]:
         "repetition": _repetition_sql(),
         "gopher_filter": _gopher_filter_sql(),
         "vocab_coverage": _vocab_coverage_sql(256),
+        "decontaminate_report": """
+            WITH b AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w
+                FROM documents WHERE source = 'src0'
+            ),
+            bg AS (
+                SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS g
+                FROM b CROSS JOIN UNNEST(range(1, len(w) - 1)) AS u(i)
+            ),
+            t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w
+                FROM documents WHERE source <> 'src0'
+            ),
+            tg AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+                FROM t CROSS JOIN UNNEST(range(1, len(w) - 1)) AS u(i)
+            ),
+            cnt AS (
+                SELECT tg.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_grams,
+                       CAST(count(bg.g) AS BIGINT) AS n_contaminated
+                FROM tg LEFT JOIN bg ON tg.g = bg.g
+                GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   COALESCE(cnt.n_grams, 0) AS n_grams,
+                   COALESCE(cnt.n_contaminated, 0) AS n_contaminated
+            FROM t LEFT JOIN cnt ON t.doc_id = cnt.doc_id
+        """,
         "token_counts": """
             SELECT doc_id,
                    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)

@@ -83,6 +83,7 @@ from grass_ray.stages.similarity import (
 )
 from grass_ray.stages.vocab import (
     decontaminate,
+    decontaminate_report,
     lm_score,
     rank_vocab,
     rank_vocab_ds,
@@ -172,6 +173,7 @@ __all__ = [
     "delta_rollup",
     "ffill_rollup",
     "curate_v2",
+    "decontaminate_report",
     "gopher_filter",
     "quantile_filter",
     "HyperLogLog",

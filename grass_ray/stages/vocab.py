@@ -476,6 +476,135 @@ def decontaminate(
     return kept, contaminated
 
 
+def decontaminate_report(
+    train_ds,
+    bench_ds,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = ASCII_WORD,
+    broadcast_threshold: int | None = None,
+):
+    """Per-training-doc contamination audit: ``n_grams`` (distinct word
+    k-grams in the doc) and ``n_contaminated`` (how many of them occur
+    anywhere in the benchmark set) — the evidence behind
+    :func:`decontaminate`'s binary keep/drop, for eval-hygiene reports
+    and overlap-threshold tuning.  One row per training doc, including
+    clean and short (< k words) ones.
+
+    Regimes mirror ``decontaminate``: a benchmark gram set at or under
+    the threshold broadcasts as a sorted int64 array (`ray.put` once),
+    making the whole report ONE exchange-free map pass over train
+    (per-doc counts from a searchsorted membership + `bincount`);
+    larger gram sets go through the distributed gram semi-join, with
+    map-side ``(n_grams, 0)`` partials unioned against per-hit
+    ``(0, 1)`` rows and folded by a single doc-keyed ``bucket_agg`` —
+    one exchange total, nothing per-doc on the driver."""
+    import ray
+
+    from grass_ray.stages.join import (
+        BROADCAST_KEYS_THRESHOLD,
+        bucket_agg,
+        distinct_keys,
+        semi_join,
+    )
+
+    rx = re.compile(pattern)
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_KEYS_THRESHOLD
+    bench_grams = distinct_keys(
+        _gram_table(
+            bench_ds, k=k, id_col=id_col, text_col=text_col, rx=rx,
+            with_id=False,
+        ),
+        ("gram",),
+    ).materialize()
+
+    if bench_grams.count() <= broadcast_threshold:
+        parts = [
+            b.column("gram").to_numpy(zero_copy_only=False)
+            for b in bench_grams.iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+        grams = (
+            np.sort(np.concatenate(parts))
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        gref = ray.put(grams)
+
+        def kernel(batch: pa.Table) -> pa.Table:
+            g = ray.get(gref)
+            texts = batch.column(text_col).to_pylist()
+            flat, lens = _batch_grams(texts, k, rx)
+            n_cont = np.zeros(batch.num_rows, dtype=np.int64)
+            if len(flat) and len(g):
+                idx = np.searchsorted(g, flat)
+                hit = (idx < len(g)) & (
+                    g[np.minimum(idx, len(g) - 1)] == flat
+                )
+                doc_of = np.repeat(
+                    np.arange(batch.num_rows, dtype=np.int64), lens
+                )
+                n_cont = np.bincount(
+                    doc_of[hit], minlength=batch.num_rows
+                ).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "n_grams": pa.array(lens, type=pa.int64()),
+                    "n_contaminated": pa.array(n_cont, type=pa.int64()),
+                }
+            )
+
+        return train_ds.map_batches(kernel, batch_format="pyarrow")
+
+    def base_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        _flat, lens = _batch_grams(texts, k, rx)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_grams": pa.array(lens, type=pa.int64()),
+                "n_contaminated": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    train_grams = _gram_table(
+        train_ds, k=k, id_col=id_col, text_col=text_col, rx=rx, with_id=True
+    )
+    hits = semi_join(
+        train_grams, bench_grams, key_cols=("gram",), keys_distinct=True
+    )
+
+    def hit_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_grams": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "n_contaminated": pa.array(
+                    np.ones(batch.num_rows, np.int64)
+                ),
+            }
+        )
+
+    parts = train_ds.map_batches(
+        base_partial, batch_format="pyarrow"
+    ).union(hits.map_batches(hit_partial, batch_format="pyarrow"))
+    return bucket_agg(
+        parts,
+        [id_col],
+        [
+            ("n_grams", "sum", "n_grams"),
+            ("n_contaminated", "sum", "n_contaminated"),
+        ],
+    )
+
+
 def _decontaminate_bloom(
     train_ds, bench_ds, *, k, id_col, text_col, rx, expected_n, fp_rate
 ):

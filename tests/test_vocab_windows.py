@@ -196,3 +196,67 @@ def test_vocab_coverage_vs_counter(ray_session):
         assert out.loc[s, "covered_words"] == covered
         assert out.loc[s, "coverage"] == covered / total
         assert out.loc[s, "oov_rate"] == 1.0 - covered / total
+
+
+def test_decontaminate_report_regimes_vs_reference(ray_session):
+    """decontaminate_report vs a brute-force set reference, and the
+    broadcast vs exchange regimes row-identical (including docs with
+    zero grams and zero contamination)."""
+    import re
+
+    import ray.data
+
+    from grass_ray.stages.vocab import decontaminate_report
+
+    bench_texts = ["alpha beta gamma delta", "one two three"]
+    train_texts = [
+        "alpha beta gamma delta epsilon",  # two bench 3-grams
+        "zeta eta theta iota kappa",       # clean
+        "one two three one two three",     # repeats fold: distinct grams only
+        "xy zz",                           # < 3 words -> 0 grams
+    ]
+    rx = re.compile(r"[a-z0-9_']+")
+
+    def gramset(t):
+        ws = rx.findall(t.lower())
+        return {tuple(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    bench_grams = set().union(*(gramset(t) for t in bench_texts))
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([f"b{i}" for i in range(len(bench_texts))]),
+                "text": pa.array(bench_texts),
+            }
+        )
+    )
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([f"t{i}" for i in range(len(train_texts))]),
+                "text": pa.array(train_texts),
+            }
+        )
+    )
+    got_b = (
+        decontaminate_report(train, bench, k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got_x = (
+        decontaminate_report(train, bench, k=3, broadcast_threshold=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got_b.equals(got_x)  # regime parity
+    for i, t in enumerate(train_texts):
+        g = gramset(t)
+        row = got_b[got_b["doc_id"] == f"t{i}"].iloc[0]
+        assert row["n_grams"] == len(g)
+        assert row["n_contaminated"] == len(g & bench_grams)
+    # the crafted corners actually fire
+    assert got_b.set_index("doc_id").loc["t3", "n_grams"] == 0
+    assert got_b.set_index("doc_id").loc["t1", "n_contaminated"] == 0
+    assert got_b.set_index("doc_id").loc["t0", "n_contaminated"] > 0

@@ -8,6 +8,17 @@ at a given num_cpus (run once per level in separate processes):
   build   — the full one-pass tier build (rollup + cascade + Gorilla
             encode + partitioned write + manifests)
 
+Plus one NON-memory-bound control slice when the 1M-doc stress corpus
+is staged (tools/stress_curation.py stages it):
+
+  textq   — the vectorized text-analysis kernel (quality + repetition
+            features) over 1M documents: compute-dominated (codepoint
+            classification, span hashing, per-doc reductions), tiny
+            output, no shuffle.  If THIS slice scales ~linearly 8→32
+            while read/build plateau, the plateau is DRAM bandwidth on
+            the memory-bound tiers path, not a box- or Ray-level
+            serialization — the isolation argument made direct.
+
 Usage:  python tools/stage_isolation.py            # runs 8 and 32
         python tools/stage_isolation.py --cpus 8   # one level (child)
 """
@@ -24,6 +35,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 CORPUS = "/tmp/grassray_bench_corpus_300000x1440"
+DOCS = "/tmp/grassray_stress_docs_1000000"
 
 
 def run_level(ncpu: int) -> dict:
@@ -107,10 +119,18 @@ def run_level(ncpu: int) -> dict:
         build_tiers_onepass(ds, dst, partitioning="range", docs_per_partition=2500)
         shutil.rmtree(dst, ignore_errors=True)
 
+    def textq_only():
+        from grass_ray.stages.text_stage import analyze_text
+
+        ds = read_parquet_sized(DOCS, columns=["doc_id", "text"])
+        consume(analyze_text(ds, features=("quality", "repetition")))
+
     timed("read", read_only)
     timed("rollup", rollup_only)
     timed("encode", encode_only)
     timed("build", full_build)
+    if os.path.isdir(DOCS):
+        timed("textq", textq_only)
     ray.shutdown()
     return out
 
@@ -142,6 +162,10 @@ def main():
         "write_tail_32": round(res[32]["build"] - res[32]["encode"], 3),
         "levels": res,
     }
+    if "textq" in res[8]:
+        summary["textq_speedup_8_32"] = round(
+            res[8]["textq"] / res[32]["textq"], 2
+        )
     print(json.dumps(summary))
 
 
