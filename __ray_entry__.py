@@ -316,6 +316,98 @@ def _minhash_components_md5_sql() -> str:
     )
 
 
+def _source_overlap_sql(k: int = 5) -> str:
+    """ngram_source_overlap(hash_fn="md5") in SQL: the SAME word → k-gram
+    rolling-polynomial hash chain as :func:`_minhash_md5_sql` (md5 word
+    ids, mod-2^64 HUGEINT limb arithmetic, short-doc whole-text hash,
+    63-bit halving), reduced to the distinct (source, gram) relation,
+    then the pair/total/jaccard algebra — every count exact int64, the
+    jaccard ONE double division of exact ints."""
+    base = 1099511628211
+    m64 = 1 << 64
+    bp = [pow(base, j, m64) for j in range(k)]
+    win_sum = " + ".join(_sql_mul64(f"w{j}.id", bp[j]) for j in range(k))
+    win_joins = "\n            ".join(
+        f"JOIN ids w{j} ON w{j}.doc_id = w0.doc_id AND w{j}.wi = w0.wi + {j}"
+        for j in range(1, k)
+    )
+    short_case = " ".join(
+        f"WHEN {j} THEN {_sql_mul64('id', bp[j])}" for j in range(k - 1)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   list_transform(regexp_extract_all(text, '[\\w'']+'),
+                                  x -> lower(x)) AS ws
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, unnest(ws) AS word,
+                   generate_subscripts(ws, 1) - 1 AS wi, len(ws) AS nw
+            FROM d
+        ),
+        ids AS (
+            SELECT doc_id, wi, nw,
+                   CAST(md5_number_lower(word) AS HUGEINT) AS id
+            FROM w
+        ),
+        win AS (
+            SELECT w0.doc_id, ({win_sum}) % 18446744073709551616 AS hv
+            FROM ids w0
+            {win_joins}
+        ),
+        shortd AS (
+            SELECT doc_id,
+                   sum(CASE wi {short_case} END)
+                       % 18446744073709551616 AS hv
+            FROM ids WHERE nw < {k} GROUP BY doc_id
+        ),
+        gs AS (
+            SELECT DISTINCT d.source, u.hv // 2 AS h
+            FROM (SELECT * FROM win UNION ALL SELECT * FROM shortd) u
+            JOIN d ON d.doc_id = u.doc_id
+        ),
+        tot AS (SELECT source, count(*) AS n FROM gs GROUP BY 1),
+        p AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared
+            FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b, p.n_shared,
+               ta.n AS n_a, tb.n AS n_b,
+               CAST(p.n_shared AS DOUBLE)
+                   / CAST(ta.n + tb.n - p.n_shared AS DOUBLE) AS jaccard
+        FROM p JOIN tot ta ON ta.source = p.source_a
+               JOIN tot tb ON tb.source = p.source_b
+    """
+
+
+_QUANTIZE_CODES_CTE = """
+        e AS (
+            SELECT vec_id,
+                   list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        mx AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, y -> abs(y))) AS maxabs
+            FROM e
+        ),
+        codes AS (
+            SELECT vec_id,
+                   list_transform(
+                       v,
+                       y -> floor(y * 127.0
+                                  / (CASE WHEN maxabs = 0 THEN 1.0
+                                          ELSE maxabs END) + 0.5)
+                   ) AS code,
+                   maxabs / 127.0 AS scale
+            FROM mx
+        )
+"""
+
+
 def _pack_cte(block_len: int) -> str:
     """CTE chain replaying pack_spans_global over a ``tok`` CTE of
     (doc_id, pos, token): per-doc kept length (count of non-NULL
@@ -1994,6 +2086,118 @@ def _q_ivf_full(sf_dir: str) -> pa.Table:
     return out.set_column(out.schema.get_field_index("score"), "score", score)
 
 
+def _q_quantize_codes(sf_dir: str) -> pa.Table:
+    """Int8 scalar quantization of the embeddings table, summarized per
+    vector (n_dim / sum / min / max of the codes + the scale).  The
+    quantization formula — ``code = floor(x·127/maxabs + 0.5)``,
+    ``scale = maxabs/127`` — is element-wise IEEE float64 with no sums,
+    so the DuckDB twin computing the literal same expression is
+    bit-identical; the code summaries are exact int64 sums."""
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.similarity import quantize_embeddings
+
+    ds = quantize_embeddings(_read(f"{sf_dir}/embeddings.parquet"))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        code = batch.column("code")
+        if isinstance(code, pa.ChunkedArray):
+            code = code.combine_chunks()
+        flat = code.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = code.value_lengths().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = flat.reshape(-1, int(lens[0]) if len(lens) else 0)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "n_dim": pa.array(lens, type=pa.int64()),
+                "sum_code": pa.array(m.sum(axis=1), type=pa.int64()),
+                "min_code": pa.array(m.min(axis=1), type=pa.int64()),
+                "max_code": pa.array(m.max(axis=1), type=pa.int64()),
+                "scale": batch.column("scale"),
+            }
+        )
+
+    out = ds.map_batches(summarize, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_ann_int8(sf_dir: str) -> pa.Table:
+    """Quantized-ANN candidate stage: integer-dot top-10 over the int8
+    codes for the 3 lowest-vec_id query vectors (quantized with the
+    same formula).  Scores are exact int64 sums — order-independent,
+    so unlike ★ann_topk this needs NO rounding contract or margin
+    guard; ties break on ascending vec_id identically in SQL."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from grass_ray.stages.similarity import (
+        _quantize_rows,
+        ann_topk_int8,
+        quantize_embeddings,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.sort_by("vec_id").slice(0, 3)
+    q = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()]
+    )
+    q_codes, _ = _quantize_rows(q)
+    codes_ds = quantize_embeddings(_read(path))
+    out = ann_topk_int8(codes_ds, q_codes, k=10)
+    score = pc.cast(out.column("score"), pa.int64())  # exact ints
+    return out.set_column(out.schema.get_field_index("score"), "score", score)
+
+
+def _q_ann_rerank_full(sf_dir: str) -> pa.Table:
+    """Two-stage quantized ANN with ``rerank == n``: every vector
+    survives the int8 candidate stage, so the float re-rank is EXACTLY
+    brute-force cosine top-k — same query vectors, float64 scoring and
+    round6 contract as ★ann_topk, whose DuckDB oracle this query
+    shares.  Proves the quantize → int-candidates → broadcast-id-filter
+    → exact-rerank plumbing end-to-end (the pruned-rerank production
+    config is covered by the recall pytest)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from grass_ray.stages.similarity import ann_topk_rerank
+
+    path = f"{sf_dir}/embeddings.parquet"
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.sort_by("vec_id").slice(0, 3)
+    q = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()]
+    )
+    n = pq.read_metadata(path).num_rows
+    if n <= _MARGIN_GUARD_MAX_ROWS:
+        _ids, Xn = _load_embeddings_f64(path)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        for qi in range(qn.shape[0]):
+            gaps = np.diff(np.sort(Xn @ qn[qi]))
+            _assert_margin(gaps[gaps > 0], "ann_rerank_full rank order")
+    ds = _read(path)
+    out = ann_topk_rerank(ds, q, k=10, rerank=n, dtype=np.float64)
+    score = pc.divide(
+        pc.floor(pc.add(pc.multiply(out.column("score"), 1e6), 0.5)), 1e6
+    )
+    return out.set_column(out.schema.get_field_index("score"), "score", score)
+
+
+def _q_source_overlap(sf_dir: str) -> pa.Table:
+    """Cross-source k-gram overlap matrix over the documents table with
+    the md5 word hash: per source pair, shared distinct 5-gram count,
+    per-source totals and the gram-set Jaccard.  Counts are exact
+    int64; jaccard is ONE IEEE division of exact ints — identical on
+    both sides, no rounding needed."""
+    from grass_ray.stages.vocab import ngram_source_overlap
+
+    ds = _read(f"{sf_dir}/documents.parquet")
+    out = ngram_source_overlap(ds, k=5, hash_fn="md5")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_embedding_dedup(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup: centroid-bucketed pair detection over
     the embeddings table; returns the surviving vec_ids."""
@@ -3666,16 +3870,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_det": _q_semdedup_det,
         "embedding_dedup_det": _q_embedding_dedup_det,
-        # --- 30-50: the r4 exact twins + catalog round trips ---
-        "bpe_encode_fixed": _q_bpe_fixed,
+        # --- 30-50: r4 exact twins + catalog round trips + the NEW
+        # --- r5 quantized-ANN / source-overlap family (the displaced
+        # --- r4 twins are r4-driver-green and unchanged since; they
+        # --- move past the window but stay in the full sweep) ---
+        "quantize_codes": _q_quantize_codes,
         "curate_pipeline_md5": _q_curate_md5,
         "minhash_dedup_md5": _q_minhash_md5,
-        "minhash_components_md5": _q_minhash_components_md5,
-        "simhash_candidates_md5": _q_simhash_md5,
+        "source_overlap": _q_source_overlap,
+        "ann_int8": _q_ann_int8,
         "ann_topk": _q_ann,
         "ivf_topk_full": _q_ivf_full,
         "pack_sequences_global": _q_pack_global,
-        "pack_spans_global": _q_pack_spans_global,
+        "ann_rerank_full": _q_ann_rerank_full,
         "curate_v2": _q_curate_v2,
         "hll_registers": _q_hll_registers,
         "algebra_calendar": _q_algebra_calendar,
@@ -3693,6 +3900,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- past the 50-row driver window ----------------
         # exact-oracled, driver-green in r2/r3/r4 (evidence kept in
         # CORRECTNESS_r0{2,3,4}.json; still in the full sweep)
+        "bpe_encode_fixed": _q_bpe_fixed,
+        "minhash_components_md5": _q_minhash_components_md5,
+        "simhash_candidates_md5": _q_simhash_md5,
+        "pack_spans_global": _q_pack_spans_global,
         "freq_tokenize": _q_freq_tokenize,
         "fingerprint_docs": _q_fingerprint,
         "normalize_text": _q_normalize,
@@ -4877,6 +5088,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
         """,
+        "quantize_codes": f"""
+            WITH {_QUANTIZE_CODES_CTE}
+            SELECT vec_id,
+                   CAST(len(code) AS BIGINT) AS n_dim,
+                   CAST(list_sum(code) AS BIGINT) AS sum_code,
+                   CAST(list_min(code) AS BIGINT) AS min_code,
+                   CAST(list_max(code) AS BIGINT) AS max_code,
+                   scale
+            FROM codes
+        """,
+        "ann_int8": f"""
+            WITH {_QUANTIZE_CODES_CTE},
+            q AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                       code AS qc
+                FROM codes ORDER BY vec_id LIMIT 3
+            ),
+            s AS (
+                -- integer-valued doubles, dim·127² ≪ 2^53: the dot
+                -- product is exact regardless of summation order
+                SELECT q.query_id, c.vec_id,
+                       CAST(list_dot_product(q.qc, c.code) AS BIGINT)
+                           AS score
+                FROM q CROSS JOIN codes c
+            ),
+            r AS (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY score DESC, vec_id
+                       ) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+        "source_overlap": _source_overlap_sql(),
         "kmeans_assign": f"""
             WITH c AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -5671,4 +5918,7 @@ def oracle_sql() -> dict[str, str]:
     # nprobe == n_clusters scans every IVF partition → exactly the
     # brute-force top-k; shares ann_topk's oracle (same queries/round6)
     d["ivf_topk_full"] = d["ann_topk"]
+    # rerank == n degenerates to brute-force top-k; shares ann_topk's
+    # oracle (same queries / round6 contract)
+    d["ann_rerank_full"] = d["ann_topk"]
     return d

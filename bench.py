@@ -180,6 +180,9 @@ def run_bench() -> dict:
         "audio_features",
         "gopher_filter",
         "vocab_coverage",
+        "quantize_codes",
+        "ann_int8",
+        "source_overlap",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction

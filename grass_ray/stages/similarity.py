@@ -766,3 +766,162 @@ def semdedup(
         lambda b: b.select([id_col]), batch_format="pyarrow"
     ), key_cols=(id_col,), keys_distinct=True)
     return kept, drops_ds
+
+
+def _quantize_rows(m: np.ndarray):
+    """Symmetric per-vector int8 scalar quantization of a float64
+    matrix: ``code = floor(x * 127.0 / maxabs + 0.5)`` (int8-safe by
+    construction: |x| ≤ maxabs ⇒ |code| ≤ 127), ``scale = maxabs/127``
+    so ``x ≈ code*scale``.  All-zero vectors quantize to all-zero codes
+    with scale 0.  Every op is an element-wise IEEE float64 op on
+    exactly-loaded inputs, so a SQL twin computing the SAME expression
+    (``floor(x * 127.0 / maxabs + 0.5)``) is bit-identical — no sums,
+    no order dependence."""
+    if m.size == 0:
+        return (
+            np.empty(m.shape, dtype=np.int8),
+            np.zeros(m.shape[0], dtype=np.float64),
+        )
+    maxabs = np.abs(m).max(axis=1)
+    safe = np.where(maxabs == 0.0, 1.0, maxabs)
+    codes = np.floor(m * 127.0 / safe[:, None] + 0.5).astype(np.int8)
+    return codes, maxabs / 127.0
+
+
+def quantize_embeddings(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+    scale_col: str = "scale",
+    keep_cols: tuple = (),
+):
+    """Int8 scalar quantization of an embedding column — the storage
+    path for 100-TB vector corpora: ``list<int8>`` codes are 4× smaller
+    than float32 (8× vs float64) in memory and compress better in
+    parquet, and candidate scoring becomes an integer matmul
+    (:func:`ann_topk_int8`).  Pure map stage, zero shuffle; the
+    quantization formula is order-free so the codes are exactly
+    SQL-reproducible (★quantize_codes).
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(vec_col), dtype=np.float64)
+        codes, scale = _quantize_rows(m)
+        n, dim = codes.shape
+        offs = pa.array(
+            np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+        )
+        code = pa.ListArray.from_arrays(
+            offs, pa.array(codes.ravel(), type=pa.int8())
+        )
+        cols = {
+            id_col: batch.column(id_col),
+            code_col: code,
+            scale_col: pa.array(scale, type=pa.float64()),
+        }
+        for c in keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def ann_topk_int8(
+    codes_ds,
+    query_codes: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+):
+    """Integer-dot top-k over int8 codes: candidate generation for the
+    quantized ANN path.  ``score = Σ_j q_j·c_j`` is an exact int64 sum
+    (order-independent — integer addition is associative), so unlike
+    the float cosine path this stage needs NO rounding contract or
+    margin guard against a SQL oracle; ties break on ascending id.
+    Same broadcast + local-top-k + coalesce-combine plan as
+    :func:`ann_topk` (driver receives exactly nq·k rows)."""
+    import ray
+
+    q = np.ascontiguousarray(np.asarray(query_codes, dtype=np.int64))
+    qref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        ids = _ids_np(batch.column(id_col))
+        m = _to_matrix(batch.column(code_col), dtype=np.int64)
+        scores = qm @ m.T  # (nq, nb) exact int64
+        kk = min(k, m.shape[0])
+        if kk == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        nq = qm.shape[0]
+        out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        sel = idx.ravel()
+        # int64 scores here are ≤ dim·127² ≪ 2^53: exact as float64
+        out_s = scores[np.repeat(np.arange(nq), kk), sel].astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                id_col: pa.array(ids[sel]),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = codes_ds.map_batches(local_topk, batch_format="pyarrow")
+    return _merge_topk(cand, k, id_col)
+
+
+def ann_topk_rerank(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dtype=np.float32,
+):
+    """Two-stage quantized ANN: int8 integer-dot candidate generation
+    (top-``rerank`` per query over the quantized table) followed by an
+    exact float cosine re-rank of ONLY the candidate vectors.  At scale
+    the int8 codes are the resident artifact (4× smaller than float32)
+    and stage 2 is a pruned gather: the candidate id set is bounded at
+    nq·rerank, broadcast once, and filters the float table map-side —
+    no shuffle anywhere.  ``rerank >= n`` degenerates to exact
+    brute-force (pytest + ★ann_rerank_full prove it ≡ :func:`ann_topk`).
+    """
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    q_codes, _ = _quantize_rows(q)
+    codes_ds = quantize_embeddings(ds, id_col=id_col, vec_col=vec_col)
+    cand = ann_topk_int8(
+        codes_ds, q_codes, max(k, rerank), id_col=id_col
+    )
+    cand_ids = np.sort(
+        np.unique(_ids_np(cand.column(id_col)))
+    )  # bounded: ≤ nq·rerank
+    idref = ray.put(cand_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = _ids_np(batch.column(id_col))
+        cs = ray.get(idref)
+        pos = np.searchsorted(cs, ids)
+        hit = (pos < len(cs)) & (cs[np.minimum(pos, len(cs) - 1)] == ids)
+        return batch.filter(pa.array(hit))
+
+    filtered = ds.map_batches(keep, batch_format="pyarrow")
+    return ann_topk(
+        filtered, queries, k, id_col=id_col, vec_col=vec_col, dtype=dtype
+    )

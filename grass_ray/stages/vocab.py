@@ -1794,3 +1794,184 @@ def _pmi_exchange_scored(
         )
 
     return att.map_batches(score, batch_format="pyarrow")
+
+
+def ngram_source_overlap(
+    ds,
+    *,
+    k: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+    hash_fn: str = "blake2b",
+    buckets: int = 64,
+):
+    """Cross-source k-gram overlap matrix — the corpus diversity /
+    duplication diagnostic behind source-mixing decisions: for every
+    pair of sources, how many distinct word k-grams they share, their
+    per-source distinct-gram totals, and the resulting gram-set Jaccard.
+
+    Plan (two exchanges, nothing unbounded on the driver):
+
+    1. map pass: per-doc UNIQUE k-gram hashes (the shared
+       :func:`~grass_ray.functions.textstats.kgram_hashes_batch`
+       kernel, same rolling-polynomial values as the MinHash family —
+       ``hash_fn="md5"`` makes them DuckDB-reproducible) → batch-local
+       distinct ``(gram, source)`` rows;
+    2. global distinct via the bucket exchange (``distinct_keys``),
+       materialized once and reused for totals and pairs;
+    3. pairs: gram-keyed buckets; per bucket a VECTORIZED segment pair
+       explosion (sort by (gram, source), run-length segments, the
+       repeat/offset pair-index construction — no per-gram Python
+       loop) into ``(source_a < source_b)`` rows, pre-counted in-bucket,
+       then one ``bucket_agg`` sum.  Per-gram fan-out is bounded by the
+       number of sources carrying that gram, so a gram shared by s
+       sources costs s(s-1)/2 rows — the pair table is bounded by
+       distinct-grams × s²/2, all of it distributed;
+    4. per-source totals fold the same distinct table
+       (``bucket_agg`` sum of batch partials) and broadcast as a dict
+       (one row per source) for the map-side jaccard attach —
+       ``jaccard = n_shared / (n_a + n_b − n_shared)`` is a single IEEE
+       division of exact int64 counts, so the whole report is
+       value-exact vs SQL.
+
+    Returns a Dataset of
+    ``(source_a, source_b, n_shared, n_a, n_b, jaccard)`` — one row per
+    source pair sharing ≥1 gram.
+    """
+    import ray
+
+    from grass_ray.functions.textstats import kgram_hashes_batch
+    from grass_ray.stages.join import _bucket_ids, bucket_agg, distinct_keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        flat, lens = kgram_hashes_batch(texts, k, hash_fn=hash_fn)
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table(
+            {
+                "gram": pa.array(flat, type=pa.int64()),
+                source_col: src.take(
+                    pa.array(
+                        np.repeat(
+                            np.arange(batch.num_rows, dtype=np.int64), lens
+                        )
+                    )
+                ),
+            }
+        )
+        return t.group_by(["gram", source_col], use_threads=False).aggregate([])
+
+    gs = distinct_keys(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ("gram", source_col),
+        buckets=buckets,
+    ).materialize()
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([source_col])
+            .group_by(source_col, use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return t.rename_columns([source_col, "n"])
+
+    totals = bucket_agg(
+        gs.map_batches(total_partial, batch_format="pyarrow"),
+        [source_col],
+        [("n", "sum", "n_grams")],
+        buckets=buckets,
+    )
+    tot_map = {}
+    for b in totals.iter_batches(batch_format="pyarrow", batch_size=None):
+        for s, n in zip(
+            b.column(source_col).to_pylist(), b.column("n_grams").to_pylist()
+        ):
+            tot_map[s] = int(n)  # one row per source: bounded
+    tref = ray.put(tot_map)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_ids(batch, ["gram"], buckets))
+        )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select(["gram", source_col])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("gram", "ascending"), (source_col, "ascending")],
+        )
+        t = t.take(idx)
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        s = np.asarray(t.column(source_col).to_pylist(), dtype=object)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], type=pa.string()),
+                    "source_b": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        starts = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
+        counts = np.diff(np.append(starts, len(g)))
+        local = np.arange(len(g), dtype=np.int64) - np.repeat(starts, counts)
+        total = int(local.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], type=pa.string()),
+                    "source_b": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        second = np.repeat(np.arange(len(g), dtype=np.int64), local)
+        block_starts = np.cumsum(local) - local
+        offset = np.arange(total, dtype=np.int64) - np.repeat(
+            block_starts, local
+        )
+        first = np.repeat(np.repeat(starts, counts), local) + offset
+        pt = pa.table(
+            {
+                "source_a": pa.array(s[first].tolist(), type=pa.string()),
+                "source_b": pa.array(s[second].tolist(), type=pa.string()),
+            }
+        )
+        out = pt.group_by(["source_a", "source_b"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["source_a", "source_b", "n"])
+
+    pairs = bucket_agg(
+        gs.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow"),
+        ["source_a", "source_b"],
+        [("n", "sum", "n_shared")],
+        buckets=buckets,
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        tm = ray.get(tref)
+        sa = batch.column("source_a").to_pylist()
+        sb = batch.column("source_b").to_pylist()
+        ns = batch.column("n_shared").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        na = np.fromiter((tm[x] for x in sa), dtype=np.int64, count=len(sa))
+        nb = np.fromiter((tm[x] for x in sb), dtype=np.int64, count=len(sb))
+        jac = ns.astype(np.float64) / (na + nb - ns).astype(np.float64)
+        return pa.table(
+            {
+                "source_a": batch.column("source_a"),
+                "source_b": batch.column("source_b"),
+                "n_shared": pa.array(ns, type=pa.int64()),
+                "n_a": pa.array(na, type=pa.int64()),
+                "n_b": pa.array(nb, type=pa.int64()),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
