@@ -3000,6 +3000,28 @@ def _q_series_ffill(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_zscore_anomalies(sf_dir: str) -> pa.Table:
+    """Windowed z-score anomaly rollup (1m windows, |v−mean| > 2σ):
+    int64 power sums are exact; mean/std/flag are FIXED-ORDER IEEE
+    expressions on them (the comparison multiplies by std instead of
+    dividing), so both sides are bit-identical with no rounding."""
+    from grass_ray.stages.seriesops import zscore_anomalies
+
+    out = zscore_anomalies(_corpus(sf_dir), 60, thresh=2.0)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_value_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width token-value histogram per source (r.stats analog):
+    40 bins over [100, 4100) plus under/overflow bins — the binning
+    expression is two fixed-order IEEE ops on exact int64 values,
+    identical in SQL; counts are exact int64."""
+    from grass_ray.stages.univar import value_histogram
+
+    out = value_histogram(_corpus(sf_dir), lo=100.0, hi=4100.0, n_bins=40)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_pmi(sf_dir: str) -> pa.Table:
     """Top-50 adjacent-bigram collocations by quantized PMI — exact
     int64 score (fixed float association order both sides), unique
@@ -3881,12 +3903,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_int8": _q_ann_int8,
         "ann_topk": _q_ann,
         "ivf_topk_full": _q_ivf_full,
-        "pack_sequences_global": _q_pack_global,
+        "anomaly_zscore": _q_zscore_anomalies,
         "ann_rerank_full": _q_ann_rerank_full,
         "curate_v2": _q_curate_v2,
         "hll_registers": _q_hll_registers,
         "algebra_calendar": _q_algebra_calendar,
-        "algebra_topo_during": _q_algebra_topo_during,
+        "value_histogram": _q_value_histogram,
         "refine_explode": _q_refine_explode,
         "segment_dedup": _q_segment_dedup,
         "register_resume": _q_register_resume,
@@ -3904,6 +3926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_components_md5": _q_minhash_components_md5,
         "simhash_candidates_md5": _q_simhash_md5,
         "pack_spans_global": _q_pack_spans_global,
+        "pack_sequences_global": _q_pack_global,
+        "algebra_topo_during": _q_algebra_topo_during,
         "freq_tokenize": _q_freq_tokenize,
         "fingerprint_docs": _q_fingerprint,
         "normalize_text": _q_normalize,
@@ -5556,6 +5580,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(dv) AS BIGINT) AS min_d,
                CAST(max(dv) AS BIGINT) AS max_d
         FROM dlt GROUP BY 1, 2, 3
+    """
+    d["anomaly_zscore"] = f"""
+        WITH tok AS ({tok}),
+        a AS (
+            SELECT source, doc_id, pos // 60 AS "window",
+                   CAST(count(token) AS BIGINT) AS n,
+                   CAST(sum(token) AS BIGINT) AS s1,
+                   CAST(sum(CAST(token AS BIGINT) * CAST(token AS BIGINT))
+                        AS BIGINT) AS s2
+            FROM tok GROUP BY 1, 2, 3
+        ),
+        st AS (
+            -- fixed-order IEEE expressions on exact int64 power sums:
+            -- identical to the engine kernel, bit-for-bit
+            SELECT source, doc_id, "window", n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   sqrt(GREATEST(
+                       CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+                       0.0)) AS std
+            FROM a WHERE n > 0
+        ),
+        fl AS (
+            SELECT t.source, t.doc_id, t.pos // 60 AS "window",
+                   CAST(count(*) FILTER (
+                       WHERE abs(CAST(t.token AS DOUBLE) - st.mean)
+                                 > 2.0 * st.std
+                         AND st.std > 0.0
+                   ) AS BIGINT) AS n_anom
+            FROM tok t
+            JOIN st ON st.source = t.source AND st.doc_id = t.doc_id
+                   AND st."window" = t.pos // 60
+            WHERE t.token IS NOT NULL
+            GROUP BY 1, 2, 3
+        )
+        SELECT st.source, st.doc_id, st."window", st.n, st.mean, st.std,
+               fl.n_anom
+        FROM st JOIN fl ON fl.source = st.source AND fl.doc_id = st.doc_id
+                       AND fl."window" = st."window"
+    """
+    d["value_histogram"] = f"""
+        WITH tok AS ({tok})
+        SELECT source,
+               CAST(LEAST(GREATEST(
+                   floor((CAST(token AS DOUBLE) - 100.0) / 100.0),
+                   -1.0), 40.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tok WHERE token IS NOT NULL
+        GROUP BY 1, 2
     """
     d["series_ffill"] = f"""
         WITH tok AS ({tok}),

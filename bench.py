@@ -183,6 +183,8 @@ def run_bench() -> dict:
         "quantize_codes",
         "ann_int8",
         "source_overlap",
+        "anomaly_zscore",
+        "value_histogram",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction

@@ -167,3 +167,80 @@ def ffill_rollup(
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def zscore_anomalies(
+    ds,
+    gran: int,
+    *,
+    thresh: float = 2.0,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Windowed z-score anomaly detection (the PromQL
+    ``stddev_over_time`` alert-rule analog): per ``window = pos //
+    gran`` compute the population mean/std of the non-NULL values and
+    count the points with ``|v − mean| > thresh·std`` (only when
+    ``std > 0``, so constant windows flag nothing).
+
+    Exactness contract: the int64 power sums ``S1 = Σv`` and
+    ``S2 = Σv²`` are exact; every float is a FIXED-ORDER IEEE
+    expression on them — ``mean = S1/n``, ``var = S2/n − mean·mean``
+    (clamped at 0), ``std = sqrt(var)`` (correctly-rounded on both
+    numpy and DuckDB), and the flag comparison multiplies
+    (``|v − mean| > thresh·std``) instead of dividing — so a SQL twin
+    spelling the SAME expressions is bit-identical with NO rounding
+    contract.  Row-local, shuffle-free, one reduceat pass per batch.
+    Windows with no valid points are dropped (mean/std undefined)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        v, null, row_of, pos, lens, starts = _flat_batch(batch, tokens_col)
+        doc_take, win, wbase, n_out = _window_frame(lens, gran)
+        seg_of = wbase[row_of] + pos // gran
+        valid = ~null
+        cnt = np.zeros(n_out, dtype=np.int64)
+        s1 = np.zeros(n_out, dtype=np.int64)
+        s2 = np.zeros(n_out, dtype=np.int64)
+        n_anom = np.zeros(n_out, dtype=np.int64)
+        vsel = np.flatnonzero(valid)
+        if len(vsel):
+            segs = seg_of[vsel]
+            vals = v[vsel]
+            b = np.flatnonzero(np.diff(segs)) + 1
+            startsb = np.concatenate([[0], b])
+            seg_u = segs[startsb]
+            cnt[seg_u] = np.diff(np.concatenate([startsb, [len(segs)]]))
+            s1[seg_u] = np.add.reduceat(vals, startsb)
+            s2[seg_u] = np.add.reduceat(vals * vals, startsb)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                nf = cnt.astype(np.float64)
+                mean = s1.astype(np.float64) / nf
+                var = s2.astype(np.float64) / nf - mean * mean
+                std = np.sqrt(np.maximum(var, 0.0))
+            flag = (
+                np.abs(vals.astype(np.float64) - mean[segs])
+                > thresh * std[segs]
+            ) & (std[segs] > 0.0)
+            n_anom += np.bincount(segs[flag], minlength=n_out).astype(
+                np.int64
+            )
+        keep = cnt > 0
+        take = pa.array(doc_take[keep])
+        nf = cnt[keep].astype(np.float64)
+        mean = s1[keep].astype(np.float64) / nf
+        var = s2[keep].astype(np.float64) / nf - mean * mean
+        std = np.sqrt(np.maximum(var, 0.0))
+        return pa.table(
+            {
+                source_col: batch.column(source_col).take(take),
+                id_col: batch.column(id_col).take(take),
+                "window": pa.array(win[keep]),
+                "n": pa.array(cnt[keep]),
+                "mean": pa.array(mean, type=pa.float64()),
+                "std": pa.array(std, type=pa.float64()),
+                "n_anom": pa.array(n_anom[keep]),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -232,3 +232,77 @@ def attr_univar(ds, col: str, *, by=None, sample: bool = True):
         return pa.table(cols)
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def value_histogram(
+    ds,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    by: str = "source",
+    tokens_col: str = "tokens",
+):
+    """Fixed-width value histogram of the token stream per ``by`` group
+    — the r.stats / r.univar-histogram analog (reference:
+    `raster/r.stats/main.c` category counts, `r.univar` with fp ranges).
+
+    ``bin = floor((v − lo) / width)`` with ``width = (hi − lo)/n_bins``;
+    values below ``lo`` land in bin −1, values at or above ``hi`` in bin
+    ``n_bins`` (DuckDB twin uses LEAST/GREATEST on the same expression —
+    the float ops are two fixed-order IEEE ops on exactly-representable
+    int64 token values, so binning is bit-identical).  NULL tokens are
+    excluded.  Plan: one vectorized per-batch partial (flatten +
+    bincount per group) → a single narrow ``bucket_agg`` sum exchange —
+    the wire carries one row per (group, non-empty bin) per block.
+    """
+    from grass_ray.stages.join import bucket_agg
+
+    width = (float(hi) - float(lo)) / float(n_bins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = col.value_lengths().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        flat = col.flatten()
+        null = flat.is_null().to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        v = (
+            pc.fill_null(flat.cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        bins = np.floor((v - float(lo)) / width)
+        bins = np.clip(bins, -1.0, float(n_bins)).astype(np.int64)
+        row_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        keys = batch.column(by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        # group ids within the batch: dictionary-encode the key column
+        enc = keys.dictionary_encode()
+        gid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_groups = len(enc.dictionary)
+        sel = ~null
+        # composite id: group * (n_bins + 2) + (bin + 1) — dense bincount
+        comp = gid[row_of[sel]] * (n_bins + 2) + (bins[sel] + 1)
+        counts = np.bincount(comp, minlength=n_groups * (n_bins + 2))
+        nz = np.flatnonzero(counts)
+        out_g = nz // (n_bins + 2)
+        out_b = nz % (n_bins + 2) - 1
+        return pa.table(
+            {
+                by: enc.dictionary.take(pa.array(out_g)),
+                "bin": pa.array(out_b, type=pa.int64()),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    return bucket_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [by, "bin"],
+        [("n", "sum", "n")],
+    )
