@@ -3000,6 +3000,42 @@ def _q_series_ffill(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_events_trend(sf_dir: str) -> pa.Table:
+    """Grouped OLS trend per (event_type, hour): regress exact cents on
+    the second-within-hour (r.regression.line analog, c_reg.c formula
+    order — the grouped/shuffled sibling of ★rollup_regression's
+    row-local form).  Power sums are exact int64 on both sides; the
+    finals are formula-identical fixed-order IEEE, so no rounding;
+    zero-variance/n<2 groups are NULL ≙ DuckDB NULL-on-/0."""
+    from grass_ray.stages.grouped import regression_points
+
+    ds = _events_cents(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        secs = pc.cast(
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window": pc.divide(secs, 3600),
+                "x": pc.subtract(
+                    secs, pc.multiply(pc.divide(secs, 3600), 3600)
+                ),
+                "value": batch.column("value"),
+            }
+        )
+
+    pts = ds.map_batches(prep, batch_format="pyarrow")
+    out = regression_points(
+        pts, ["event_type", "window"], x_col="x", y_col="value"
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_zscore_anomalies(sf_dir: str) -> pa.Table:
     """Windowed z-score anomaly rollup (1m windows, |v−mean| > 2σ):
     int64 power sums are exact; mean/std/flag are FIXED-ORDER IEEE
@@ -3913,7 +3949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": _q_segment_dedup,
         "register_resume": _q_register_resume,
         "catalog_list": _q_catalog_list,
-        "export_import_roundtrip": _q_export_import,
+        "events_trend": _q_events_trend,
         "compact_roundtrip": _q_compact_roundtrip,
         # --- 49-50: NEW round-5 exact twins (calendar tier build,
         # --- multimodal audio decode) ---
@@ -3928,6 +3964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_spans_global": _q_pack_spans_global,
         "pack_sequences_global": _q_pack_global,
         "algebra_topo_during": _q_algebra_topo_during,
+        "export_import_roundtrip": _q_export_import,
         "freq_tokenize": _q_freq_tokenize,
         "fingerprint_docs": _q_fingerprint,
         "normalize_text": _q_normalize,
@@ -5580,6 +5617,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(dv) AS BIGINT) AS min_d,
                CAST(max(dv) AS BIGINT) AS max_d
         FROM dlt GROUP BY 1, 2, 3
+    """
+    d["events_trend"] = """
+        WITH c AS (
+            SELECT event_type,
+                   epoch_us(ts) // 1000000 // 3600 AS "window",
+                   epoch_us(ts) // 1000000 % 3600 AS x,
+                   CAST(round(value * 100.0) AS BIGINT) AS y
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, "window",
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS DOUBLE) AS sx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy,
+                   CAST(sum(x * x) AS DOUBLE) AS sxx,
+                   CAST(sum(y * y) AS DOUBLE) AS syy
+            FROM c GROUP BY 1, 2
+        ),
+        f AS (
+            SELECT event_type, "window", n,
+                   CAST(n AS DOUBLE) AS nf,
+                   sx / CAST(n AS DOUBLE) AS xbar,
+                   sy / CAST(n AS DOUBLE) AS ybar,
+                   sxy - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+                         * (sy / CAST(n AS DOUBLE)) AS numer,
+                   sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+                         * (sx / CAST(n AS DOUBLE)) AS denom,
+                   syy - CAST(n AS DOUBLE) * (sy / CAST(n AS DOUBLE))
+                         * (sy / CAST(n AS DOUBLE)) AS denom2
+            FROM s
+        ),
+        g AS (
+            SELECT event_type, "window", n, nf,
+                   CASE WHEN n < 2 THEN NULL ELSE numer / denom END AS slope,
+                   CASE WHEN n < 2 THEN NULL
+                        ELSE ybar - xbar * numer / denom END AS icept,
+                   CASE WHEN n < 2 THEN NULL
+                        ELSE (numer * numer) / (denom * denom2) END AS r2
+            FROM f
+        )
+        SELECT event_type, "window", n, slope, icept, r2,
+               CASE WHEN r2 IS NULL OR r2 >= 1 THEN NULL
+                    ELSE sqrt(r2 * (nf - 2.0) / (1.0 - r2)) END AS tval
+        FROM g
     """
     d["anomaly_zscore"] = f"""
         WITH tok AS ({tok}),

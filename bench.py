@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "source_overlap",
         "anomaly_zscore",
         "value_histogram",
+        "events_trend",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction

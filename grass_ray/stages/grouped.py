@@ -763,3 +763,90 @@ def hll_register_table(
         return pa.table(cols)
 
     return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
+
+
+def regression_points(ds, key_cols, *, x_col, y_col, buckets: int = 64):
+    """Grouped OLS of ``y`` on ``x`` — the ``r.regression.line`` analog
+    over a point stream (reference: ``raster/r.regression.line``,
+    formula order ``lib/stats/c_reg.c`` — identical to
+    :func:`grass_ray.functions.reducers._regression` and the
+    ★rollup_regression oracle convention).
+
+    Inputs must be int64-exact (the house cents/seconds convention):
+    per-batch power-sum partials ``(n, Σx, Σy, Σxy, Σx², Σy²)`` are
+    exact int64 (one Acero hash-aggregate per batch — the combiner),
+    fold through ONE ``bucket_agg`` exchange, and the finals are
+    FIXED-ORDER IEEE expressions on the exact sums — so a SQL twin
+    spelling the same formulas is bit-identical.  Non-finite results
+    (zero-variance x or y) and ``n < 2`` groups emit NULL, matching
+    DuckDB's NULL-on-/0.  The caller guarantees the power sums fit
+    int64 (bound: ``n · max(|x|,|y|)² < 2^63`` — window-local x and
+    cents-scale y satisfy it by construction).
+
+    Returns (keys..., n, slope, icept, r2, tval)."""
+    from grass_ray.stages.join import bucket_agg
+
+    keys = list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                **{k: batch.column(k) for k in keys},
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+            }
+        )
+        m = t.group_by(keys, use_threads=False).aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ([], "count_all")]
+        )
+        return m.rename_columns(keys + ["sx", "sy", "sxy", "sxx", "syy", "n"])
+
+    sums = bucket_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        [("n", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy"),
+         ("sxy", "sum", "sxy"), ("sxx", "sum", "sxx"),
+         ("syy", "sum", "syy")],
+        buckets=buckets,
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        nn = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        f = {
+            c: batch.column(c).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            for c in ("sx", "sy", "sxy", "sxx", "syy")
+        }
+        n = nn.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xbar = f["sx"] / n
+            ybar = f["sy"] / n
+            numer = f["sxy"] - n * xbar * ybar
+            denom = f["sxx"] - n * xbar * xbar
+            denom2 = f["syy"] - n * ybar * ybar
+            slope = numer / denom
+            icept = ybar - xbar * numer / denom
+            rsq = (numer * numer) / (denom * denom2)
+            tval = np.sqrt(rsq * (n - 2.0) / (1.0 - rsq))
+        cols = {k: batch.column(k) for k in keys}
+        cols["n"] = pa.array(nn, type=pa.int64())
+        too_few = nn < 2
+        for name, arr in (
+            ("slope", slope), ("icept", icept), ("r2", rsq), ("tval", tval)
+        ):
+            mask = too_few | ~np.isfinite(arr)
+            cols[name] = pa.array(arr, type=pa.float64(), mask=mask)
+        return pa.table(cols)
+
+    return sums.map_batches(final, batch_format="pyarrow")

@@ -152,3 +152,95 @@ def test_value_histogram_vs_reference(ray_session):
         )
     # under/overflow bins exercised
     assert (got["bin"] == -1).any() and (got["bin"] == 10).any()
+
+
+def _ref_regression(groups):
+    """Literal c_reg.c-order reference over {key: [(x, y), ...]}."""
+    rows = []
+    for k, pts in groups.items():
+        n = len(pts)
+        if n < 2:
+            rows.append((k, n, None, None, None, None))
+            continue
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        nf = float(n)
+        xbar, ybar = sx / nf, sy / nf
+        numer = sxy - nf * xbar * ybar
+        denom = sxx - nf * xbar * xbar
+        denom2 = syy - nf * ybar * ybar
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.float64(numer) / denom
+            icept = ybar - np.float64(xbar) * numer / denom
+            rsq = np.float64(numer * numer) / (denom * denom2)
+            tval = np.sqrt(rsq * (nf - 2.0) / (1.0 - rsq))
+        vals = [slope, icept, rsq, tval]
+        rows.append(
+            (k, n, *[None if not np.isfinite(v) else float(v) for v in vals])
+        )
+    return pd.DataFrame(
+        rows, columns=["k", "n", "slope", "icept", "r2", "tval"]
+    )
+
+
+def test_regression_points_vs_reference(ray_session):
+    import ray.data
+
+    from grass_ray.stages.grouped import regression_points
+
+    rng = np.random.default_rng(41)
+    groups = {}
+    for g in range(12):
+        n = int(rng.integers(2, 40))
+        pts = [
+            (int(rng.integers(0, 100)), int(rng.integers(-50, 200)))
+            for _ in range(n)
+        ]
+        groups[f"g{g:02d}"] = pts
+    # degenerate groups: single point, constant x, constant y,
+    # perfect line (r2 == 1 -> tval NULL), exactly two points
+    groups["single"] = [(5, 7)]
+    groups["constx"] = [(3, 1), (3, 9), (3, 4)]
+    groups["consty"] = [(1, 6), (4, 6), (9, 6)]
+    groups["line"] = [(0, 1), (1, 3), (2, 5), (3, 7)]
+    groups["two"] = [(2, 10), (7, 30)]
+    ks, xs, ys = [], [], []
+    for k, pts in groups.items():
+        for x, y in pts:
+            ks.append(k)
+            xs.append(x)
+            ys.append(y)
+    t = pa.table(
+        {
+            "k": pa.array(ks),
+            "x": pa.array(xs, type=pa.int64()),
+            "y": pa.array(ys, type=pa.int64()),
+        }
+    )
+    ref = (
+        _ref_regression(groups).sort_values("k").reset_index(drop=True)
+    )
+    for parts in (1, 6):
+        got = (
+            regression_points(
+                ray.data.from_arrow(t).repartition(parts),
+                ["k"],
+                x_col="x",
+                y_col="y",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n": "int64"}), ref.astype({"n": "int64"})
+        )
+    g = got.set_index("k")
+    assert pd.isna(g.loc["single"]).drop("n").all()
+    assert pd.isna(g.loc["constx", "slope"])
+    assert g.loc["consty", "slope"] == 0.0 and pd.isna(g.loc["consty", "r2"])
+    assert g.loc["line", "r2"] == 1.0 and pd.isna(g.loc["line", "tval"])
+    assert g.loc["two", "slope"] == 4.0 and g.loc["two", "icept"] == 2.0

@@ -6,7 +6,7 @@ self-recall ground truth, driven through brute-force ANN, the
 IVF pruned-read path, and embedding-cosine dedup at 32 cpus with
 wall-time, vectors/s and peak-RSS reporting.
 
-    python tools/stress_embeddings.py [--vecs 1000000] [--jobs ann,ivf,dedup,semdedup]
+    python tools/stress_embeddings.py [--vecs 1000000] [--jobs ann,ivf,rerank,dedup,semdedup]
 
 Planted structure (batch-stateless): every id with ``i % 50 == 49`` is
 a near-copy of ``i-1`` (tiny deterministic perturbation, cosine
@@ -249,6 +249,39 @@ def run_dedup(src: str, n: int) -> dict:
     return out
 
 
+def run_rerank(src: str, n: int) -> dict:
+    """Two-stage quantized ANN at scale: int8 integer-dot candidates
+    (top-200 per query over 1M codes) + exact float re-rank of only
+    the survivors.  Self-recall must be exactly 1.0: even where
+    quantization noise lets a planted near-copy outscore the query
+    itself in the int stage, the query is certainly inside the top-200
+    candidate set and the float re-rank restores the exact order."""
+    import ray
+
+    from grass_ray.stages.similarity import ann_topk_rerank
+
+    q, qids = _queries(n)
+    ds = ray.data.read_parquet(src)
+    with RssPoller() as rss:
+        t0 = time.time()
+        res = ann_topk_rerank(ds, q, k=10, rerank=200)
+        wall = time.time() - t0
+    recall = _self_recall(res, qids)
+    _check("rerank self-recall", recall == 1.0, f"recall={recall}")
+    out = {
+        "job": "ann_topk_rerank_int8",
+        "vecs": n,
+        "queries": len(qids),
+        "rerank_depth": 200,
+        "wall_s": round(wall, 2),
+        "vecs_per_s": round(n / wall),
+        "self_recall": recall,
+        "peak_rss_gib": round(rss.peak / 2**30, 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
 def run_semdedup(src: str, n: int) -> dict:
     import ray
 
@@ -276,7 +309,7 @@ def run_semdedup(src: str, n: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
-    ap.add_argument("--jobs", default="ann,ivf,dedup,semdedup")
+    ap.add_argument("--jobs", default="ann,ivf,rerank,dedup,semdedup")
     args = ap.parse_args()
 
     import ray
@@ -299,6 +332,8 @@ def main():
         results.append(run_ann(src, args.vecs))
     if "ivf" in jobs:
         results.append(run_ivf(src, args.vecs))
+    if "rerank" in jobs:
+        results.append(run_rerank(src, args.vecs))
     if "dedup" in jobs:
         results.append(run_dedup(src, args.vecs))
     if "semdedup" in jobs:
