@@ -3000,6 +3000,52 @@ def _q_series_ffill(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_quantile_filter_by(sf_dir: str) -> pa.Table:
+    """Stratified percentile quality cut: drop each SOURCE's own bottom
+    decile by mean unigram log-count (the CCNet per-domain convention)
+    — the grouped sibling of ★quantile_filter.  Ranking value and
+    threshold rule identical to the global form (single IEEE division
+    of exact ints; per-group exact-regime sketch rank statistic =
+    value at rank GREATEST(1, ceil(q·n_group))); source attaches via
+    the broadcast index join."""
+    import pyarrow.compute as pc
+
+    from grass_ray.stages.curate import quantile_filter_by
+    from grass_ray.stages.join import attach_column
+    from grass_ray.stages.vocab import lm_score
+
+    ds = _read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    lm = lm_score(ds)
+
+    def add_mean(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_words").to_numpy(zero_copy_only=False)
+        lp = batch.column("logcnt_sum_micro").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = lp / (1e6 * n)
+        return batch.append_column(
+            "mean_lc", pa.array(np.where(n > 0, v, 0.0), mask=n == 0)
+        )
+
+    scored = lm.map_batches(add_mean, batch_format="pyarrow")
+    scored = attach_column(
+        scored,
+        ds.map_batches(
+            lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+        ),
+        key_col="doc_id",
+        lookup_key="doc_id",
+        value_col="source",
+        out_col="source",
+    )
+    kept, _thr = quantile_filter_by(
+        scored, val_col="mean_lc", q=0.1, by="source"
+    )
+    t = pa.Table.from_pandas(kept.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "source", "n_words"])
+
+
 def _q_events_trend(sf_dir: str) -> pa.Table:
     """Grouped OLS trend per (event_type, hour): regress exact cents on
     the second-within-hour (r.regression.line analog, c_reg.c formula
@@ -3945,7 +3991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": _q_hll_registers,
         "algebra_calendar": _q_algebra_calendar,
         "value_histogram": _q_value_histogram,
-        "refine_explode": _q_refine_explode,
+        "quantile_filter_by": _q_quantile_filter_by,
         "segment_dedup": _q_segment_dedup,
         "register_resume": _q_register_resume,
         "catalog_list": _q_catalog_list,
@@ -3965,6 +4011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_global": _q_pack_global,
         "algebra_topo_during": _q_algebra_topo_during,
         "export_import_roundtrip": _q_export_import,
+        "refine_explode": _q_refine_explode,
         "freq_tokenize": _q_freq_tokenize,
         "fingerprint_docs": _q_fingerprint,
         "normalize_text": _q_normalize,
@@ -5601,6 +5648,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk = GREATEST(1, CAST(ceil(0.1 * n.n) AS BIGINT))
         )
         SELECT m.doc_id, m.n_words FROM m, t WHERE m.v >= t.thr
+    """
+    d["quantile_filter_by"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS word
+            FROM documents
+        ),
+        c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        s AS (
+            SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(CAST(floor(1e6 * ln(CAST(c.cnt AS DOUBLE)))
+                                 AS BIGINT)) AS BIGINT) AS lp
+            FROM w JOIN c ON w.word = c.word GROUP BY 1
+        ),
+        m AS (
+            SELECT s.doc_id, d.source, s.n_words,
+                   CAST(s.lp AS DOUBLE) / (1e6 * s.n_words) AS v
+            FROM s JOIN documents d ON d.doc_id = s.doc_id
+            WHERE s.n_words > 0
+        ),
+        n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM m GROUP BY 1),
+        r AS (
+            SELECT doc_id, source, v,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY v
+                   ) AS rk
+            FROM m
+        ),
+        t AS (
+            SELECT r.source, r.v AS thr
+            FROM r JOIN n ON n.source = r.source
+            WHERE r.rk = GREATEST(1, CAST(ceil(0.1 * n.n) AS BIGINT))
+        )
+        SELECT m.doc_id, m.source, m.n_words
+        FROM m JOIN t ON t.source = m.source
+        WHERE m.v >= t.thr
     """
     d["series_delta"] = f"""
         WITH tok AS ({tok}),

@@ -186,6 +186,7 @@ def run_bench() -> dict:
         "anomaly_zscore",
         "value_histogram",
         "events_trend",
+        "quantile_filter_by",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction

@@ -60,19 +60,22 @@ from grass_ray.stages.join import (
     semi_join,
 )
 from grass_ray.stages.chunk import chunk_stats, chunk_tokens, doc_offsets
-from grass_ray.stages.curate import curate, curate_v2, gopher_filter, pack_sequences, quantile_filter, sample_stratified
+from grass_ray.stages.curate import curate, curate_v2, gopher_filter, pack_sequences, quantile_filter, quantile_filter_by, sample_stratified
 from grass_ray.functions.sketch import HyperLogLog, KLLSketch, SpaceSaving
 from grass_ray.functions.topology import (
     compute_datetime_delta,
     infer_granularity_absolute,
 )
-from grass_ray.stages.grouped import approx_distinct, approx_quantiles
+from grass_ray.stages.grouped import approx_distinct, approx_quantiles, regression_points
 from grass_ray.stages.neighbors import neighbors
-from grass_ray.stages.seriesops import delta_rollup, ffill_rollup
+from grass_ray.stages.seriesops import delta_rollup, ffill_rollup, zscore_anomalies
 from grass_ray.stages.sample import events_time_report
 from grass_ray.stages.bpe import bpe_encode, bpe_train, bpe_vocab
 from grass_ray.stages.similarity import (
     ann_topk,
+    ann_topk_int8,
+    ann_topk_rerank,
+    quantize_embeddings,
     embedding_dedup,
     semdedup,
     ivf_build,
@@ -83,6 +86,7 @@ from grass_ray.stages.similarity import (
 )
 from grass_ray.stages.vocab import (
     decontaminate,
+    ngram_source_overlap,
     decontaminate_report,
     lm_score,
     rank_vocab,
@@ -98,7 +102,7 @@ from grass_ray.stages.vocab import (
 from grass_ray.stages.mix import deterministic_shuffle, mix_sources, split_dataset
 from grass_ray.stages.text_stage import analyze_text, normalize_text, scrub_text
 from grass_ray.sources.readers import read_parquet_sized, sized_num_blocks, tokenize_text
-from grass_ray.stages.univar import attr_univar, univar
+from grass_ray.stages.univar import attr_univar, univar, value_histogram
 from grass_ray.stages.what import what, what_col, what_timerow
 from grass_ray.pipelines.catalog import export_tier, import_tier, list_tier, merge_tiers
 from grass_ray.pipelines.retention import apply_retention, apply_retention_policy
@@ -157,6 +161,8 @@ __all__ = [
     "apply_retention",
     "apply_retention_policy",
     "ann_topk",
+    "ann_topk_int8",
+    "ann_topk_rerank",
     "apply_mapcalc",
     "build_tiers",
     "cascade",
@@ -176,6 +182,12 @@ __all__ = [
     "decontaminate_report",
     "gopher_filter",
     "quantile_filter",
+    "quantile_filter_by",
+    "quantize_embeddings",
+    "regression_points",
+    "ngram_source_overlap",
+    "zscore_anomalies",
+    "value_histogram",
     "HyperLogLog",
     "approx_distinct",
     "tfidf_top",

@@ -460,3 +460,88 @@ def quantile_filter(
         return batch.filter(pc.fill_null(m, False))
 
     return ds.map_batches(kernel, batch_format="pyarrow"), t
+
+
+def quantile_filter_by(
+    ds,
+    *,
+    val_col: str,
+    q: float,
+    by: str,
+    keep: str = "above",
+    k_cap: int = 1 << 19,
+):
+    """Per-GROUP percentile-threshold filter — the stratified form of
+    :func:`quantile_filter` (cut each source's own worst decile so one
+    source's quality distribution can't dominate the cut, the
+    CCNet-per-domain convention).
+
+    Plan: per batch ONE mergeable KLL sketch per in-batch group
+    (dictionary-encoded group ids, vectorized per-group update); the
+    driver folds blocks × groups fixed-size sketch blobs per group
+    (bounded like the global version — the value stream never leaves
+    the workers), computes each group's q-quantile (exact rank
+    statistic while sketches stay level-0), and broadcasts ONE
+    group→threshold dict; the filter applies map-side with a
+    dictionary-decoded threshold gather.  NULL values are excluded
+    from the quantiles and always dropped; rows of groups with no
+    non-NULL values are dropped.  Returns ``(kept_ds, thresholds)``."""
+    import ray
+
+    from grass_ray.functions.sketch import KLLSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.asarray(
+            batch.column(val_col).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        names, blobs = [], []
+        for gi, name in enumerate(enc.dictionary.to_pylist()):
+            sk = KLLSketch(k_cap).update_many(v[codes == gi])
+            names.append(name)
+            blobs.append(sk.to_bytes())
+        return pa.table(
+            {by: pa.array(names), "sketch": pa.array(blobs, type=pa.binary())}
+        )
+
+    merged: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for name, blob in zip(
+            b.column(by).to_pylist(), b.column("sketch").to_pylist()
+        ):
+            s = KLLSketch.from_bytes(blob)
+            merged[name] = s if name not in merged else merged[name].merge(s)
+    thresholds = {
+        k: s.quantile(q) for k, s in merged.items() if s.n > 0
+    }
+    tref = ray.put(thresholds)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        tm = ray.get(tref)
+        keys = batch.column(by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        per_code = np.array(
+            [tm.get(d, np.nan) for d in enc.dictionary.to_pylist()],
+            dtype=np.float64,
+        )
+        thr = per_code[codes] if len(per_code) else np.empty(0)
+        v = np.asarray(
+            batch.column(val_col).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        with np.errstate(invalid="ignore"):
+            m = (v >= thr) if keep == "above" else (v <= thr)
+        # NaN comparisons are False: drops NULL values AND empty groups
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(kernel, batch_format="pyarrow"), thresholds

@@ -227,3 +227,56 @@ def test_gopher_filter_rule_mask_vs_reference(ray_session):
         ray.data.from_arrow(t), keep_only=True
     ).to_pandas()
     assert list(kept["doc_id"]) == ["good"]
+
+
+def test_quantile_filter_by_vs_reference(ray_session):
+    """Per-group percentile cut vs a literal per-group rank reference
+    (rule: keep v >= value at rank max(1, ceil(q*n_group)); NULL vals
+    and empty groups drop), plus layout invariance."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from grass_ray.stages.curate import quantile_filter_by
+
+    rng = np.random.default_rng(53)
+    ids, grp, val = [], [], []
+    for g, (n, scale) in enumerate([(40, 1.0), (25, 10.0), (7, 0.1), (1, 5.0)]):
+        for i in range(n):
+            ids.append(g * 1000 + i)
+            grp.append(f"g{g}")
+            v = float(np.round(rng.normal(0, scale), 3))
+            val.append(None if rng.random() < 0.1 else v)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "source": pa.array(grp),
+            "v": pa.array(val, type=pa.float64()),
+        }
+    )
+    # literal reference
+    keep_ids = set()
+    thr_ref = {}
+    df = pd.DataFrame({"doc_id": ids, "source": grp, "v": val})
+    for g, sub in df.groupby("source"):
+        vv = sorted(sub["v"].dropna())  # None became NaN in the frame
+        if not vv:
+            continue
+        thr = vv[max(1, math.ceil(0.2 * len(vv))) - 1]
+        thr_ref[g] = thr
+        keep_ids |= set(
+            sub[sub["v"].notna() & (sub["v"] >= thr)]["doc_id"]
+        )
+    for parts in (1, 5):
+        kept, thr = quantile_filter_by(
+            ray.data.from_arrow(t).repartition(parts),
+            val_col="v",
+            q=0.2,
+            by="source",
+        )
+        out = kept.to_pandas()
+        assert set(out["doc_id"]) == keep_ids
+        assert thr == thr_ref
