@@ -357,6 +357,77 @@ def cmd_kmeans(args):
     ray.shutdown()
 
 
+def cmd_ann(args):
+    """Cosine top-k over an embedding parquet: queries are the stored
+    vectors of the given ids; ``--rerank`` switches to the two-stage
+    int8 quantized path (integer-dot candidates + exact float
+    re-rank)."""
+    ray = _ray()
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.similarity import ann_topk, ann_topk_rerank
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    qids = sorted(int(x) for x in args.query_ids)
+    t = pq.read_table(args.vectors, columns=[args.id_col, args.vec_col])
+    sel = t.filter(
+        pc.is_in(t.column(args.id_col), value_set=pa.array(qids))
+    ).sort_by(args.id_col)
+    q = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sel.column(args.vec_col).to_pylist()]
+    )
+    ds = read_parquet_sized(args.vectors)
+    if args.rerank:
+        out = ann_topk_rerank(
+            ds, q, k=args.k, rerank=args.rerank,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+    else:
+        out = ann_topk(
+            ds, q, k=args.k, id_col=args.id_col, vec_col=args.vec_col
+        )
+    print(out.to_pandas().to_csv(index=False))
+    ray.shutdown()
+
+
+def cmd_histogram(args):
+    """Fixed-width value histogram of the token stream per source
+    (r.stats analog) over a corpus parquet."""
+    ray = _ray()
+    from grass_ray.sources.readers import read_parquet_sized
+    from grass_ray.stages.univar import value_histogram
+
+    import pyarrow.parquet as pq
+
+    import os as _os
+    schema_path = args.corpus
+    if _os.path.isdir(schema_path):
+        import glob as _glob
+
+        schema_path = sorted(_glob.glob(_os.path.join(args.corpus, "*.parquet")))[0]
+    names = set(pq.read_schema(schema_path).names)
+    if "tokens" not in names and "n_chars" in names:
+        # a documents table: derive the deterministic corpus on the fly
+        from grass_ray.sources.corpus import corpus_from_documents
+
+        ds = corpus_from_documents(_os.path.dirname(schema_path) or ".")
+    else:
+        ds = read_parquet_sized(args.corpus)
+    t = (
+        value_histogram(
+            ds, lo=args.lo, hi=args.hi, n_bins=args.bins, by=args.by
+        )
+        .to_pandas()
+        .sort_values([args.by, "bin"])
+    )
+    print(t.to_csv(index=False))
+    ray.shutdown()
+
+
 def cmd_bpe(args):
     ray = _ray()
     from grass_ray.sources.readers import read_parquet_sized
@@ -613,6 +684,28 @@ def main(argv=None):
     bp.add_argument("--merges", type=int, default=1000)
     bp.add_argument("--max-words", type=int, default=1_000_000)
     bp.set_defaults(fn=cmd_bpe)
+
+    ann = sub.add_parser(
+        "ann", help="cosine top-k over an embedding parquet (optional int8 rerank)"
+    )
+    ann.add_argument("vectors")
+    ann.add_argument("query_ids", nargs="+")
+    ann.add_argument("--k", type=int, default=10)
+    ann.add_argument("--rerank", type=int, default=0,
+                     help="int8 candidate depth (0 = brute float path)")
+    ann.add_argument("--vec-col", default="embedding")
+    ann.add_argument("--id-col", default="vec_id")
+    ann.set_defaults(fn=cmd_ann)
+
+    hg = sub.add_parser(
+        "histogram", help="fixed-width token-value histogram per group (r.stats)"
+    )
+    hg.add_argument("corpus")
+    hg.add_argument("--lo", type=float, required=True)
+    hg.add_argument("--hi", type=float, required=True)
+    hg.add_argument("--bins", type=int, default=32)
+    hg.add_argument("--by", default="source")
+    hg.set_defaults(fn=cmd_histogram)
 
     nm = sub.add_parser(
         "normalize", help="unicode NFC + whitespace normalization"
