@@ -2151,6 +2151,31 @@ def _q_ann_int8(sf_dir: str) -> pa.Table:
     return out.set_column(out.schema.get_field_index("score"), "score", score)
 
 
+def _q_ivf_int8_full(sf_dir: str) -> pa.Table:
+    """store="int8" IVF with ``nprobe == n_clusters``: every code
+    partition is scanned with exact integer-dot scoring, so the result
+    is EXACTLY :func:`ann_topk_int8` over the corpus — same query
+    codes and BIGINT scores as ★ann_int8, whose DuckDB oracle this
+    query shares.  Proves the quantized index build (codes stored
+    partitioned, no float vectors on disk) + schema-detected search
+    end-to-end."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from grass_ray.stages.similarity import ivf_topk
+
+    path = f"{sf_dir}/embeddings.parquet"
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.sort_by("vec_id").slice(0, 3)
+    q = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()]
+    )
+    ds = _read(path)
+    out = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=16, store="int8")
+    score = pc.cast(out.column("score"), pa.int64())  # exact ints
+    return out.set_column(out.schema.get_field_index("score"), "score", score)
+
+
 def _q_ann_rerank_full(sf_dir: str) -> pa.Table:
     """Two-stage quantized ANN with ``rerank == n``: every vector
     survives the int8 candidate stage, so the float re-rank is EXACTLY
@@ -4012,6 +4037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "algebra_topo_during": _q_algebra_topo_during,
         "export_import_roundtrip": _q_export_import,
         "refine_explode": _q_refine_explode,
+        "ivf_int8_full": _q_ivf_int8_full,
         "freq_tokenize": _q_freq_tokenize,
         "fingerprint_docs": _q_fingerprint,
         "normalize_text": _q_normalize,
@@ -6161,4 +6187,6 @@ def oracle_sql() -> dict[str, str]:
     # rerank == n degenerates to brute-force top-k; shares ann_topk's
     # oracle (same queries / round6 contract)
     d["ann_rerank_full"] = d["ann_topk"]
+    # full-probe int8 IVF ≡ ann_topk_int8; shares its integer oracle
+    d["ivf_int8_full"] = d["ann_int8"]
     return d

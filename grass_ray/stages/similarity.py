@@ -235,17 +235,31 @@ def ivf_build(
     sample_size: int = 2048,
     seed: int = 42,
     vec_col="embedding",
+    id_col="vec_id",
+    store: str = "float",
 ):
     """Build a centroid-partitioned IVF index on disk.
 
     Layout: ``index_dir/centroids.npy`` + ``index_dir/vectors/
     centroid=<c>/*.parquet`` (hive).  Search reads only the probed
     ``centroid=`` directories — the scale property a flat scan lacks.
-    Returns the (n_clusters, dim) centroid matrix."""
+    ``store="int8"`` stores :func:`quantize_embeddings` codes instead
+    of the float vectors — the realistic 100-TB configuration: the
+    resident index is ~4× smaller AND the within-partition scoring
+    becomes an exact integer matmul (:func:`ivf_search` detects the
+    layout from the schema).  Returns the (n_clusters, dim) centroid
+    matrix."""
     import os
 
     cent = _fit_centroids(ds, n_clusters, sample_size, seed, vec_col)
     assigned = _assign_stage(ds, cent, vec_col)
+    if store == "int8":
+        assigned = quantize_embeddings(
+            assigned, id_col=id_col, vec_col=vec_col,
+            keep_cols=("centroid",),
+        )
+    elif store != "float":
+        raise ValueError(f"store must be 'float' or 'int8', got {store!r}")
     os.makedirs(index_dir, exist_ok=True)
     assigned.write_parquet(
         os.path.join(index_dir, "vectors"), partition_cols=["centroid"]
@@ -268,10 +282,17 @@ def ivf_search(
     nearest centroids' partitions (pruned read), brute-force within.
     ``dtype`` sets the scoring precision (float32 scale path; float64
     matches a double-precision oracle — with ``nprobe == n_clusters``
-    the result is then exactly brute-force :func:`ann_topk`)."""
+    the result is then exactly brute-force :func:`ann_topk`).
+
+    An ``store="int8"`` index (schema carries a ``code`` column) is
+    detected automatically: queries quantize with the same formula and
+    the within-partition score is the exact int64 integer dot
+    (:func:`ann_topk_int8` semantics — with ``nprobe == n_clusters``
+    the result is then exactly ``ann_topk_int8`` over the corpus)."""
     import glob
     import os
 
+    import pyarrow.parquet as pq
     import ray
     import ray.data
 
@@ -297,11 +318,17 @@ def ivf_search(
                 "rank": pa.array([], type=pa.int64()),
             }
         )
+    quantized = "code" in pq.read_schema(files[0]).names
+    if quantized:
+        q_codes, _ = _quantize_rows(np.asarray(queries, dtype=np.float64))
+        q_score = q_codes.astype(np.int64)
+    else:
+        q_score = q
     # hive partition value comes back via the directory; re-derive it
     # from the file path per block instead (read_parquet on a file list
     # drops the hive column)
     ds = ray.data.read_parquet(files, include_paths=True)
-    qref = ray.put((q, probe))
+    qref = ray.put((q_score, probe))
 
     def local(batch: pa.Table) -> pa.Table:
         import re
@@ -319,7 +346,10 @@ def ivf_search(
         )
         cents = ucents[inv]
         ids = _ids_np(batch.column(id_col))
-        m = _normalize(_to_matrix(batch.column(vec_col), dtype=q_.dtype))
+        if quantized:
+            m = _to_matrix(batch.column("code"), dtype=np.int64)
+        else:
+            m = _normalize(_to_matrix(batch.column(vec_col), dtype=q_.dtype))
         out_q, out_v, out_s = [], [], []
         for c in np.unique(cents):
             rmask = cents == c
@@ -328,7 +358,7 @@ def ivf_search(
                 continue
             sub = m[rmask]
             subids = ids[rmask]
-            scores = q_[qs] @ sub.T  # (nqs, nr)
+            scores = q_[qs] @ sub.T  # (nqs, nr); int64-exact when quantized
             kk = min(k, sub.shape[0])
             idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
             rows = np.repeat(np.arange(len(qs)), kk)
@@ -361,6 +391,7 @@ def ivf_topk(
     seed: int = 42,
     index_dir: str | None = None,
     dtype=np.float32,
+    store: str = "float",
 ):
     """IVF approximate top-k: build (or reuse) a centroid-partitioned
     index, then search with a pruned read.  One-shot convenience over
@@ -381,6 +412,8 @@ def ivf_topk(
                 sample_size=sample_size,
                 seed=seed,
                 vec_col=vec_col,
+                id_col=id_col,
+                store=store,
             )
         return ivf_search(
             index_dir, queries, k, nprobe=nprobe, id_col=id_col,

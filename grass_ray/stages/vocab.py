@@ -1804,11 +1804,20 @@ def ngram_source_overlap(
     text_col: str = "text",
     hash_fn: str = "blake2b",
     buckets: int = 64,
+    max_sources_per_gram: int = 1024,
 ):
     """Cross-source k-gram overlap matrix — the corpus diversity /
     duplication diagnostic behind source-mixing decisions: for every
     pair of sources, how many distinct word k-grams they share, their
     per-source distinct-gram totals, and the resulting gram-set Jaccard.
+
+    ``max_sources_per_gram`` bounds the quadratic pair fan-out: a gram
+    carried by s sources explodes into s(s−1)/2 pairs, so one
+    ubiquitous gram at 10⁴ sources would alone emit 5·10⁷ rows.  Grams
+    above the cap are dropped from the PAIR stage with a loud log (they
+    stay in the per-source totals — a gram every source carries has no
+    diversity signal, the standard stopword-gram argument); corpora
+    with fewer sources than the cap (any driver scale here) are exact.
 
     Plan (two exchanges, nothing unbounded on the driver):
 
@@ -1917,6 +1926,19 @@ def ngram_source_overlap(
             )
         starts = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
         counts = np.diff(np.append(starts, len(g)))
+        over = counts > max_sources_per_gram
+        if over.any():
+            print(
+                f"ngram_source_overlap: dropping {int(over.sum())} grams "
+                f"carried by more than {max_sources_per_gram} sources "
+                f"from the pair stage (max seen: {int(counts.max())})"
+            )
+            keep_rows = np.repeat(~over, counts)
+            g, s = g[keep_rows], s[keep_rows]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(g[1:] != g[:-1]) + 1]
+            ) if len(g) else np.empty(0, dtype=np.int64)
+            counts = np.diff(np.append(starts, len(g)))
         local = np.arange(len(g), dtype=np.int64) - np.repeat(starts, counts)
         total = int(local.sum())
         if total == 0:

@@ -206,3 +206,94 @@ def test_source_overlap_empty_and_short_docs(ray_session):
     row = out.iloc[0]
     assert (row["source_a"], row["source_b"]) == ("b", "c")
     assert row["n_shared"] == 1 and row["jaccard"] == 1.0
+
+
+def test_ivf_int8_full_probe_equals_ann_int8(ray_session):
+    """store="int8" IVF at nprobe == n_clusters scans every partition
+    with integer-dot scoring, so the result must EXACTLY equal
+    ann_topk_int8 over the quantized corpus — proves the code-storing
+    build + schema-detected search plumbing end-to-end."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from grass_ray.stages.similarity import ivf_topk
+
+    rng = np.random.default_rng(43)
+    m, t = _emb_table(rng, 150, 16)
+    codes, _ = _quantize_rows(m.astype(np.float64))
+    q = m[:3].astype(np.float64)
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = ann_topk_int8(
+        quantize_embeddings(ds), codes[:3].astype(np.int64), k=6
+    ).to_pandas()
+    idx = tempfile.mkdtemp(prefix="grassray_ivf_i8_")
+    try:
+        got = ivf_topk(
+            ds, q, k=6, n_clusters=5, nprobe=5, store="int8", index_dir=idx
+        ).to_pandas()
+        # the stored index really is codes, not floats
+        import glob
+
+        import pyarrow.parquet as pq
+
+        f = glob.glob(f"{idx}/vectors/centroid=*/*.parquet")[0]
+        names = set(pq.read_schema(f).names)
+        assert "code" in names and "embedding" not in names
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exact.reset_index(drop=True)
+    )
+
+
+def test_ivf_int8_pruned_self_recall(ray_session):
+    import ray.data
+
+    from grass_ray.stages.similarity import ivf_topk
+
+    rng = np.random.default_rng(47)
+    m, t = _emb_table(rng, 300, 24)
+    q = m[:5].astype(np.float64)
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = ivf_topk(ds, q, k=3, n_clusters=8, nprobe=3, store="int8")
+    gp = got.to_pandas()
+    top1 = gp[gp["rank"] == 1].set_index("query_id")["vec_id"]
+    # int8 self-dot is the max integer dot against own codes in almost
+    # all cases; require >= 4/5 to stay robust to quantization ties
+    assert (top1.loc[range(5)].to_numpy() == np.arange(5)).sum() >= 4
+
+
+def test_source_overlap_gram_cap(ray_session):
+    """A gram above max_sources_per_gram drops from the PAIR stage
+    (logged) but stays in the totals — pairs then come only from the
+    uncapped grams."""
+    import ray.data
+
+    texts = ["common gram one two three unique%d alpha beta gamma delta" % i
+             for i in range(6)]
+    sources = [f"s{i}" for i in range(6)]
+    # s0/s1 share an extra full clone → extra grams beyond the common prefix
+    texts.append(texts[0])
+    sources.append("s1")
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "source": pa.array(sources),
+        }
+    )
+    full = ngram_source_overlap(ray.data.from_arrow(t)).to_pandas()
+    capped = ngram_source_overlap(
+        ray.data.from_arrow(t), max_sources_per_gram=5
+    ).to_pandas()
+    # the 6-source shared prefix gram exceeds the cap of 5: all pure
+    # prefix-only pairs vanish; the s0-s1 clone pair survives with only
+    # its uncapped shared grams, totals (n_a/n_b) unchanged
+    assert len(capped) < len(full)
+    row = capped[(capped.source_a == "s0") & (capped.source_b == "s1")]
+    frow = full[(full.source_a == "s0") & (full.source_b == "s1")]
+    assert len(row) == 1 and len(frow) == 1
+    assert row.iloc[0]["n_a"] == frow.iloc[0]["n_a"]
+    assert row.iloc[0]["n_shared"] < frow.iloc[0]["n_shared"]
