@@ -3025,6 +3025,69 @@ def _q_series_ffill(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def _q_frame_sample(sf_dir: str) -> pa.Table:
+    """Multimodal frame-sampling plumbing with an exact twin: each
+    document's (all-ASCII, checked) text bytes stand in for a video
+    payload of 16-byte pseudo-frames; `frame_sample(every_n=2)` runs
+    the REAL kernel and the summary (frame counts + md5 of the
+    concatenated sampled frames) replays bit-for-bit in SQL via
+    substr/list_filter/md5.  Gives the frame-sample stage — previously
+    pytest-only — a driver-checkable exact row."""
+    import hashlib
+
+    from grass_ray.stages.multimodal import frame_sample
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        payloads = [(t or "").encode("utf-8") for t in texts]
+        nf = np.array([-(-len(p) // 16) for p in payloads], dtype=np.int32)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "n_frames": pa.array(nf, type=pa.int32()),
+            }
+        )
+
+    out = frame_sample(
+        ds.map_batches(to_media, batch_format="pyarrow"),
+        every_n=2,
+        frame_size=16,
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        frames = batch.column("frames").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_frames": batch.column("n_frames").cast(pa.int64()),
+                "n_sampled": pa.array(
+                    [len(f) for f in frames], type=pa.int64()
+                ),
+                "digest": pa.array(
+                    [hashlib.md5(b"".join(f)).hexdigest() for f in frames]
+                ),
+            }
+        )
+
+    res = out.map_batches(summarize, batch_format="pyarrow")
+    return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+
+
+def _q_mix_plan(sf_dir: str) -> pa.Table:
+    """Mixture planner over the documents table (equal target shares,
+    char-weighted, max downsample-only budget): per-stratum totals are
+    exact int64; share/budget/rate/expect are fixed-order IEEE
+    expressions on them — bit-identical in SQL."""
+    from grass_ray.stages.mix import plan_mixture
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    plan, _rates = plan_mixture(ds)
+    return plan
+
+
 def _q_quantile_filter_by(sf_dir: str) -> pa.Table:
     """Stratified percentile quality cut: drop each SOURCE's own bottom
     decile by mean unigram log-count (the CCNet per-domain convention)
@@ -4038,6 +4101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_import_roundtrip": _q_export_import,
         "refine_explode": _q_refine_explode,
         "ivf_int8_full": _q_ivf_int8_full,
+        "mix_plan": _q_mix_plan,
+        "frame_sample_md5": _q_frame_sample,
         "freq_tokenize": _q_freq_tokenize,
         "fingerprint_docs": _q_fingerprint,
         "normalize_text": _q_normalize,
@@ -5674,6 +5739,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk = GREATEST(1, CAST(ceil(0.1 * n.n) AS BIGINT))
         )
         SELECT m.doc_id, m.n_words FROM m, t WHERE m.v >= t.thr
+    """
+    d["frame_sample_md5"] = """
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames,
+                   list_aggregate(
+                       list_transform(
+                           list_filter(
+                               range(0, CAST(ceil(length(text) / 16.0)
+                                             AS BIGINT)),
+                               fr -> fr % 2 = 0
+                           ),
+                           fr -> substr(text,
+                                        CAST(1 + fr * 16 AS BIGINT), 16)
+                       ),
+                       'string_agg', ''
+                   ) AS sampled
+            FROM documents
+        )
+        SELECT doc_id, n_frames,
+               CAST(ceil(n_frames / 2.0) AS BIGINT) AS n_sampled,
+               md5(coalesce(sampled, '')) AS digest
+        FROM f
+    """
+    d["mix_plan"] = """
+        WITH t AS (
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+            FROM documents GROUP BY 1
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS k FROM t),
+        s AS (
+            SELECT source, w, 1.0 / CAST(k AS DOUBLE) AS share FROM t, n
+        ),
+        b AS (SELECT min(CAST(w AS DOUBLE) / share) AS bb FROM s),
+        f AS (
+            SELECT source, w AS n_weight, share,
+                   LEAST(share * b.bb / CAST(w AS DOUBLE), 1.0) AS rate
+            FROM s, b
+        )
+        SELECT source, n_weight, share, rate,
+               CAST(n_weight AS DOUBLE) * rate AS expect_weight
+        FROM f
     """
     d["quantile_filter_by"] = """
         WITH w AS (

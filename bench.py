@@ -187,6 +187,9 @@ def run_bench() -> dict:
         "value_histogram",
         "events_trend",
         "quantile_filter_by",
+        "mix_plan",
+        "ivf_int8_full",
+        "frame_sample_md5",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction

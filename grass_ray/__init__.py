@@ -99,7 +99,7 @@ from grass_ray.stages.vocab import (
     vocab_topn,
     word_counts,
 )
-from grass_ray.stages.mix import deterministic_shuffle, mix_sources, split_dataset
+from grass_ray.stages.mix import deterministic_shuffle, mix_sources, plan_mixture, split_dataset
 from grass_ray.stages.text_stage import analyze_text, normalize_text, scrub_text
 from grass_ray.sources.readers import read_parquet_sized, sized_num_blocks, tokenize_text
 from grass_ray.stages.univar import attr_univar, univar, value_histogram
@@ -184,6 +184,7 @@ __all__ = [
     "quantile_filter",
     "quantile_filter_by",
     "quantize_embeddings",
+    "plan_mixture",
     "regression_points",
     "ngram_source_overlap",
     "zscore_anomalies",

@@ -203,3 +203,79 @@ def split_thresholds(fractions: dict):
         cum += float(fractions[n])
         bounds.append(rate_threshold(min(cum, 1.0)))
     return names, np.array(bounds[:-1], dtype=np.uint64)
+
+
+def plan_mixture(
+    ds,
+    targets: dict | None = None,
+    *,
+    weight_col: str = "n_chars",
+    strat_col: str = "source",
+    budget: float | None = None,
+    buckets: int = 64,
+):
+    """Mixture planner — the Dolma/Pile "mixing calculator": given
+    target corpus SHARES per stratum, compute the per-stratum sampling
+    rates that realize them by downsampling only (rates ≤ 1; no
+    repetition), plus the expected contribution of each stratum.
+
+    ``targets`` maps stratum → share (need not sum to 1 — shares are
+    normalized); ``None`` means equal shares over the observed strata.
+    ``budget`` is the total weight to plan for; ``None`` picks the
+    LARGEST budget achievable without upsampling —
+    ``B = min_s(T_s / share_s)`` — at which the scarcest stratum keeps
+    rate 1.0 and every other stratum downsamples to proportion.
+
+    Exactness contract: per-stratum totals ``T_s`` are exact int64
+    (one partial-sum pass + one ``bucket_agg``); every derived number
+    is a FIXED-ORDER IEEE expression on them (share = target/Σtargets,
+    B = min of the per-stratum divisions, rate = share·B/T (capped at
+    1 by construction when budget=None), expect = T·rate) — so a SQL
+    twin spelling the same expressions is bit-identical.
+
+    Returns ``(plan_table, rates_dict)``; feed ``rates_dict`` to
+    :func:`mix_sources` to apply the plan (and its fmix32 membership
+    is itself exact — ★mix_sources)."""
+    from grass_ray.stages.join import bucket_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([strat_col, weight_col])
+        m = t.group_by(strat_col, use_threads=False).aggregate(
+            [(weight_col, "sum")]
+        )
+        return m.rename_columns([strat_col, "w"])
+
+    totals = bucket_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [strat_col],
+        [("w", "sum", "w")],
+        buckets=buckets,
+    ).to_pandas()  # bounded: one row per stratum
+    totals = totals.sort_values(strat_col).reset_index(drop=True)
+    names = totals[strat_col].tolist()
+    T = totals["w"].to_numpy().astype(np.int64)
+    if targets is None:
+        share = np.full(len(names), 1.0 / len(names))
+    else:
+        raw = np.array([float(targets.get(s, 0.0)) for s in names])
+        tot = float(raw.sum())
+        if tot <= 0:
+            raise ValueError("targets must contain a positive share")
+        share = raw / tot
+    ok = share > 0
+    with np.errstate(divide="ignore"):
+        achievable = np.where(ok, T.astype(np.float64) / share, np.inf)
+    B = float(budget) if budget is not None else float(achievable[ok].min())
+    with np.errstate(invalid="ignore"):
+        rate = np.where(ok, np.minimum(share * B / T.astype(np.float64), 1.0), 0.0)
+    expect = T.astype(np.float64) * rate
+    plan = pa.table(
+        {
+            strat_col: pa.array(names),
+            "n_weight": pa.array(T, type=pa.int64()),
+            "share": pa.array(share, type=pa.float64()),
+            "rate": pa.array(rate, type=pa.float64()),
+            "expect_weight": pa.array(expect, type=pa.float64()),
+        }
+    )
+    return plan, dict(zip(names, rate.tolist()))

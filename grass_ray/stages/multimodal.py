@@ -320,16 +320,20 @@ class ExtractFeatures:
         return batch.append_column("features", arr)
 
 
-def frame_sample(ds, every_n: int = 2):
+def frame_sample(ds, every_n: int = 2, *, frame_size: int = 1024):
     """video payload -> subset of frame payloads (deterministic slice of
-    1 KiB pseudo-frames; real demuxing drops in with the same layout)."""
+    ``frame_size``-byte pseudo-frames; real demuxing drops in with the
+    same layout).  The byte-slice layout is SQL-reproducible
+    (★frame_sample_md5 replays it with substr over the payload)."""
 
     def kernel(batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         nf = batch.column("n_frames").to_numpy(zero_copy_only=False)
         out_frames = []
         for p, n in zip(payloads, nf):
-            frames = [p[i * 1024 : (i + 1) * 1024] for i in range(int(n))]
+            frames = [
+                p[i * frame_size : (i + 1) * frame_size] for i in range(int(n))
+            ]
             out_frames.append(frames[::every_n])
         return batch.append_column(
             "frames", pa.array(out_frames, type=pa.list_(pa.binary()))

@@ -297,3 +297,51 @@ def test_source_overlap_gram_cap(ray_session):
     assert len(row) == 1 and len(frow) == 1
     assert row.iloc[0]["n_a"] == frow.iloc[0]["n_a"]
     assert row.iloc[0]["n_shared"] < frow.iloc[0]["n_shared"]
+
+
+def test_plan_mixture_vs_reference(ray_session):
+    """Planner math vs a literal reference + the apply round trip:
+    uneven strata, explicit targets, a zero-share stratum, budget
+    override, and mix_sources realizing the planned rates."""
+    import ray.data
+
+    from grass_ray.stages.mix import mix_sources, plan_mixture
+
+    rng = np.random.default_rng(59)
+    rows = []
+    sizes = {"web": 4000, "code": 500, "books": 1500}
+    did = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((did, s, int(rng.integers(50, 150))))
+            did += 1
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "n_chars": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    totals = {s: sum(r[2] for r in rows if r[1] == s) for s in sizes}
+    targets = {"web": 0.5, "code": 0.5, "books": 0.0}
+    ds = ray.data.from_arrow(t).repartition(4)
+    plan, rates = plan_mixture(ds, targets)
+    p = plan.to_pandas().set_index("source")
+    # literal reference
+    B = min(totals["web"] / 0.5, totals["code"] / 0.5)
+    for s in sizes:
+        assert p.loc[s, "n_weight"] == totals[s]
+        ref_rate = 0.0 if s == "books" else min(0.5 * B / totals[s], 1.0)
+        assert p.loc[s, "rate"] == ref_rate == rates[s]
+    assert p.loc["code", "rate"] == 1.0  # the scarce stratum binds
+    assert p.loc["books", "expect_weight"] == 0.0
+    # budget override halves every expected contribution
+    plan2, rates2 = plan_mixture(ds, targets, budget=B / 2)
+    p2 = plan2.to_pandas().set_index("source")
+    assert p2.loc["web", "rate"] == 0.5 * (B / 2) / totals["web"]
+    # apply: realized weights land near the plan (fmix32 sampling)
+    kept = mix_sources(ds, rates).to_pandas()
+    got_w = kept.groupby("source")["n_chars"].sum()
+    assert set(got_w.index) <= {"web", "code"}
+    assert got_w["code"] == totals["code"]  # rate 1.0 keeps everything
+    assert abs(got_w["web"] - p.loc["web", "expect_weight"]) < 0.1 * totals["web"]
