@@ -3828,6 +3828,25 @@ def _q_bpe_fixed(sf_dir: str) -> pa.Table:
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
 _MIX_DEFAULT_RATE = 0.1
 _MIX_SEED = 17
+#: upsampling factors (epochs): full copies + a fmix32 fractional tail
+_UPSAMPLE_FACTORS = {"src0": 2.25, "src1": 1.5, "src2": 0.5, "src3": 3.0}
+_UPSAMPLE_DEFAULT = 1.0
+
+
+def _q_upsample(sf_dir: str) -> pa.Table:
+    """Repetition-based upsampling (the complement of ★mix_sources'
+    downsampling): factor f → floor(f) full epochs + one fractional
+    epoch via the same fmix32 membership rule.  Both sides generate
+    from the ONE `_UPSAMPLE_FACTORS` constant; epochs, counts and
+    memberships are integer-exact."""
+    from grass_ray.stages.mix import upsample_sources
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = upsample_sources(
+        ds, _UPSAMPLE_FACTORS, default_factor=_UPSAMPLE_DEFAULT,
+        seed=_MIX_SEED,
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
 def _q_mix_sources(sf_dir: str) -> pa.Table:
@@ -4103,6 +4122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_int8_full": _q_ivf_int8_full,
         "mix_plan": _q_mix_plan,
         "frame_sample_md5": _q_frame_sample,
+        "upsample": _q_upsample,
         "freq_tokenize": _q_freq_tokenize,
         "fingerprint_docs": _q_fingerprint,
         "normalize_text": _q_normalize,
@@ -6005,6 +6025,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source FROM h
         WHERE u < CASE source {_mix_cases}
                   ELSE {rate_threshold(_MIX_DEFAULT_RATE)} END
+    """
+    import math as _math
+
+    _up_full = " ".join(
+        f"WHEN '{s}' THEN {int(_math.floor(f))}"
+        for s, f in _UPSAMPLE_FACTORS.items()
+    )
+    _up_tail = " ".join(
+        f"WHEN '{s}' THEN {rate_threshold(f - _math.floor(f))}"
+        for s, f in _UPSAMPLE_FACTORS.items()
+    )
+    d["upsample"] = f"""
+        WITH h AS (SELECT doc_id, source, {_mix_u} AS u FROM documents),
+        p AS (
+            SELECT doc_id, source,
+                   CASE source {_up_full}
+                        ELSE {int(_math.floor(_UPSAMPLE_DEFAULT))} END
+                   + CASE WHEN u < CASE source {_up_tail}
+                          ELSE {rate_threshold(_UPSAMPLE_DEFAULT - _math.floor(_UPSAMPLE_DEFAULT))} END
+                          THEN 1 ELSE 0 END AS reps
+            FROM h
+        )
+        SELECT doc_id, source,
+               CAST(unnest(range(0, reps)) AS BIGINT) AS epoch
+        FROM p
     """
     from grass_ray.stages.mix import split_thresholds
 

@@ -190,6 +190,7 @@ def run_bench() -> dict:
         "mix_plan",
         "ivf_int8_full",
         "frame_sample_md5",
+        "upsample",
     ]
     # min-of-2 per query: back-to-back in one Ray session the per-query
     # times swing up to 2x from worker churn / object-store eviction

@@ -68,6 +68,7 @@ from grass_ray.functions.topology import (
 )
 from grass_ray.stages.grouped import approx_distinct, approx_quantiles, regression_points
 from grass_ray.stages.neighbors import neighbors
+from grass_ray.stages.multimodal import frame_sample
 from grass_ray.stages.seriesops import delta_rollup, ffill_rollup, zscore_anomalies
 from grass_ray.stages.sample import events_time_report
 from grass_ray.stages.bpe import bpe_encode, bpe_train, bpe_vocab
@@ -99,7 +100,7 @@ from grass_ray.stages.vocab import (
     vocab_topn,
     word_counts,
 )
-from grass_ray.stages.mix import deterministic_shuffle, mix_sources, plan_mixture, split_dataset
+from grass_ray.stages.mix import deterministic_shuffle, mix_sources, plan_mixture, split_dataset, upsample_sources
 from grass_ray.stages.text_stage import analyze_text, normalize_text, scrub_text
 from grass_ray.sources.readers import read_parquet_sized, sized_num_blocks, tokenize_text
 from grass_ray.stages.univar import attr_univar, univar, value_histogram
@@ -185,6 +186,8 @@ __all__ = [
     "quantile_filter_by",
     "quantize_embeddings",
     "plan_mixture",
+    "upsample_sources",
+    "frame_sample",
     "regression_points",
     "ngram_source_overlap",
     "zscore_anomalies",

@@ -279,3 +279,65 @@ def plan_mixture(
         }
     )
     return plan, dict(zip(names, rate.tolist()))
+
+
+def upsample_sources(
+    ds,
+    factors: dict,
+    *,
+    default_factor: float = 1.0,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    seed: int = 17,
+    epoch_col: str = "epoch",
+):
+    """Deterministic repetition-based UPsampling — the complement of
+    :func:`mix_sources` (whose rates cap at 1): a stratum with factor
+    ``f`` emits ``floor(f)`` full copies of every row (``epoch`` =
+    0..floor(f)−1) plus one fractional epoch ``floor(f)`` kept iff
+    ``mix_hash_u32(id, seed) < (f − floor(f))·2^32`` — the same fmix32
+    membership rule as the downsampler, so the whole plan (mixture
+    targets → plan_mixture rates ≤ 1 OR upsample factors ≥ 1) is
+    deterministic, resume-stable, layout-independent and
+    SQL-reproducible bit-for-bit.  The ``epoch`` column keeps repeated
+    rows distinguishable downstream (dedup by (id, epoch), shuffling,
+    epoch-aware curricula).  Zero-shuffle map stage; fan-out per row is
+    ``ceil(f)`` — bounded by the largest factor."""
+    full = {}
+    tail_thr = {}
+    for k, v in factors.items():
+        v = float(v)
+        if v < 0:
+            raise ValueError(f"factor for {k!r} is negative: {v}")
+        full[k] = int(np.floor(v))
+        tail_thr[k] = rate_threshold(v - np.floor(v))
+    d_full = int(np.floor(default_factor))
+    d_thr = rate_threshold(default_factor - np.floor(default_factor))
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        u = mix_hash_u32(ids, seed)
+        src = batch.column(strat_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        names = enc.dictionary.to_pylist()
+        nf = np.fromiter(
+            (full.get(v, d_full) for v in names), dtype=np.int64,
+            count=len(names),
+        )
+        thr = np.fromiter(
+            (tail_thr.get(v, d_thr) for v in names), dtype=np.uint64,
+            count=len(names),
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        reps = nf[codes] + (u < thr[codes]).astype(np.int64)
+        total = int(reps.sum())
+        take = np.repeat(np.arange(batch.num_rows, dtype=np.int64), reps)
+        starts = np.cumsum(reps) - reps
+        epoch = np.arange(total, dtype=np.int64) - np.repeat(starts, reps)
+        return batch.take(pa.array(take)).append_column(
+            epoch_col, pa.array(epoch, type=pa.int64())
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -345,3 +345,44 @@ def test_plan_mixture_vs_reference(ray_session):
     assert set(got_w.index) <= {"web", "code"}
     assert got_w["code"] == totals["code"]  # rate 1.0 keeps everything
     assert abs(got_w["web"] - p.loc["web", "expect_weight"]) < 0.1 * totals["web"]
+
+
+def test_upsample_sources_vs_reference(ray_session):
+    """Literal epoch-repetition reference: floor(f) full copies + a
+    fmix32 fractional tail, layout-independent."""
+    import ray.data
+
+    from grass_ray.stages.mix import (
+        mix_hash_u32,
+        rate_threshold,
+        upsample_sources,
+    )
+
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        }
+    )
+    factors = {"s0": 2.5, "s1": 0.25, "s2": 0.0}
+    ids = np.arange(n, dtype=np.int64)
+    u = mix_hash_u32(ids, 17)
+    ref = []
+    for i in range(n):
+        f = factors[f"s{i % 3}"]
+        reps = int(np.floor(f)) + int(u[i] < rate_threshold(f - np.floor(f)))
+        ref.extend((i, e) for e in range(reps))
+    for parts in (1, 6):
+        out = (
+            upsample_sources(
+                ray.data.from_arrow(t).repartition(parts), factors, seed=17
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "epoch"])
+        )
+        assert list(zip(out["doc_id"], out["epoch"])) == ref
+    # s2 factor 0.0 emits nothing; s0 rows appear at least twice
+    src = out["source"]
+    assert not (src == "s2").any()
+    assert (out[src == "s0"].groupby("doc_id").size() >= 2).all()
