@@ -256,12 +256,66 @@ def run_curate(src: str, n_docs: int) -> dict:
     return res
 
 
+def run_textops(src: str, n_docs: int) -> dict:
+    """Late-r5 text-analysis ops at 1M docs: the Gopher composite
+    filter (zero-shuffle map), the per-source vocab-coverage report
+    (top-k broadcast + one narrow exchange), and the cross-source
+    k-gram overlap matrix (distinct exchange + pair explosion over 7
+    sources).  The corpus' cross-source gram sharing is PLANTED, not
+    organic: texts are pseudorandom over a huge word space, so shared
+    5-grams come only from the per-decade dup structure (base at
+    10k+5, its exact dup at 10k+8, its near dup at 10k+9; source =
+    id % 7 → pair distances {3, 4, 1} ≡ unordered {1, 3} mod 7) — as
+    the decade base cycles mod 7 that yields exactly the 14 unordered
+    source pairs at cyclic distance 1 or 3, an exact structural
+    prediction the run asserts."""
+    import ray
+
+    from grass_ray.stages.curate import gopher_filter
+    from grass_ray.stages.vocab import ngram_source_overlap, vocab_coverage
+
+    ds = ray.data.read_parquet(src)
+    res = {"job": "textops", "docs": n_docs}
+    with RssPoller() as rss:
+        t0 = time.time()
+        n_gopher = gopher_filter(ds).count()
+        t1 = time.time()
+        cov = vocab_coverage(ds, 50_000).to_pandas()
+        t2 = time.time()
+        ov = ngram_source_overlap(ds).to_pandas()
+        t3 = time.time()
+    _check("gopher rows (one per doc)", n_gopher, n_docs)
+    _check("coverage rows (one per source)", len(cov), 7)
+    want_pairs = {
+        tuple(sorted((f"src{a}", f"src{(a + d) % 7}")))
+        for a in range(7)
+        for d in (1, 3)
+    }
+    got_pairs = set(zip(ov["source_a"], ov["source_b"]))
+    _check("overlap pairs (planted distance-1/3 set)", len(got_pairs ^ want_pairs), 0)
+    assert (ov["jaccard"] > 0).all() and (ov["jaccard"] <= 1.0).all()
+    res.update(
+        {
+            "gopher_s": round(t1 - t0, 2),
+            "gopher_docs_per_s": round(n_docs / (t1 - t0)),
+            "coverage_s": round(t2 - t1, 2),
+            "overlap_s": round(t3 - t2, 2),
+            "overlap_docs_per_s": round(n_docs / (t3 - t2)),
+            "overlap_pairs": len(ov),
+            "min_pair_jaccard": round(float(ov["jaccard"].min()), 5),
+            "peak_rss_gib": round(rss.peak / 2**30, 1),
+        }
+    )
+    print(json.dumps(res))
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument(
-        "--jobs", default="minhash,components,audit,curate",
-        help="comma list: minhash,components,audit,curate",
+        "--jobs", default="minhash,components,audit,curate,textops",
+        help="comma list: minhash,components,audit,curate,textops",
     )
     args = ap.parse_args()
 
@@ -289,6 +343,8 @@ def main():
         results.append(run_exchange_audit(src, args.docs))
     if "curate" in jobs:
         results.append(run_curate(src, args.docs))
+    if "textops" in jobs:
+        results.append(run_textops(src, args.docs))
     print("== summary ==")
     for r in results:
         print(json.dumps(r))
